@@ -1,0 +1,88 @@
+"""Scaled-dot-product attention dispatch.
+
+One op signature, multiple backends:
+  * "xla"    — dot_general + softmax with float32 logits/probs accumulation.
+               Always available (CPU tests, fallback); XLA fuses it well.
+  * "pallas" — fused flash-attention kernel (ltx_tpu.kernels.flash_attention),
+               used on TPU for the long-sequence self-attention where the
+               materialized (B, H, T, T) logits would blow HBM.
+  * "auto"   — pallas on TPU when shapes qualify, else xla.
+
+This replaces the reference's dependency on MLXFast.scaledDotProductAttention
+(Metal) — reference use sites: LTXAttention.swift:209, LTXTextEncoder.swift:260,
+Gemma3Model.swift:99 (GQA).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_PALLAS_MIN_SEQ = 1024  # below this, XLA's fused softmax-attention is fine
+
+
+def _xla_sdpa(q, k, v, bias=None, scale=None):
+    """(B, H, Tq, D) x (B, H, Tk, D) attention with f32 softmax."""
+    d = q.shape[-1]
+    if scale is None:
+        scale = 1.0 / (d**0.5)
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * jnp.float32(scale)
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum(
+        "bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(q.dtype)
+
+
+def sdpa(q, k, v, bias=None, scale: Optional[float] = None, impl: str = "auto"):
+    """Scaled dot-product attention.
+
+    q: (B, H, Tq, D); k, v: (B, Hkv, Tk, D) with Hkv == H or H % Hkv == 0
+    (GQA: kv heads are repeated). bias: additive float mask broadcastable to
+    (B, H, Tq, Tk) — the reference's (1-m) * -10000 convention arrives here
+    already additive.
+    """
+    if k.shape[1] != q.shape[1]:
+        rep = q.shape[1] // k.shape[1]
+        k = jnp.repeat(k, rep, axis=1)
+        v = jnp.repeat(v, rep, axis=1)
+
+    if impl == "xla":
+        return _xla_sdpa(q, k, v, bias=bias, scale=scale)
+
+    if impl in ("pallas", "auto"):
+        on_tpu = jax.default_backend() == "tpu"
+        tq, tk = q.shape[2], k.shape[2]
+        want_pallas = impl == "pallas" or (
+            on_tpu and tq >= _PALLAS_MIN_SEQ and tk >= _PALLAS_MIN_SEQ
+        )
+        if want_pallas and on_tpu:
+            from ltx_tpu.kernels.flash_attention import flash_attention
+
+            try:
+                return flash_attention(q, k, v, bias=bias, scale=scale)
+            except NotImplementedError:
+                pass
+        return _xla_sdpa(q, k, v, bias=bias, scale=scale)
+
+    raise ValueError(f"unknown sdpa impl: {impl}")
+
+
+def prepare_additive_mask(mask, dtype=jnp.float32):
+    """(B, S) {0,1} validity mask -> (B, 1, 1, S) additive bias with
+    0 = attend, -10000 = pad (reference: LTXTransformer.swift:141-156)."""
+    if mask is None:
+        return None
+    if jnp.issubdtype(mask.dtype, jnp.floating):
+        return mask
+    bias = (1 - mask.astype(jnp.float32)) * -10000.0
+    return bias.reshape(mask.shape[0], 1, 1, mask.shape[-1]).astype(dtype)

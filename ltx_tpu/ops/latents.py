@@ -1,0 +1,132 @@
+"""Latent-space utilities: patchify, CFG, guidance rescale, AdaIN, noise.
+
+Pure jnp functions that trace into the compiled denoise step.
+Reference behavior: Sources/LTXVideo/Pipeline/LatentUtils.swift and
+Sources/LTXVideo/Pipeline/VideoLatentShape.swift.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ltx_tpu.core.config import LATENT_CHANNELS, SPATIAL_SCALE, TEMPORAL_SCALE
+
+
+@dataclasses.dataclass(frozen=True)
+class VideoLatentShape:
+    """Latent geometry (reference: VideoLatentShape.swift:10-181)."""
+
+    batch: int
+    channels: int
+    frames: int
+    height: int
+    width: int
+
+    @classmethod
+    def from_pixels(
+        cls, batch: int, num_frames: int, height: int, width: int
+    ) -> "VideoLatentShape":
+        return cls(
+            batch=batch,
+            channels=LATENT_CHANNELS,
+            frames=(num_frames - 1) // TEMPORAL_SCALE + 1,
+            height=height // SPATIAL_SCALE,
+            width=width // SPATIAL_SCALE,
+        )
+
+    @property
+    def shape(self) -> Tuple[int, int, int, int, int]:
+        return (self.batch, self.channels, self.frames, self.height, self.width)
+
+    @property
+    def token_count(self) -> int:
+        return self.frames * self.height * self.width
+
+    @property
+    def pixel_frames(self) -> int:
+        return TEMPORAL_SCALE * (self.frames - 1) + 1
+
+    def validate(self) -> None:
+        if self.channels != LATENT_CHANNELS:
+            raise ValueError(f"latent channels must be {LATENT_CHANNELS}")
+        if self.frames < 1 or self.height < 1 or self.width < 1:
+            raise ValueError(f"invalid latent dims: {self.shape}")
+
+
+def patchify(latent):
+    """(B, C, F, H, W) -> (B, T, C) with row-major (F, H, W) token order
+    (reference: LatentUtils.swift:20-34)."""
+    b, c, f, h, w = latent.shape
+    return latent.transpose(0, 2, 3, 4, 1).reshape(b, f * h * w, c)
+
+
+def unpatchify(x, shape: VideoLatentShape):
+    """(B, T, C) -> (B, C, F, H, W) (reference: LatentUtils.swift:42-54)."""
+    b, c, f, h, w = shape.shape
+    return x.reshape(b, f, h, w, c).transpose(0, 4, 1, 2, 3)
+
+
+def generate_noise(key: jax.Array, shape: VideoLatentShape, dtype=jnp.float32):
+    """Initial latent noise in float32 (reference: LatentUtils.swift:69-83).
+
+    JAX threefry != MLX Philox, so bitwise noise parity with the reference is
+    impossible by construction; parity tests inject precomputed noise instead
+    (the reference's own PrecomputedEmbeddings methodology, SURVEY.md §4).
+    """
+    return jax.random.normal(key, shape.shape, dtype=dtype)
+
+
+def apply_cfg(uncond, cond, guidance_scale: float):
+    """cond + (scale - 1) * (cond - uncond) — this exact algebraic form, not
+    the equivalent uncond + scale*(cond-uncond), so bf16 rounding matches the
+    validated Python implementation (reference: LatentUtils.swift:131-141)."""
+    scale_m1 = jnp.asarray(guidance_scale - 1.0, cond.dtype)
+    return cond + scale_m1 * (cond - uncond)
+
+
+def apply_guidance_rescale(cfg_output, cond_output, phi: float):
+    """Rescale CFG output std toward the conditional output's std, blended by
+    phi (reference: LatentUtils.swift:164-183). Std over all non-batch axes.
+    """
+    if phi <= 0.0:
+        return cfg_output
+    eps = 1e-8
+    axes = tuple(range(1, cfg_output.ndim))
+    cfg_std = jnp.sqrt(jnp.var(cfg_output, axis=axes, keepdims=True) + eps)
+    cond_std = jnp.sqrt(jnp.var(cond_output, axis=axes, keepdims=True) + eps)
+    rescaled = cfg_output * (cond_std / cfg_std)
+    return phi * rescaled + (1.0 - phi) * cfg_output
+
+
+def adain_filter_latent(latent, reference, factor: float = 1.0):
+    """Per-channel AdaIN toward the reference latent's stats
+    (reference: LatentUtils.swift:201-227). Shapes (B, C, F, H, W); spatial
+    dims may differ between latent and reference."""
+    if factor <= 0:
+        return latent
+    axes = (2, 3, 4)
+    l_mean = jnp.mean(latent, axis=axes, keepdims=True)
+    l_std = jnp.sqrt(jnp.var(latent, axis=axes, keepdims=True))
+    r_mean = jnp.mean(reference, axis=axes, keepdims=True)
+    r_std = jnp.sqrt(jnp.var(reference, axis=axes, keepdims=True))
+    result = (latent - l_mean) / (l_std + 1e-8) * r_std + r_mean
+    if factor >= 1.0:
+        return result
+    return factor * result + (1.0 - factor) * latent
+
+
+def normalize_latent(latent, eps: float = 1e-6):
+    """Zero-mean unit-var per channel (reference: LatentUtils.swift:232-239)."""
+    axes = (2, 3, 4)
+    mean = jnp.mean(latent, axis=axes, keepdims=True)
+    std = jnp.sqrt(jnp.var(latent, axis=axes, keepdims=True) + eps)
+    return (latent - mean) / std
+
+
+def denormalize_latent(latent, mean, std):
+    """latent * std + mean with (C,) stats (reference: LatentUtils.swift:242-252)."""
+    return latent * std.reshape(1, -1, 1, 1, 1) + mean.reshape(1, -1, 1, 1, 1)
