@@ -1,0 +1,447 @@
+"""Gemma-3 text backbone, run as a hidden-state extractor.
+
+Reference behavior: Sources/LTXVideo/Models/TextEncoder/Gemma3/Gemma3Model.swift.
+Functional pytree params with all 48 decoder layers stacked and run under
+`lax.scan`; per-layer global-vs-sliding RoPE base and mask are selected with
+jnp.where on precomputed tables, keeping one compiled layer body.
+
+Key semantics preserved:
+  * embeddings scaled by sqrt(hidden_size) in the embedding dtype;
+  * Gemma RMSNorm uses the (1 + weight) convention;
+  * q/k RMSNorm per head-dim AFTER the head split; attention scale is
+    query_pre_attn_scalar^-0.5 (1/16 for 12B), NOT head_dim^-0.5;
+  * RoPE: rotate-half, base 10k for sliding layers / 1M for global layers,
+    NO rope scaling (reference: Gemma3Model.swift:56-67);
+  * text-encoder path with a pad mask uses the FULL causal mask for sliding
+    layers too (reference: Gemma3Model.swift:263-265 — matches the Python
+    text encoder); generation applies the real sliding window;
+  * returns 49 hidden states: embedding + layers 0..46 raw + final normed
+    (reference: Gemma3Model.swift:198-303).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ltx_tpu.ops.attention import sdpa
+
+
+@dataclasses.dataclass(frozen=True)
+class Gemma3Config:
+    """Gemma-3-12B text config (reference: Gemma3Config.swift:44-58)."""
+
+    hidden_size: int = 3840
+    hidden_layers: int = 48
+    intermediate_size: int = 15360
+    attention_heads: int = 16
+    head_dim: int = 256
+    rms_norm_eps: float = 1e-6
+    vocab_size: int = 262208
+    kv_heads: int = 8
+    rope_theta: float = 1_000_000.0
+    rope_local_base_freq: float = 10_000.0
+    query_pre_attn_scalar: float = 256.0
+    sliding_window: int = 1024
+    sliding_window_pattern: int = 6
+    max_position_embeddings: int = 131072
+
+    @classmethod
+    def from_hf_dict(cls, d: dict) -> "Gemma3Config":
+        """Parse HF config.json (handles nested text_config for VLM exports)."""
+        if "text_config" in d:
+            d = d["text_config"]
+        return cls(
+            hidden_size=d.get("hidden_size", 3840),
+            hidden_layers=d.get("num_hidden_layers", 48),
+            intermediate_size=d.get("intermediate_size", 15360),
+            attention_heads=d.get("num_attention_heads", 16),
+            head_dim=d.get("head_dim", 256),
+            rms_norm_eps=d.get("rms_norm_eps", 1e-6),
+            vocab_size=d.get("vocab_size", 262208),
+            kv_heads=d.get("num_key_value_heads", 8),
+            rope_theta=d.get("rope_theta", 1_000_000.0),
+            rope_local_base_freq=d.get("rope_local_base_freq", 10_000.0),
+            query_pre_attn_scalar=d.get("query_pre_attn_scalar", 256.0),
+            sliding_window=d.get("sliding_window", 1024),
+            sliding_window_pattern=d.get("sliding_window_pattern", 6),
+            max_position_embeddings=d.get("max_position_embeddings", 131072),
+        )
+
+    def tiny(self) -> "Gemma3Config":
+        return dataclasses.replace(
+            self,
+            hidden_size=64,
+            hidden_layers=7,
+            intermediate_size=128,
+            attention_heads=4,
+            head_dim=16,
+            vocab_size=256,
+            kv_heads=2,
+            query_pre_attn_scalar=16.0,
+            sliding_window=4,
+            sliding_window_pattern=3,
+        )
+
+    def is_global_layer(self, i: int) -> bool:
+        return (i + 1) % self.sliding_window_pattern == 0
+
+
+# ---------------------------------------------------------------------------
+# Primitives
+# ---------------------------------------------------------------------------
+
+
+def gemma_rms_norm(x, weight, eps: float = 1e-6):
+    """Gemma convention: normed * (1 + weight), f32 statistics."""
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    inv = lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    return (xf * inv * (1.0 + weight.astype(jnp.float32))).astype(dtype)
+
+
+def clip_residual(x, y):
+    """x + y with float16 overflow clamping (bf16/f32 pass through).
+    Mirrors MLX Gemma.clipResidual used at Gemma3Model.swift:162,166."""
+    if x.dtype == jnp.float16:
+        return jnp.clip(
+            x.astype(jnp.float32) + y.astype(jnp.float32), -65504.0, 65504.0
+        ).astype(jnp.float16)
+    return x + y
+
+
+def rope_tables(seq_len: int, head_dim: int, base: float,
+                positions: Optional[np.ndarray] = None):
+    """cos/sin (T, head_dim/2) for rotate-half RoPE (host-side f32)."""
+    if positions is None:
+        positions = np.arange(seq_len, dtype=np.float32)
+    inv_freq = 1.0 / (base ** (np.arange(0, head_dim, 2, dtype=np.float32) / head_dim))
+    freqs = positions[:, None].astype(np.float32) * inv_freq[None, :]
+    return np.cos(freqs).astype(np.float32), np.sin(freqs).astype(np.float32)
+
+
+def apply_gemma_rope(x, cos, sin):
+    """Rotate-half RoPE on (B, H, T, D); cos/sin (T, D/2), f32 math."""
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    d = xf.shape[-1]
+    x1, x2 = xf[..., : d // 2], xf[..., d // 2 :]
+    c = cos[None, None].astype(jnp.float32)
+    s = sin[None, None].astype(jnp.float32)
+    return jnp.concatenate([x1 * c - x2 * s, x2 * c + x1 * s], axis=-1).astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+
+def _dense(key, d_in, d_out, dtype):
+    return {"w": (jax.random.normal(key, (d_in, d_out), jnp.float32) * d_in**-0.5
+                  ).astype(dtype)}
+
+
+def _layer_init(key, cfg: Gemma3Config, dtype):
+    d, hd = cfg.hidden_size, cfg.head_dim
+    ks = jax.random.split(key, 7)
+    return {
+        "q_proj": _dense(ks[0], d, cfg.attention_heads * hd, dtype),
+        "k_proj": _dense(ks[1], d, cfg.kv_heads * hd, dtype),
+        "v_proj": _dense(ks[2], d, cfg.kv_heads * hd, dtype),
+        "o_proj": _dense(ks[3], cfg.attention_heads * hd, d, dtype),
+        "q_norm": {"w": jnp.zeros((hd,), dtype)},
+        "k_norm": {"w": jnp.zeros((hd,), dtype)},
+        "gate_proj": _dense(ks[4], d, cfg.intermediate_size, dtype),
+        "up_proj": _dense(ks[5], d, cfg.intermediate_size, dtype),
+        "down_proj": _dense(ks[6], cfg.intermediate_size, d, dtype),
+        "input_layernorm": {"w": jnp.zeros((d,), dtype)},
+        "post_attention_layernorm": {"w": jnp.zeros((d,), dtype)},
+        "pre_feedforward_layernorm": {"w": jnp.zeros((d,), dtype)},
+        "post_feedforward_layernorm": {"w": jnp.zeros((d,), dtype)},
+    }
+
+
+def init_params(key, cfg: Gemma3Config, dtype=jnp.bfloat16):
+    ks = jax.random.split(key, 3)
+    layers = [
+        _layer_init(k, cfg, dtype)
+        for k in jax.random.split(ks[0], cfg.hidden_layers)
+    ]
+    return {
+        "embed_tokens": {
+            "w": (jax.random.normal(ks[1], (cfg.vocab_size, cfg.hidden_size),
+                                    jnp.float32) * 0.02).astype(dtype)
+        },
+        "layers": jax.tree.map(lambda *xs: jnp.stack(xs), *layers),
+        "norm": {"w": jnp.zeros((cfg.hidden_size,), dtype)},
+    }
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def _attention(p, x, bias, cos, sin, cfg: Gemma3Config, kv_cache=None,
+               cache_index=None):
+    b, t, _ = x.shape
+    nh, nkv, hd = cfg.attention_heads, cfg.kv_heads, cfg.head_dim
+
+    q = jnp.dot(x, p["q_proj"]["w"], preferred_element_type=jnp.float32
+                ).astype(x.dtype)
+    k = jnp.dot(x, p["k_proj"]["w"], preferred_element_type=jnp.float32
+                ).astype(x.dtype)
+    v = jnp.dot(x, p["v_proj"]["w"], preferred_element_type=jnp.float32
+                ).astype(x.dtype)
+
+    q = q.reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
+    k = k.reshape(b, t, nkv, hd).transpose(0, 2, 1, 3)
+    v = v.reshape(b, t, nkv, hd).transpose(0, 2, 1, 3)
+
+    q = gemma_rms_norm(q, p["q_norm"]["w"], cfg.rms_norm_eps)
+    k = gemma_rms_norm(k, p["k_norm"]["w"], cfg.rms_norm_eps)
+
+    q = apply_gemma_rope(q, cos, sin)
+    k = apply_gemma_rope(k, cos, sin)
+
+    new_cache = None
+    if kv_cache is not None:
+        ck, cv = kv_cache
+        ck = lax.dynamic_update_slice(ck, k, (0, 0, cache_index, 0))
+        cv = lax.dynamic_update_slice(cv, v, (0, 0, cache_index, 0))
+        k, v = ck, cv
+        new_cache = (ck, cv)
+
+    scale = cfg.query_pre_attn_scalar**-0.5
+    out = sdpa(q, k, v, bias=bias, scale=scale)
+    out = out.transpose(0, 2, 1, 3).reshape(b, t, nh * hd)
+    out = jnp.dot(out, p["o_proj"]["w"], preferred_element_type=jnp.float32
+                  ).astype(x.dtype)
+    return out, new_cache
+
+
+def _mlp(p, x):
+    """down(gelu_tanh(gate) * up) (reference: Gemma3Model.swift:115-130)."""
+    gate = jnp.dot(x, p["gate_proj"]["w"], preferred_element_type=jnp.float32
+                   ).astype(x.dtype)
+    up = jnp.dot(x, p["up_proj"]["w"], preferred_element_type=jnp.float32
+                 ).astype(x.dtype)
+    h = jax.nn.gelu(gate, approximate=True) * up
+    return jnp.dot(h, p["down_proj"]["w"], preferred_element_type=jnp.float32
+                   ).astype(x.dtype)
+
+
+def _decoder_layer(p, x, bias, cos, sin, cfg: Gemma3Config, kv_cache=None,
+                   cache_index=None):
+    """Pre/post sandwich norms (reference: Gemma3Model.swift:154-167)."""
+    eps = cfg.rms_norm_eps
+    h_norm = gemma_rms_norm(x, p["input_layernorm"]["w"], eps)
+    attn, new_cache = _attention(p, h_norm, bias, cos, sin, cfg, kv_cache,
+                                 cache_index)
+    attn = gemma_rms_norm(attn, p["post_attention_layernorm"]["w"], eps)
+    h = clip_residual(x, attn)
+    m = gemma_rms_norm(h, p["pre_feedforward_layernorm"]["w"], eps)
+    m = _mlp(p, m)
+    m = gemma_rms_norm(m, p["post_feedforward_layernorm"]["w"], eps)
+    return clip_residual(h, m), new_cache
+
+
+def _additive_causal_mask(attention_mask, seq_len: int, dtype):
+    """Causal AND pad-valid -> additive (0 / dtype-min) mask (B, 1, T, T)
+    (reference: Gemma3Model.swift:225-257)."""
+    causal = jnp.tril(jnp.ones((seq_len, seq_len), bool))
+    pad = attention_mask.astype(bool)[:, None, None, :]  # (B, 1, 1, T)
+    combined = causal[None, None] & pad
+    min_val = {
+        jnp.bfloat16: -3.3895314e38,
+        jnp.float16: -65504.0,
+    }.get(jnp.dtype(dtype).type, -1e9)
+    return jnp.where(combined, 0.0, min_val).astype(jnp.float32)
+
+
+def _sliding_causal_mask(seq_len: int, window: int):
+    """Causal with sliding window (for generation prefill)."""
+    i = np.arange(seq_len)[:, None]
+    j = np.arange(seq_len)[None, :]
+    ok = (j <= i) & (j > i - window)
+    return jnp.where(jnp.asarray(ok)[None, None], 0.0, -1e9).astype(jnp.float32)
+
+
+def forward_hidden_states(params, input_ids, attention_mask, cfg: Gemma3Config):
+    """Token ids (B, T) + pad mask (B, T) -> (49, B, T, D) hidden states.
+
+    States: [0]=scaled embedding, [1..47]=layers 0..46 raw, [48]=final norm of
+    layer 47. Sliding layers use the SAME full causal+pad mask as global
+    layers on this path (text-encoder parity).
+    """
+    b, t = input_ids.shape
+    emb_w = params["embed_tokens"]["w"]
+    dtype = emb_w.dtype
+    h = emb_w[input_ids] * jnp.asarray(np.sqrt(cfg.hidden_size), dtype)
+
+    bias = _additive_causal_mask(attention_mask, t, dtype)
+
+    cos_g, sin_g = rope_tables(t, cfg.head_dim, cfg.rope_theta)
+    cos_l, sin_l = rope_tables(t, cfg.head_dim, cfg.rope_local_base_freq)
+    cos_g, sin_g = jnp.asarray(cos_g), jnp.asarray(sin_g)
+    cos_l, sin_l = jnp.asarray(cos_l), jnp.asarray(sin_l)
+
+    is_global = jnp.asarray(
+        [cfg.is_global_layer(i) for i in range(cfg.hidden_layers)]
+    )
+
+    def body(carry, scanned):
+        p, glob = scanned
+        cos = jnp.where(glob, cos_g, cos_l)
+        sin = jnp.where(glob, sin_g, sin_l)
+        out, _ = _decoder_layer(p, carry, bias, cos, sin, cfg)
+        return out, out
+
+    last, ys = lax.scan(body, h, (params["layers"], is_global))
+    final = gemma_rms_norm(last, params["norm"]["w"], cfg.rms_norm_eps)
+
+    # (49, B, T, D): embedding + layers 0..46 + normed final
+    return jnp.concatenate([h[None], ys[:-1], final[None]], axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Autoregressive generation (prompt enhancement)
+# ---------------------------------------------------------------------------
+
+
+def _select_rope(cfg, is_global, cos_g, sin_g, cos_l, sin_l):
+    cos = jnp.where(is_global, cos_g, cos_l)
+    sin = jnp.where(is_global, sin_g, sin_l)
+    return cos, sin
+
+
+def generate_tokens(
+    params,
+    input_ids: np.ndarray,
+    cfg: Gemma3Config,
+    key,
+    max_new_tokens: int = 512,
+    temperature: float = 0.7,
+    top_p: float = 0.95,
+    repetition_penalty: float = 1.1,
+    repetition_context: int = 64,
+    stop_tokens: Tuple[int, ...] = (1,),
+):
+    """KV-cached autoregressive sampling with top-p + repetition penalty
+    (reference: Gemma3Model.swift:390-513). Tied embeddings as lm_head.
+
+    Host-driven loop: prefill is one jit call; each decode step is one jit
+    call. Returns the generated token list (without the prompt).
+    """
+    input_ids = np.asarray(input_ids)
+    if input_ids.ndim == 1:
+        input_ids = input_ids[None]
+    b, t = input_ids.shape
+    assert b == 1, "prompt enhancement generates one prompt at a time"
+    max_len = t + max_new_tokens
+
+    emb_w = params["embed_tokens"]["w"]
+    dtype = emb_w.dtype
+    nl, nkv, hd = cfg.hidden_layers, cfg.kv_heads, cfg.head_dim
+    scale_emb = np.sqrt(cfg.hidden_size)
+
+    cos_g, sin_g = rope_tables(max_len, cfg.head_dim, cfg.rope_theta)
+    cos_l, sin_l = rope_tables(max_len, cfg.head_dim, cfg.rope_local_base_freq)
+    cos_g, sin_g = jnp.asarray(cos_g), jnp.asarray(sin_g)
+    cos_l, sin_l = jnp.asarray(cos_l), jnp.asarray(sin_l)
+    is_global_flags = [cfg.is_global_layer(i) for i in range(nl)]
+
+    # prefill attends over the full max_len cache; slots >= t are masked
+    def _pad_cols(bias_tt):
+        pad = jnp.full((1, 1, t, max_len - t), -1e9, jnp.float32)
+        return jnp.concatenate([bias_tt, pad], axis=-1)
+
+    causal = _pad_cols(
+        jnp.where(jnp.tril(jnp.ones((t, t), bool))[None, None], 0.0, -1e9)
+    )
+    sliding = _pad_cols(_sliding_causal_mask(t, cfg.sliding_window))
+
+    @jax.jit
+    def prefill(params, ids):
+        h = params["embed_tokens"]["w"][ids] * jnp.asarray(scale_emb, dtype)
+        caches = []
+        for i in range(nl):
+            p = jax.tree.map(lambda x: x[i], params["layers"])
+            glob = is_global_flags[i]
+            bias = causal if glob else sliding
+            cos = (cos_g if glob else cos_l)[:t]
+            sin = (sin_g if glob else sin_l)[:t]
+            ck = jnp.zeros((1, nkv, max_len, hd), dtype)
+            cv = jnp.zeros((1, nkv, max_len, hd), dtype)
+            h, cache = _decoder_layer(p, h, bias, cos, sin, cfg, (ck, cv), 0)
+            caches.append(cache)
+        h = gemma_rms_norm(h, params["norm"]["w"], cfg.rms_norm_eps)
+        logits = jnp.dot(h[:, -1], params["embed_tokens"]["w"].T,
+                         preferred_element_type=jnp.float32)
+        return logits, caches
+
+    @jax.jit
+    def decode_step(params, token, caches, pos):
+        h = params["embed_tokens"]["w"][token][None] * jnp.asarray(scale_emb, dtype)
+        # attend to cache slots < pos+1; per-layer sliding window bias
+        idx = jnp.arange(max_len)[None, None, None, :]
+        base_ok = idx <= pos
+        new_caches = []
+        for i in range(nl):
+            p = jax.tree.map(lambda x: x[i], params["layers"])
+            glob = is_global_flags[i]
+            ok = base_ok if glob else (base_ok & (idx > pos - cfg.sliding_window))
+            bias = jnp.where(ok, 0.0, -1e9).astype(jnp.float32)
+            cos = lax.dynamic_slice_in_dim(cos_g if glob else cos_l, pos, 1)
+            sin = lax.dynamic_slice_in_dim(sin_g if glob else sin_l, pos, 1)
+            h, cache = _decoder_layer(p, h, bias, cos, sin, cfg, caches[i], pos)
+            new_caches.append(cache)
+        h = gemma_rms_norm(h, params["norm"]["w"], cfg.rms_norm_eps)
+        logits = jnp.dot(h[:, -1], params["embed_tokens"]["w"].T,
+                         preferred_element_type=jnp.float32)
+        return logits, new_caches
+
+    logits, caches = prefill(params, jnp.asarray(input_ids))
+    generated: list[int] = []
+    stop = set(int(s) for s in stop_tokens)
+
+    for step in range(max_new_tokens):
+        lg = np.array(logits[0], np.float32)  # writable copy
+        if repetition_penalty != 1.0 and generated:
+            recent = set(generated[-repetition_context:])
+            for tok in recent:
+                if lg[tok] > 0:
+                    lg[tok] /= repetition_penalty
+                else:
+                    lg[tok] *= repetition_penalty
+        if temperature <= 0:
+            nxt = int(np.argmax(lg))
+        else:
+            key, sub = jax.random.split(key)
+            nxt = _sample_top_p(lg, temperature, top_p, sub)
+        if nxt in stop:
+            break
+        generated.append(nxt)
+        logits, caches = decode_step(
+            params, jnp.asarray([nxt]), caches, jnp.asarray(t + step)
+        )
+    return generated
+
+
+def _sample_top_p(logits: np.ndarray, temperature: float, top_p: float, key):
+    """Top-p sampling matching the reference's masking form
+    (Gemma3Model.swift:495-513): keep tokens where cumulative prob (sorted
+    descending) exceeds 1 - top_p."""
+    probs = jax.nn.softmax(jnp.asarray(logits) / temperature)
+    order = jnp.argsort(-probs)
+    sorted_probs = probs[order]
+    csum = jnp.cumsum(sorted_probs)
+    keep = csum > (1.0 - top_p)
+    filtered = jnp.where(keep, sorted_probs, 0.0)
+    choice = jax.random.categorical(key, jnp.log(filtered + 1e-10))
+    return int(order[choice])

@@ -1,0 +1,512 @@
+"""Video VAE: causal-3D-conv decoder + encoder, TPU-native.
+
+Reference behavior: Sources/LTXVideo/Models/VAE/VideoDecoder.swift,
+VideoEncoder.swift, VideoConvolution.swift. The reference decomposes every
+3D conv into kt sequential 2D convs because MLX lacked conv3d
+(VideoConvolution.swift:305-339); here XLA's native `conv_general_dilated`
+does the full 3D conv in one MXU-tiled op, channels-last (NDHWC) throughout —
+the layout TPUs prefer. The public interface stays (B, C, F, H, W) to match
+the pipeline; transposes happen once at entry/exit.
+
+Decoder architecture (reference: VideoDecoder.swift:278-450):
+  conv_in 128->1024, then alternating [5x ResBlock group, depth-to-space x2
+  upsample] x3 (1024->512->256->128), PixelNorm + AdaLN out, conv_out 128->48,
+  spatial unpatchify 4x4. Output frames = 8*(latent_frames-1)+1.
+
+Encoder (reference: VideoEncoder.swift:198-313): patchify 3->48, conv_in
+48->128, 4 down blocks (128->256->512->1024->2048) with space-to-depth +
+group-averaged residual, mid block, norm+SiLU, conv_out 2048->129, keep the
+first 128 channels (mean). Encoder pads spatially with ZEROS, decoder with
+REFLECT (reference: VideoEncoder.swift:227, VideoConvolution.swift:220).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ltx_tpu.models.common import silu
+from ltx_tpu.ops.embeddings import get_timestep_embedding
+
+# ---------------------------------------------------------------------------
+# Config
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class VAEConfig:
+    latent_channels: int = 128
+    base_channels: int = 1024  # decoder conv_in output
+    patch_size: int = 4
+    blocks_per_group: int = 5
+    causal: bool = False  # pipeline constructs the decoder non-causal
+    timestep_conditioning: bool = False  # from vae/config.json
+    decode_noise_scale: float = 0.025
+    timestep_scale_multiplier: float = 1000.0
+    # encoder
+    encoder_causal: bool = True
+    encoder_channels: Tuple[int, ...] = (128, 256, 512, 1024, 2048)
+    encoder_resnets: Tuple[int, ...] = (4, 6, 6, 2)
+    encoder_factors: Tuple[Tuple[int, int, int], ...] = (
+        (1, 2, 2), (2, 1, 1), (2, 2, 2), (2, 2, 2)
+    )
+
+    def tiny(self) -> "VAEConfig":
+        return dataclasses.replace(
+            self,
+            latent_channels=8,
+            base_channels=64,
+            blocks_per_group=1,
+            encoder_channels=(8, 16, 32, 64, 128),
+            encoder_resnets=(1, 1, 1, 1),
+        )
+
+
+# ---------------------------------------------------------------------------
+# Core conv
+# ---------------------------------------------------------------------------
+
+
+def causal_conv3d(params, x, causal: bool, spatial_mode: str = "reflect",
+                  stride=(1, 1, 1)):
+    """3D conv on NDHWC input with the reference's padding semantics.
+
+    params: {"w": (kt, kh, kw, C_in, C_out), "b": (C_out,) optional}.
+    Temporal: causal -> replicate first frame (kt-1) at the front; else
+    symmetric replicate. Spatial: reflect | zeros | replicate, symmetric.
+    Reference: VideoConvolution.swift:238-347.
+    """
+    w = params["w"]
+    kt, kh, kw = w.shape[0], w.shape[1], w.shape[2]
+
+    pads = [(0, 0)]
+    pads.append(((kt - 1, 0) if causal else ((kt - 1) // 2, kt - 1 - (kt - 1) // 2)))
+    pads.append((kh // 2, kh // 2))
+    pads.append((kw // 2, kw // 2))
+    pads.append((0, 0))
+
+    # temporal always replicates ("edge"); spatial uses the requested mode
+    if kt > 1:
+        x = jnp.pad(x, [pads[0], pads[1], (0, 0), (0, 0), pads[4]], mode="edge")
+    mode = {"reflect": "reflect", "zeros": "constant", "replicate": "edge"}[
+        spatial_mode
+    ]
+    if kh > 1 or kw > 1:
+        x = jnp.pad(x, [(0, 0), (0, 0), pads[2], pads[3], (0, 0)], mode=mode)
+
+    out = lax.conv_general_dilated(
+        x, w.astype(x.dtype),
+        window_strides=stride,
+        padding="VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    if "b" in params:
+        out = out + params["b"].astype(x.dtype)
+    return out
+
+
+def conv3d_init(key, c_in: int, c_out: int, k: int = 3, dtype=jnp.float32):
+    scale = (c_in * k * k * k) ** -0.5
+    return {
+        "w": (jax.random.normal(key, (k, k, k, c_in, c_out), jnp.float32) * scale
+              ).astype(dtype),
+        "b": jnp.zeros((c_out,), dtype),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Building blocks (all NDHWC)
+# ---------------------------------------------------------------------------
+
+
+def vae_pixel_norm(x, eps: float = 1e-8):
+    """Channel RMS norm, channels-last (reference: VideoDecoder.swift:29-32)."""
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    ms = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (xf / jnp.sqrt(ms + eps)).astype(dtype)
+
+
+def timestep_embedder(params, t_emb):
+    """256 -> hidden -> out MLP with SiLU (reference: VideoDecoder.swift:37-52).
+    Keys nested as timestep_embedder.{linear_1,linear_2} to match safetensors."""
+    p = params["timestep_embedder"]
+    h = t_emb @ p["linear_1"]["w"] + p["linear_1"]["b"]
+    h = silu(h)
+    return h @ p["linear_2"]["w"] + p["linear_2"]["b"]
+
+
+def res_block(params, x, causal: bool, spatial_mode: str, time_emb=None):
+    """PixelNorm -> scale/shift -> SiLU -> conv, twice, + residual.
+    scale_shift_table (4, C): rows shift1, scale1, shift2, scale2; time_emb
+    (B, 4C) adds to the table (reference: VideoDecoder.swift:75-131)."""
+    table = params["scale_shift_table"].astype(jnp.float32)  # (4, C)
+    c = table.shape[1]
+    if time_emb is not None:
+        b = time_emb.shape[0]
+        ss = table[None] + time_emb.reshape(b, 4, c).astype(jnp.float32)
+        ss = ss[:, :, None, None, None, :]  # (B, 4, 1, 1, 1, C)
+    else:
+        ss = table[None, :, None, None, None, :]  # (1, 4, 1, 1, 1, C)
+    dt = x.dtype
+    shift1, scale1 = ss[:, 0].astype(dt), (ss[:, 1] + 1).astype(dt)
+    shift2, scale2 = ss[:, 2].astype(dt), (ss[:, 3] + 1).astype(dt)
+
+    h = vae_pixel_norm(x) * scale1 + shift1
+    h = causal_conv3d(params["conv1"], silu(h), causal, spatial_mode)
+    h = vae_pixel_norm(h) * scale2 + shift2
+    h = causal_conv3d(params["conv2"], silu(h), causal, spatial_mode)
+    return h + x
+
+
+def res_block_group(params, x, causal: bool, spatial_mode: str,
+                    scaled_timestep=None):
+    """5 res blocks sharing one timestep embedding
+    (reference: VideoDecoder.swift:136-168)."""
+    time_emb = None
+    if scaled_timestep is not None:
+        t_emb = get_timestep_embedding(scaled_timestep, 256)
+        time_emb = timestep_embedder(params["time_embedder"],
+                                     t_emb.astype(jnp.float32))
+    h = x
+    for block in params["res_blocks"]:
+        h = res_block(block, h, causal, spatial_mode, time_emb)
+    return h
+
+
+def depth_to_space(x, factor, c_out: int):
+    """NDHWC depth-to-space with channel order (c_out, ft, fh, fw)
+    (reference: VideoDecoder.swift:201-212)."""
+    ft, fh, fw = factor
+    b, t, h, w, _ = x.shape
+    out = x.reshape(b, t, h, w, c_out, ft, fh, fw)
+    out = out.transpose(0, 1, 5, 2, 6, 3, 7, 4)  # (b, t, ft, h, fh, w, fw, c)
+    return out.reshape(b, t * ft, h * fh, w * fw, c_out)
+
+
+def space_to_depth(x, factor):
+    """Inverse of depth_to_space; pads temporal front with replicated first
+    frame if t % ft != 0 (reference: VideoEncoder.swift:38-65)."""
+    ft, fh, fw = factor
+    b, t, h, w, c = x.shape
+    if t % ft != 0:
+        pad_t = ft - (t % ft)
+        x = jnp.pad(x, [(0, 0), (pad_t, 0), (0, 0), (0, 0), (0, 0)], mode="edge")
+        t = x.shape[1]
+    out = x.reshape(b, t // ft, ft, h // fh, fh, w // fw, fw, c)
+    out = out.transpose(0, 1, 3, 5, 7, 2, 4, 6)  # (b, t', h', w', c, ft, fh, fw)
+    return out.reshape(b, t // ft, h // fh, w // fw, c * ft * fh * fw)
+
+
+def d2s_upsample(params, x, causal: bool, spatial_mode: str,
+                 factor=(2, 2, 2)):
+    """Conv -> depth-to-space + channel-tiled residual; first output frame is
+    trimmed when the temporal factor > 1, giving 8*(F-1)+1 total
+    (reference: VideoDecoder.swift:177-252)."""
+    ft, fh, fw = factor
+    prod = ft * fh * fw
+    c_in = x.shape[-1]
+    c_out = c_in // 2
+    repeats = prod // 2
+
+    # residual: d2s on raw input, trim, tile channels
+    res = depth_to_space(x, factor, c_in // prod)
+    if ft > 1:
+        res = res[:, 1:]
+    res = jnp.concatenate([res] * repeats, axis=-1)
+
+    h = causal_conv3d(params["conv"], x, causal, spatial_mode)
+    h = depth_to_space(h, factor, c_out)
+    if ft > 1:
+        h = h[:, 1:]
+    return h + res
+
+
+def decoder_unpatchify(x, p: int = 4):
+    """(B, T, H, W, 48) -> (B, T, 4H, 4W, 3); channel order (c, i1, i2) with
+    i1 -> width offset, i2 -> height offset
+    (reference: VideoDecoder.swift:257-275)."""
+    b, t, h, w, cp = x.shape
+    c = cp // (p * p)
+    out = x.reshape(b, t, h, w, c, p, p)  # (..., c, i1, i2)
+    out = out.transpose(0, 1, 2, 6, 3, 5, 4)  # (b, t, h, i2, w, i1, c)
+    return out.reshape(b, t, h * p, w * p, c)
+
+
+def encoder_patchify(x, p: int = 4):
+    """(B, T, H, W, 3) -> (B, T, H/4, W/4, 48); channel order (c, pw, ph)
+    (reference: VideoEncoder.swift:13-32 — pW before pH in channels)."""
+    b, t, h, w, c = x.shape
+    out = x.reshape(b, t, h // p, p, w // p, p, c)  # (b,t,h',ph,w',pw,c)
+    out = out.transpose(0, 1, 2, 4, 6, 5, 3)  # (b, t, h', w', c, pw, ph)
+    return out.reshape(b, t, h // p, w // p, c * p * p)
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+
+def init_decoder_params(key, cfg: VAEConfig, dtype=jnp.float32):
+    lc, bc, g = cfg.latent_channels, cfg.base_channels, cfg.blocks_per_group
+    ks = iter(jax.random.split(key, 64))
+
+    def group(c):
+        return {
+            "res_blocks": [
+                {
+                    "conv1": conv3d_init(next(ks), c, c, dtype=dtype),
+                    "conv2": conv3d_init(next(ks), c, c, dtype=dtype),
+                    "scale_shift_table": jnp.zeros((4, c), jnp.float32),
+                }
+                for _ in range(g)
+            ],
+            "time_embedder": {
+                "timestep_embedder": {
+                    "linear_1": {
+                        "w": jax.random.normal(next(ks), (256, 256), jnp.float32)
+                        * 256**-0.5,
+                        "b": jnp.zeros((256,), jnp.float32),
+                    },
+                    "linear_2": {
+                        "w": jax.random.normal(next(ks), (256, 4 * c), jnp.float32)
+                        * 256**-0.5,
+                        "b": jnp.zeros((4 * c,), jnp.float32),
+                    },
+                }
+            },
+        }
+
+    def up(c_in):
+        return {"conv": conv3d_init(next(ks), c_in, (c_in // 2) * 8, dtype=dtype)}
+
+    return {
+        "conv_in": conv3d_init(next(ks), lc, bc, dtype=dtype),
+        "up_blocks_0": group(bc),
+        "up_blocks_1": up(bc),
+        "up_blocks_2": group(bc // 2),
+        "up_blocks_3": up(bc // 2),
+        "up_blocks_4": group(bc // 4),
+        "up_blocks_5": up(bc // 4),
+        "up_blocks_6": group(bc // 8),
+        "conv_out": conv3d_init(next(ks), bc // 8, 3 * cfg.patch_size**2, dtype=dtype),
+        "last_time_embedder": {
+            "timestep_embedder": {
+                "linear_1": {
+                    "w": jax.random.normal(next(ks), (256, 256), jnp.float32)
+                    * 256**-0.5,
+                    "b": jnp.zeros((256,), jnp.float32),
+                },
+                "linear_2": {
+                    "w": jax.random.normal(next(ks), (256, 2 * (bc // 8)), jnp.float32)
+                    * 256**-0.5,
+                    "b": jnp.zeros((2 * (bc // 8),), jnp.float32),
+                },
+            }
+        },
+        "last_scale_shift_table": jnp.zeros((2, bc // 8), jnp.float32),
+        "mean_of_means": jnp.zeros((lc,), jnp.float32),
+        "std_of_means": jnp.ones((lc,), jnp.float32),
+    }
+
+
+def decoder_forward(params, sample, cfg: VAEConfig,
+                    timestep: Optional[float] = 0.05,
+                    noise_key: Optional[jax.Array] = None):
+    """Latent (B, C, F', H', W') -> pixels (B, 3, 8(F'-1)+1, 32H', 32W') in
+    [-1, 1] (reference: VideoDecoder.swift:358-449).
+
+    Decode-noise injection happens in NORMALIZED latent space before the
+    per-channel denorm; both are tied to `timestep is not None`.
+    """
+    causal, mode = cfg.causal, "reflect"
+    x = sample.transpose(0, 2, 3, 4, 1)  # -> NDHWC
+    b = x.shape[0]
+
+    scaled_ts = None
+    if timestep is not None:
+        if noise_key is not None:
+            noise = jax.random.normal(noise_key, x.shape, x.dtype)
+            x = noise * cfg.decode_noise_scale + (1.0 - cfg.decode_noise_scale) * x
+        scaled_ts = jnp.full((b,), timestep, jnp.float32) * cfg.timestep_scale_multiplier
+
+    # denormalize AFTER noise (reference: VideoDecoder.swift:377-382)
+    mean = params["mean_of_means"].astype(jnp.float32)
+    std = params["std_of_means"].astype(jnp.float32)
+    x = (x.astype(jnp.float32) * std + mean).astype(x.dtype)
+
+    x = causal_conv3d(params["conv_in"], x, causal, mode)
+    x = res_block_group(params["up_blocks_0"], x, causal, mode, scaled_ts)
+    x = d2s_upsample(params["up_blocks_1"], x, causal, mode)
+    x = res_block_group(params["up_blocks_2"], x, causal, mode, scaled_ts)
+    x = d2s_upsample(params["up_blocks_3"], x, causal, mode)
+    x = res_block_group(params["up_blocks_4"], x, causal, mode, scaled_ts)
+    x = d2s_upsample(params["up_blocks_5"], x, causal, mode)
+    x = res_block_group(params["up_blocks_6"], x, causal, mode, scaled_ts)
+
+    x = vae_pixel_norm(x)
+    table = params["last_scale_shift_table"].astype(jnp.float32)  # (2, C)
+    if scaled_ts is not None:
+        t_emb = get_timestep_embedding(scaled_ts, 256)
+        te = timestep_embedder(params["last_time_embedder"],
+                               t_emb.astype(jnp.float32))
+        ss = table[None] + te.reshape(b, 2, -1)
+        shift = ss[:, 0, None, None, None, :]
+        scale = ss[:, 1, None, None, None, :] + 1
+    else:
+        shift = table[None, 0, None, None, None, :]
+        scale = table[None, 1, None, None, None, :] + 1
+    x = x * scale.astype(x.dtype) + shift.astype(x.dtype)
+    x = silu(x)
+
+    x = causal_conv3d(params["conv_out"], x, causal, mode)
+    x = decoder_unpatchify(x, cfg.patch_size)
+    return x.transpose(0, 4, 1, 2, 3)  # -> (B, 3, T, H, W)
+
+
+def decode_video(params, latent, cfg: VAEConfig,
+                 timestep: Optional[float] = 0.05,
+                 noise_key: Optional[jax.Array] = None,
+                 tile_size: int = 0, tile_overlap: int = 1):
+    """Decode with optional temporal tiling; returns (F, H, W, 3) in [0, 1].
+
+    Tiles of `tile_size` latent frames with `tile_overlap` latent frames of
+    overlap, blended linearly. The reference
+    (VideoDecoder.swift:517-602) blends a fixed 8*overlap pixel window
+    WITHOUT aligning chunk time bases, which drops 7 pixel frames per seam
+    (each chunk re-anchors its first latent to a single pixel frame). Here
+    stitching is frame-aligned — chunk pixel p>=1 of a chunk starting at
+    latent s is global pixel 8s+p — so the tiled decode returns exactly
+    8*(F-1)+1 frames and blends 8*(overlap-1) genuinely-coincident frames.
+    Every full tile has the same shape -> one decoder compilation (plus one
+    for a ragged tail).
+    """
+    if latent.ndim == 4:
+        latent = latent[None]
+    f = latent.shape[2]
+
+    def finish(x):
+        frames = jnp.clip((x + 1.0) / 2.0, 0.0, 1.0)
+        return frames[0].transpose(1, 2, 3, 0)
+
+    if tile_size <= 0 or f <= tile_size:
+        return finish(decoder_forward(params, latent, cfg, timestep, noise_key))
+
+    tile_overlap = max(tile_overlap, 1)
+    stride = tile_size - tile_overlap
+    pixel_blend = 8 * (tile_overlap - 1)
+    pieces = []  # aligned pixel segments
+    start = 0
+    idx = 0
+    result = None
+    while start < f:
+        end = min(start + tile_size, f)
+        key_i = None
+        if noise_key is not None:
+            key_i = jax.random.fold_in(noise_key, idx)
+        chunk = decoder_forward(params, latent[:, :, start:end], cfg, timestep,
+                                key_i)
+        if idx == 0:
+            result = chunk
+        else:
+            nxt = chunk[:, :, 1:]  # drop re-anchored first pixel frame
+            rf = result.shape[2]
+            if 0 < pixel_blend < rf and pixel_blend < nxt.shape[2]:
+                wts = (jnp.arange(1, pixel_blend + 1, dtype=jnp.float32)
+                       / (pixel_blend + 1)).reshape(1, 1, -1, 1, 1)
+                blended = (result[:, :, rf - pixel_blend:] * (1 - wts)
+                           + nxt[:, :, :pixel_blend] * wts)
+                result = jnp.concatenate(
+                    [result[:, :, : rf - pixel_blend], blended,
+                     nxt[:, :, pixel_blend:]], axis=2)
+            else:
+                result = jnp.concatenate([result, nxt], axis=2)
+        idx += 1
+        if end >= f:
+            break
+        start += stride
+    return finish(result)
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+
+def init_encoder_params(key, cfg: VAEConfig, dtype=jnp.float32):
+    chans = cfg.encoder_channels
+    ks = iter(jax.random.split(key, 64))
+
+    def enc_block(c, n):
+        return {
+            "resnets": [
+                {
+                    "conv1": conv3d_init(next(ks), c, c, dtype=dtype),
+                    "conv2": conv3d_init(next(ks), c, c, dtype=dtype),
+                }
+                for _ in range(n)
+            ]
+        }
+
+    down = []
+    for i, n in enumerate(cfg.encoder_resnets):
+        c_in, c_out = chans[i], chans[i + 1]
+        prod = 1
+        for fk in cfg.encoder_factors[i]:
+            prod *= fk
+        down.append({
+            "resnets": enc_block(c_in, n)["resnets"],
+            "downsamplers": {"conv": conv3d_init(next(ks), c_in, c_out // prod,
+                                                 dtype=dtype)},
+        })
+    return {
+        "conv_in": conv3d_init(next(ks), 48, chans[0], dtype=dtype),
+        "down_blocks": down,
+        "mid_block": enc_block(chans[-1], 2),
+        "conv_out": conv3d_init(next(ks), chans[-1], cfg.latent_channels + 1,
+                                dtype=dtype),
+    }
+
+
+def _encoder_res_block(params, x, causal, mode):
+    """Norm -> SiLU -> conv x2 + residual, no conditioning
+    (reference: VideoEncoder.swift:71-98)."""
+    h = causal_conv3d(params["conv1"], silu(vae_pixel_norm(x)), causal, mode)
+    h = causal_conv3d(params["conv2"], silu(vae_pixel_norm(h)), causal, mode)
+    return h + x
+
+
+def _s2d_downsample(params, x, factor, target_channels, causal, mode):
+    """Conv -> s2d main path + group-averaged s2d residual
+    (reference: VideoEncoder.swift:125-166)."""
+    main = space_to_depth(causal_conv3d(params["conv"], x, causal, mode), factor)
+    res = space_to_depth(x, factor)
+    b, t, h, w, c = res.shape
+    group = c // target_channels
+    res = res.reshape(b, t, h, w, target_channels, group).mean(axis=-1)
+    return main + res
+
+
+def encoder_forward(params, pixels, cfg: VAEConfig):
+    """(B, 3, T, H, W) in [-1, 1] -> latent mean (B, 128, T', H/32, W/32)
+    (reference: VideoEncoder.swift:264-312)."""
+    causal, mode = cfg.encoder_causal, "zeros"
+    x = pixels.transpose(0, 2, 3, 4, 1)
+    x = encoder_patchify(x, cfg.patch_size)
+    x = causal_conv3d(params["conv_in"], x, causal, mode)
+    for i, blk in enumerate(params["down_blocks"]):
+        for rb in blk["resnets"]:
+            x = _encoder_res_block(rb, x, causal, mode)
+        x = _s2d_downsample(blk["downsamplers"], x, cfg.encoder_factors[i],
+                            cfg.encoder_channels[i + 1], causal, mode)
+    for rb in params["mid_block"]["resnets"]:
+        x = _encoder_res_block(rb, x, causal, mode)
+    x = silu(vae_pixel_norm(x))
+    x = causal_conv3d(params["conv_out"], x, causal, mode)
+    x = x[..., : cfg.latent_channels]  # mean only, drop logvar channel
+    return x.transpose(0, 4, 1, 2, 3)

@@ -1,0 +1,157 @@
+"""Video VAE: shapes, frame formula, patchify inverses, tiling, padding."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ltx_tpu.models import vae
+
+CFG = vae.VAEConfig().tiny()
+
+
+@pytest.fixture(scope="module")
+def dec_params():
+    return vae.init_decoder_params(jax.random.key(0), CFG)
+
+
+@pytest.fixture(scope="module")
+def enc_params():
+    return vae.init_encoder_params(jax.random.key(1), CFG)
+
+
+def test_decoder_frame_formula(dec_params):
+    """F' latent frames -> 8*(F'-1)+1 pixel frames; 32x spatial."""
+    latent = jax.random.normal(jax.random.key(2), (1, CFG.latent_channels, 3, 2, 2))
+    out = vae.decoder_forward(dec_params, latent, CFG, timestep=None)
+    assert out.shape == (1, 3, 8 * (3 - 1) + 1, 64, 64)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_decoder_single_latent_frame(dec_params):
+    latent = jax.random.normal(jax.random.key(3), (1, CFG.latent_channels, 1, 2, 2))
+    out = vae.decoder_forward(dec_params, latent, CFG, timestep=None)
+    assert out.shape == (1, 3, 1, 64, 64)
+
+
+def test_decoder_timestep_conditioning_changes_output(dec_params):
+    latent = jax.random.normal(jax.random.key(4), (1, CFG.latent_channels, 2, 2, 2))
+    # no noise key -> deterministic; timestep still conditions the AdaLN path
+    out_ts = vae.decoder_forward(dec_params, latent, CFG, timestep=0.05)
+    out_none = vae.decoder_forward(dec_params, latent, CFG, timestep=None)
+    assert out_ts.shape == out_none.shape
+    # random-init embedder weights are nonzero -> outputs must differ
+    assert not np.allclose(np.asarray(out_ts), np.asarray(out_none))
+
+
+def test_decode_noise_injection_uses_key(dec_params):
+    latent = jax.random.normal(jax.random.key(5), (1, CFG.latent_channels, 1, 2, 2))
+    a = vae.decoder_forward(dec_params, latent, CFG, 0.05, jax.random.key(1))
+    b = vae.decoder_forward(dec_params, latent, CFG, 0.05, jax.random.key(2))
+    assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_patchify_unpatchify_inverse():
+    """decoder_unpatchify must invert encoder_patchify exactly."""
+    x = jax.random.normal(jax.random.key(6), (2, 3, 8, 8, 3))  # NDHWC pixels
+    patched = vae.encoder_patchify(x)
+    assert patched.shape == (2, 3, 2, 2, 48)
+    back = vae.decoder_unpatchify(patched)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-6)
+
+
+def test_d2s_s2d_inverse():
+    x = jax.random.normal(jax.random.key(7), (1, 2, 4, 4, 16))
+    s2d = vae.space_to_depth(x, (2, 2, 2))
+    assert s2d.shape == (1, 1, 2, 2, 128)
+    back = vae.depth_to_space(s2d, (2, 2, 2), 16)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-6)
+
+
+def test_causal_conv_first_frame_independence():
+    """Causal conv: output frame 0 must not depend on later input frames."""
+    key = jax.random.key(8)
+    params = vae.conv3d_init(key, 4, 4)
+    x1 = jax.random.normal(jax.random.key(9), (1, 5, 4, 4, 4))
+    x2 = x1.at[:, 2:].set(0.0)
+    o1 = vae.causal_conv3d(params, x1, causal=True)
+    o2 = vae.causal_conv3d(params, x2, causal=True)
+    np.testing.assert_allclose(
+        np.asarray(o1[:, 0]), np.asarray(o2[:, 0]), atol=1e-5
+    )
+    # frame 1 sees only inputs [pad, 0, 1] -> also unchanged
+    np.testing.assert_allclose(
+        np.asarray(o1[:, 1]), np.asarray(o2[:, 1]), atol=1e-5
+    )
+    # frame 2 sees inputs [0, 1, 2] -> differs (frame 2 was zeroed in x2)
+    assert not np.allclose(np.asarray(o1[:, 2]), np.asarray(o2[:, 2]))
+
+
+def test_noncausal_conv_symmetric():
+    params = vae.conv3d_init(jax.random.key(10), 2, 2)
+    x = jax.random.normal(jax.random.key(11), (1, 4, 4, 4, 2))
+    out = vae.causal_conv3d(params, x, causal=False)
+    assert out.shape == x.shape
+    # flipping time should flip output when weights are time-symmetric:
+    # instead just check frame count preserved and finite
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_spatial_padding_modes_differ():
+    params = vae.conv3d_init(jax.random.key(12), 2, 2)
+    x = jax.random.normal(jax.random.key(13), (1, 2, 4, 4, 2))
+    r = vae.causal_conv3d(params, x, causal=True, spatial_mode="reflect")
+    z = vae.causal_conv3d(params, x, causal=True, spatial_mode="zeros")
+    assert not np.allclose(np.asarray(r), np.asarray(z))
+    # interior is identical; only the border differs
+    np.testing.assert_allclose(
+        np.asarray(r[:, :, 1:-1, 1:-1]), np.asarray(z[:, :, 1:-1, 1:-1]), atol=1e-5
+    )
+
+
+def test_decode_video_tiling_matches_shape(dec_params):
+    """Aligned tiling must return exactly 8*(F-1)+1 frames (the reference's
+    misaligned blend loses 7 frames per seam — deliberately fixed here)."""
+    latent = jax.random.normal(jax.random.key(14), (1, CFG.latent_channels, 5, 2, 2))
+    full = vae.decode_video(dec_params, latent, CFG, timestep=None)
+    tiled = vae.decode_video(dec_params, latent, CFG, timestep=None,
+                             tile_size=3, tile_overlap=1)
+    assert full.shape == tiled.shape == (8 * 4 + 1, 64, 64, 3)
+    # ranges clipped
+    assert np.asarray(tiled).min() >= 0.0 and np.asarray(tiled).max() <= 1.0
+
+    # With CAUSAL convs the first chunk's frames are exactly the full
+    # decode's prefix (no lookahead across the seam).
+    import dataclasses
+
+    ccfg = dataclasses.replace(CFG, causal=True)
+    full_c = vae.decode_video(dec_params, latent, ccfg, timestep=None)
+    tiled_c = vae.decode_video(dec_params, latent, ccfg, timestep=None,
+                               tile_size=3, tile_overlap=1)
+    np.testing.assert_allclose(
+        np.asarray(tiled_c[:17]), np.asarray(full_c[:17]), atol=1e-4
+    )
+
+
+def test_decode_video_tiling_overlap2(dec_params):
+    latent = jax.random.normal(jax.random.key(17), (1, CFG.latent_channels, 5, 2, 2))
+    tiled = vae.decode_video(dec_params, latent, CFG, timestep=None,
+                             tile_size=3, tile_overlap=2)
+    assert tiled.shape == (33, 64, 64, 3)
+
+
+def test_encoder_shapes(enc_params):
+    # 25 pixel frames -> patchify keeps T, downsamples give (2,1,1)+(2,2,2)x2 = /8 +pad
+    pixels = jax.random.normal(jax.random.key(15), (1, 3, 9, 64, 64))
+    out = vae.encoder_forward(enc_params, pixels, CFG)
+    # T: 9 -> s2d(1,2,2): 9 -> (2,1,1): pad to 10/2=5 -> (2,2,2): pad 6/2=3 -> (2,2,2): pad 4/2=2
+    assert out.shape[0:2] == (1, CFG.latent_channels)
+    assert out.shape[3] == 64 // 32 and out.shape[4] == 64 // 32
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_encoder_single_frame(enc_params):
+    """I2V: single image encode (1, 3, 1, H, W) -> (1, 128, 1, H/32, W/32)."""
+    pixels = jax.random.normal(jax.random.key(16), (1, 3, 1, 64, 64))
+    out = vae.encoder_forward(enc_params, pixels, CFG)
+    assert out.shape == (1, CFG.latent_channels, 1, 2, 2)
