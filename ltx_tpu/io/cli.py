@@ -1,0 +1,224 @@
+"""`ltx-video` CLI — generate / download / info.
+
+Mirrors the reference's flag surface (the compatibility contract,
+reference: Sources/LTXVideoCLI/LTXVideoCLI.swift:21-551 and README.md:86-114)
+on argparse. Model loading pulls weights from the HF cache via
+ltx_tpu.weights; `--dry-run` validates configuration without loading.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+import time
+
+log = logging.getLogger("ltx_tpu")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="ltx-video",
+                                description="LTX-2 video generation on TPU")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    g = sub.add_parser("generate", help="Generate a video from a text prompt")
+    g.add_argument("prompt", help="Text prompt describing the video")
+    g.add_argument("-o", "--output", default="output.mp4")
+    g.add_argument("-w", "--width", type=int, default=512)
+    g.add_argument("-H", "--height", type=int, default=512)
+    g.add_argument("-f", "--frames", type=int, default=25)
+    g.add_argument("-s", "--steps", type=int, default=None)
+    g.add_argument("-g", "--guidance", type=float, default=None,
+                   help="CFG scale (1.0 = no CFG)")
+    g.add_argument("--seed", type=int, default=None)
+    g.add_argument("-m", "--model", choices=["distilled", "dev"],
+                   default="distilled")
+    g.add_argument("--lora", default=None, help="Path to LoRA safetensors")
+    g.add_argument("--lora-scale", type=float, default=1.0)
+    g.add_argument("--hf-token", default=None)
+    g.add_argument("--models-dir", default=None)
+    g.add_argument("--gemma-path", default=None)
+    g.add_argument("--ltx-weights", default=None,
+                   help="Path to unified LTX-2 safetensors")
+    g.add_argument("--image", default=None, help="Image path for I2V")
+    g.add_argument("--image-cond-noise", type=float, default=0.15)
+    g.add_argument("--negative-prompt", default=None)
+    g.add_argument("--guidance-rescale", type=float, default=0.0)
+    g.add_argument("--cross-attn-scale", type=float, default=1.0)
+    g.add_argument("--ge-gamma", type=float, default=0.0)
+    g.add_argument("--stg-scale", type=float, default=0.0)
+    g.add_argument("--stg-blocks", default="29",
+                   help="Comma-separated block indices")
+    g.add_argument("--transformer-quant", choices=["bf16", "qint8", "int4"],
+                   default="bf16")
+    g.add_argument("--two-stage", action="store_true")
+    g.add_argument("--distilled-lora", action="store_true")
+    g.add_argument("--enhance-prompt", action="store_true")
+    g.add_argument("--audio", action="store_true")
+    g.add_argument("--audio-gain", type=float, default=1.0)
+    g.add_argument("--fps", type=float, default=24.0)
+    g.add_argument("--vae-tile-size", type=int, default=0)
+    g.add_argument("--vae-tile-overlap", type=int, default=1)
+    g.add_argument("--debug", action="store_true")
+    g.add_argument("--profile", action="store_true")
+    g.add_argument("--dry-run", action="store_true")
+
+    d = sub.add_parser("download", help="Download model weights")
+    d.add_argument("-m", "--model", choices=["distilled", "dev"],
+                   default="distilled")
+    d.add_argument("--hf-token", default=None)
+    d.add_argument("--models-dir", default=None)
+    d.add_argument("--force", action="store_true")
+    d.add_argument("--audio", action="store_true",
+                   help="Also download audio VAE + vocoder")
+
+    i = sub.add_parser("info", help="Show model and system information")
+    i.add_argument("--models-dir", default=None)
+
+    return p
+
+
+def _generation_config(args):
+    from ltx_tpu.core.config import GenerationConfig, LTXModel
+
+    model = LTXModel(args.model)
+    steps = args.steps if args.steps is not None else model.default_steps
+    cfg_scale = (args.guidance if args.guidance is not None
+                 else model.default_guidance)
+    stg_blocks = tuple(int(b) for b in str(args.stg_blocks).split(",") if b)
+    return GenerationConfig(
+        width=args.width,
+        height=args.height,
+        num_frames=args.frames,
+        num_steps=steps,
+        cfg_scale=cfg_scale,
+        seed=args.seed,
+        negative_prompt=args.negative_prompt,
+        guidance_rescale=args.guidance_rescale,
+        cross_attention_scale=args.cross_attn_scale,
+        ge_gamma=args.ge_gamma,
+        stg_scale=args.stg_scale,
+        stg_blocks=stg_blocks,
+        two_stage=args.two_stage,
+        enhance_prompt=args.enhance_prompt,
+        image_path=args.image,
+        image_cond_noise_scale=args.image_cond_noise if args.image else 0.0,
+        fps=args.fps,
+    )
+
+
+def cmd_generate(args) -> int:
+    config = _generation_config(args)
+    try:
+        config.validate()
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+
+    if args.dry_run:
+        print("Configuration valid (dry run):")
+        print(f"  {config}")
+        return 0
+
+    from ltx_tpu.core.config import LTXModel, MemoryConfig, QuantizationConfig
+    from ltx_tpu.pipeline.loader import load_pipeline
+
+    memory = MemoryConfig(
+        vae_tile_size=args.vae_tile_size,
+        vae_tile_overlap=args.vae_tile_overlap,
+    )
+    pipe = load_pipeline(
+        model=LTXModel(args.model),
+        models_dir=args.models_dir,
+        hf_token=args.hf_token,
+        gemma_path=args.gemma_path,
+        unified_weights_path=args.ltx_weights,
+        quantization=QuantizationConfig(mode=args.transformer_quant),
+        memory=memory,
+        lora_path=args.lora,
+        lora_scale=args.lora_scale,
+        distilled_lora=args.distilled_lora,
+        include_audio=args.audio,
+    )
+
+    image_latent = None
+    if args.image:
+        from ltx_tpu.io.video import load_image
+
+        pixels = load_image(args.image, config.width, config.height)
+        image_latent = pipe.encode_image(pixels)
+
+    def on_progress(step, total, sigma):
+        print(f"  step {step + 1}/{total}  sigma={sigma:.4f}", flush=True)
+
+    t0 = time.time()
+    if args.two_stage:
+        result = pipe.generate_video_two_stage(
+            args.prompt, config, on_progress=on_progress,
+            image_latent=image_latent,
+        )
+    elif args.audio:
+        result = pipe.generate_video_with_audio(
+            args.prompt, config, on_progress=on_progress,
+            image_latent=image_latent, audio_gain=args.audio_gain,
+        )
+    else:
+        result = pipe.generate_video(
+            args.prompt, config, on_progress=on_progress,
+            image_latent=image_latent,
+        )
+
+    from ltx_tpu.io.video import export_video, export_wav
+
+    export_video(
+        result.frames, args.output, fps=args.fps,
+        audio=None if result.audio is None else result.audio,
+    )
+    if result.audio is not None:
+        export_wav(result.audio, args.output + ".wav")
+    print(f"Saved {args.output} in {time.time() - t0:.1f}s (seed {result.seed})")
+    if args.profile:
+        print(result.timings.report())
+    return 0
+
+
+def cmd_download(args) -> int:
+    from ltx_tpu.core.config import LTXModel
+    from ltx_tpu.weights.download import download_all_components
+
+    paths = download_all_components(
+        LTXModel(args.model), models_dir=args.models_dir,
+        hf_token=args.hf_token, force=args.force, include_audio=args.audio,
+    )
+    for name, p in paths.items():
+        print(f"  {name}: {p}")
+    return 0
+
+
+def cmd_info(args) -> int:
+    import jax
+
+    import ltx_tpu
+    from ltx_tpu.weights.download import default_models_dir
+
+    print(f"ltx-tpu {ltx_tpu.__version__}")
+    print(f"jax {jax.__version__} | backend {jax.default_backend()} | "
+          f"devices {len(jax.devices())}")
+    print(f"models dir: {args.models_dir or default_models_dir()}")
+    return 0
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    logging.basicConfig(
+        level=logging.DEBUG if getattr(args, "debug", False) else logging.INFO,
+        format="%(message)s",
+    )
+    handler = {"generate": cmd_generate, "download": cmd_download,
+               "info": cmd_info}[args.command]
+    return handler(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

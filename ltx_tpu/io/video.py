@@ -1,0 +1,144 @@
+"""Host-side media IO: MP4/PNG/WAV export, image loading.
+
+TPU-native equivalent of the reference's AVFoundation/CoreGraphics layer
+(reference: Sources/LTXVideo/Utils/VideoExporter.swift:114-748,
+AudioExporter.swift:19-103, Pipeline/LatentUtils.swift:343-392). Strictly
+host-side Python, never inside jit. Uses imageio(-ffmpeg) when available
+with an OpenCV fallback; WAV via the stdlib.
+"""
+
+from __future__ import annotations
+
+import logging
+import struct
+import wave
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+log = logging.getLogger("ltx_tpu.io")
+
+
+def frames_to_uint8(frames) -> np.ndarray:
+    """(F, H, W, 3) floats in [0, 1] -> uint8, single host transfer."""
+    arr = np.asarray(frames, dtype=np.float32)
+    return np.clip(arr * 255.0 + 0.5, 0, 255).astype(np.uint8)
+
+
+def export_video(
+    frames,
+    path: str,
+    fps: float = 24.0,
+    audio: Optional[np.ndarray] = None,
+    audio_sample_rate: int = 24000,
+) -> str:
+    """Write (F, H, W, 3) [0,1] frames to MP4 (H.264 when available).
+
+    With audio (2, samples) in [-1, 1]: writes the video, a temp WAV, and
+    muxes via imageio-ffmpeg's bundled ffmpeg binary — mirroring the
+    reference's separate-tracks-then-compose design that avoids interleaving
+    deadlocks (reference: VideoExporter.swift:422-487).
+    """
+    pixels = frames_to_uint8(frames)
+    path = str(path)
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+
+    video_path = path
+    if audio is not None:
+        video_path = path + ".video.mp4"
+
+    _write_mp4(pixels, video_path, fps)
+
+    if audio is not None:
+        wav_path = path + ".audio.wav"
+        export_wav(audio, wav_path, sample_rate=audio_sample_rate)
+        try:
+            _mux_av(video_path, wav_path, path)
+        finally:
+            for p in (video_path, wav_path):
+                Path(p).unlink(missing_ok=True)
+    return path
+
+
+def _write_mp4(pixels: np.ndarray, path: str, fps: float) -> None:
+    try:
+        import imageio
+
+        with imageio.get_writer(path, fps=fps, codec="libx264",
+                                quality=8, pixelformat="yuv420p") as writer:
+            for frame in pixels:
+                writer.append_data(frame)
+        return
+    except Exception as e:  # imageio-ffmpeg missing or codec unavailable
+        log.warning("imageio mp4 writer failed (%s); trying OpenCV", e)
+
+    import cv2
+
+    f, h, w, _ = pixels.shape
+    fourcc = cv2.VideoWriter_fourcc(*"mp4v")
+    vw = cv2.VideoWriter(path, fourcc, fps, (w, h))
+    if not vw.isOpened():
+        raise RuntimeError(f"cannot open video writer for {path}")
+    for frame in pixels:
+        vw.write(cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
+    vw.release()
+
+
+def _mux_av(video_path: str, wav_path: str, out_path: str) -> None:
+    """Mux video + AAC audio with the imageio-ffmpeg binary."""
+    import subprocess
+
+    import imageio_ffmpeg
+
+    ffmpeg = imageio_ffmpeg.get_ffmpeg_exe()
+    subprocess.run(
+        [ffmpeg, "-y", "-i", video_path, "-i", wav_path,
+         "-c:v", "copy", "-c:a", "aac", "-shortest", out_path],
+        check=True, capture_output=True,
+    )
+
+
+def export_wav(audio, path: str, sample_rate: int = 24000) -> str:
+    """(C, samples) or (samples,) floats in [-1, 1] -> 16-bit PCM WAV
+    (reference: AudioExporter.swift:19-103)."""
+    arr = np.asarray(audio, dtype=np.float32)
+    if arr.ndim == 1:
+        arr = arr[None]
+    channels, _ = arr.shape
+    pcm = np.clip(arr * 32767.0, -32768, 32767).astype(np.int16)
+    interleaved = pcm.T.reshape(-1)  # (samples, C) interleaved
+
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(interleaved.tobytes())
+    return str(path)
+
+
+def export_frames_png(frames, directory: str, prefix: str = "frame") -> list:
+    """Dump frames as PNGs (debug / golden comparisons)."""
+    from PIL import Image
+
+    pixels = frames_to_uint8(frames)
+    Path(directory).mkdir(parents=True, exist_ok=True)
+    paths = []
+    for i, frame in enumerate(pixels):
+        p = Path(directory) / f"{prefix}_{i:04d}.png"
+        Image.fromarray(frame).save(p)
+        paths.append(str(p))
+    return paths
+
+
+def load_image(path: str, width: int, height: int) -> np.ndarray:
+    """Image file -> (1, 3, 1, H, W) float32 in [-1, 1] for I2V conditioning
+    (reference: LatentUtils.swift:343-392: /127.5 - 1, high-quality resize)."""
+    from PIL import Image
+
+    img = Image.open(path).convert("RGB").resize(
+        (width, height), Image.LANCZOS
+    )
+    arr = np.asarray(img, np.float32) / 127.5 - 1.0  # (H, W, 3)
+    return arr.transpose(2, 0, 1)[None, :, None]  # (1, 3, 1, H, W)

@@ -1,0 +1,184 @@
+"""Pallas TPU flash-attention kernel (forward, inference).
+
+The DiT's self-attention runs over 1.5k-20k video tokens where materializing
+the (B, H, Tq, Tk) logits costs up to ~4 bytes * 32 * 20k^2 = 51 GB — the
+reference leans on MLXFast's Metal flash attention for the same reason
+(reference: Sources/LTXVideo/Models/Transformer/LTXAttention.swift:209).
+
+Design (flash-attention-2 style, online softmax):
+  grid = (B*H, num_q_blocks, num_k_blocks), k innermost. VMEM scratch
+  carries the running row-max m, normalizer l, and f32 accumulator across
+  the sequential k iterations; the output block is written on the last k
+  step. Logits and accumulation are f32 on the MXU; p is cast to the value
+  dtype for the second matmul (same numerics as XLA SDPA here).
+
+Mask support: an optional additive KEY bias (B, Tk) — the only mask the
+video pipeline needs (text key-padding for cross-attention; self-attention
+is full bidirectional). Full (Tq, Tk) biases (Gemma causal) stay on the XLA
+path, whose 1k sequence makes flash unnecessary.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK_Q = 256
+DEFAULT_BLOCK_K = 256
+_NEG_INF = -1e30  # avoid actual -inf: exp(-inf - -inf) = nan on padded rows
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref,
+                  m_ref, l_ref, acc_ref, *, sm_scale, num_k_blocks):
+    ik = pl.program_id(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0].astype(jnp.float32) * sm_scale     # (bq, d)
+    k = k_ref[0]                                    # (bk, d)
+    s = jax.lax.dot_general(
+        q, k.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                               # (bq, bk)
+    if bias_ref is not None:
+        s = s + bias_ref[0][None, :].astype(jnp.float32)
+
+    m_prev = m_ref[:, 0]                            # (bq,)
+    l_prev = l_ref[:, 0]
+    m_cur = jnp.max(s, axis=-1)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new[:, None])
+    l_new = l_prev * alpha + jnp.sum(p, axis=-1)
+
+    v = v_ref[0]                                    # (bk, d)
+    pv = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_ref[:] = acc_ref[:] * alpha[:, None] + pv
+    m_ref[:] = jnp.broadcast_to(m_new[:, None], m_ref.shape)
+    l_ref[:] = jnp.broadcast_to(l_new[:, None], l_ref.shape)
+
+    @pl.when(ik == num_k_blocks - 1)
+    def _finalize():
+        l = l_ref[:, 0]
+        safe_l = jnp.where(l == 0, 1.0, l)
+        o_ref[0] = (acc_ref[:] / safe_l[:, None]).astype(o_ref.dtype)
+
+
+def _pad_to(x, axis, multiple, value=0.0):
+    size = x.shape[axis]
+    pad = (-size) % multiple
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths, constant_values=value)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "block_q", "block_k")
+)
+def flash_attention(
+    q, k, v,
+    bias=None,
+    scale: Optional[float] = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+):
+    """q: (B, H, Tq, D); k, v: (B, H, Tk, D); bias: None, (B, Tk) additive
+    key bias, or (B, 1, 1, Tk) (squeezed automatically). Returns (B, H, Tq, D).
+    """
+    b, h, tq, d = q.shape
+    tk = k.shape[2]
+    if scale is None:
+        scale = d**-0.5
+
+    if bias is not None:
+        if bias.ndim == 4:
+            if bias.shape[1] != 1 or bias.shape[2] != 1:
+                raise NotImplementedError(
+                    "flash_attention supports key-bias masks only"
+                )
+            bias = bias[:, 0, 0]
+        bias = bias.astype(jnp.float32)
+
+    block_q = min(block_q, max(tq, 8))
+    block_k = min(block_k, max(tk, 8))
+
+    qp = _pad_to(q, 2, block_q)
+    kp = _pad_to(k, 2, block_k)
+    vp = _pad_to(v, 2, block_k)
+    tq_p, tk_p = qp.shape[2], kp.shape[2]
+    if tk_p != tk:
+        # padded keys must not contribute: force a key bias
+        if bias is None:
+            bias = jnp.zeros((b, tk), jnp.float32)
+        bias = _pad_to(bias, 1, block_k, value=_NEG_INF)
+    elif bias is not None:
+        bias = _pad_to(bias, 1, block_k)
+
+    bh = b * h
+    q3 = qp.reshape(bh, tq_p, d)
+    k3 = kp.reshape(bh, tk_p, d)
+    v3 = vp.reshape(bh, tk_p, d)
+
+    num_q = tq_p // block_q
+    num_k = tk_p // block_k
+
+    in_specs = [
+        pl.BlockSpec((1, block_q, d), lambda bh_i, iq, ik: (bh_i, iq, 0)),
+        pl.BlockSpec((1, block_k, d), lambda bh_i, iq, ik: (bh_i, ik, 0)),
+        pl.BlockSpec((1, block_k, d), lambda bh_i, iq, ik: (bh_i, ik, 0)),
+    ]
+    inputs = [q3, k3, v3]
+    if bias is not None:
+        # bias is per batch (not per head): index map folds bh -> b
+        in_specs.append(
+            pl.BlockSpec((1, block_k), lambda bh_i, iq, ik: (bh_i // h, ik))
+        )
+        inputs.append(bias)
+        kernel = functools.partial(
+            _flash_kernel, sm_scale=scale, num_k_blocks=num_k
+        )
+    else:
+        kernel = functools.partial(
+            _bias_free_kernel, sm_scale=scale, num_k_blocks=num_k
+        )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(bh, num_q, num_k),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, block_q, d), lambda bh_i, iq, ik: (bh_i, iq, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((bh, tq_p, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),  # running max
+            pltpu.VMEM((block_q, 128), jnp.float32),  # running sum
+            pltpu.VMEM((block_q, d), jnp.float32),    # accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(*inputs)
+
+    return out.reshape(b, h, tq_p, d)[:, :, :tq]
+
+
+def _bias_free_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
+                      *, sm_scale, num_k_blocks):
+    _flash_kernel(q_ref, k_ref, v_ref, None, o_ref, m_ref, l_ref, acc_ref,
+                  sm_scale=sm_scale, num_k_blocks=num_k_blocks)

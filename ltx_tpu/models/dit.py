@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ltx_tpu.core.config import TransformerConfig
+from ltx_tpu.kernels.quantization import linear_any
 from ltx_tpu.models.common import gelu_tanh, linear, linear_init, silu
 from ltx_tpu.ops.attention import sdpa
 from ltx_tpu.ops.embeddings import get_timestep_embedding
@@ -112,9 +113,9 @@ def attention(params, x, context, num_heads: int, head_dim: int,
     b, tq, _ = x.shape
     tk = context.shape[1]
 
-    q = linear(params["to_q"], x)
-    k = linear(params["to_k"], context)
-    v = linear(params["to_v"], context)
+    q = linear_any(params["to_q"], x)
+    k = linear_any(params["to_k"], context)
+    v = linear_any(params["to_v"], context)
 
     q = rms_norm(q, params["q_norm"]["w"], eps=norm_eps)
     k = rms_norm(k, params["k_norm"]["w"], eps=norm_eps)
@@ -130,12 +131,13 @@ def attention(params, x, context, num_heads: int, head_dim: int,
 
     out = sdpa(q, k, v, bias=bias, impl=sdpa_impl)
     out = out.transpose(0, 2, 1, 3).reshape(b, tq, num_heads * head_dim)
-    return linear(params["to_out"], out)
+    return linear_any(params["to_out"], out)
 
 
 def feed_forward(params, x):
     """Linear -> GELU(tanh) -> Linear (reference: LTXFeedForward.swift:35-52)."""
-    return linear(params["project_out"], gelu_tanh(linear(params["project_in"], x)))
+    return linear_any(params["project_out"],
+                      gelu_tanh(linear_any(params["project_in"], x)))
 
 
 def timestep_mlp(params, t):

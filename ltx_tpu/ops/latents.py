@@ -28,11 +28,12 @@ class VideoLatentShape:
 
     @classmethod
     def from_pixels(
-        cls, batch: int, num_frames: int, height: int, width: int
+        cls, batch: int, num_frames: int, height: int, width: int,
+        channels: int = LATENT_CHANNELS,
     ) -> "VideoLatentShape":
         return cls(
             batch=batch,
-            channels=LATENT_CHANNELS,
+            channels=channels,
             frames=(num_frames - 1) // TEMPORAL_SCALE + 1,
             height=height // SPATIAL_SCALE,
             width=width // SPATIAL_SCALE,

@@ -1,0 +1,252 @@
+"""The denoising loop — one jit-compiled step, guidance branches batched.
+
+The reference runs cond / uncond / STG-perturbed as up to 3 SERIAL
+transformer passes per step with module mutation for STG
+(reference: Sources/LTXVideo/Pipeline/LTXPipeline.swift:2191-2401). Here a
+single compiled step function:
+
+  patchify -> tile G guidance rows -> DiT (scan over blocks, STG skips as
+  per-row masks) -> unpatchify -> CFG/rescale/STG/GE combine in f32 ->
+  Euler step (I2V: slice frames 1+, re-attach clean frame 0)
+
+runs once per sigma with sigma/sigma_next as TRACED scalars, so the whole
+denoise loop reuses ONE compilation. Guidance rows sit on the batch axis and
+ride the mesh `data` axis when sharded.
+
+Row layout (matching the reference's CFG order uncond-first):
+  G=1: [cond]
+  G=2 (CFG): [uncond, cond]
+  G=2 (STG, no CFG): [cond, perturbed]
+  G=3 (CFG+STG): [uncond, cond, perturbed]
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ltx_tpu.core.config import GenerationConfig, TransformerConfig
+from ltx_tpu.models import dit
+from ltx_tpu.ops import rope as rope_ops
+from ltx_tpu.ops.attention import prepare_additive_mask
+from ltx_tpu.ops.latents import (
+    VideoLatentShape,
+    apply_cfg,
+    apply_guidance_rescale,
+    patchify,
+    unpatchify,
+)
+from ltx_tpu.ops.schedule import euler_step
+
+
+@dataclasses.dataclass(frozen=True)
+class GuidanceSpec:
+    """Static guidance configuration baked into the compiled step."""
+
+    use_cfg: bool
+    cfg_scale: float
+    guidance_rescale: float
+    stg_scale: float
+    stg_blocks: Tuple[int, ...]
+    ge_gamma: float
+    cross_attention_scale: float
+
+    @classmethod
+    def from_config(cls, cfg: GenerationConfig, use_cfg: Optional[bool] = None):
+        if use_cfg is None:
+            use_cfg = cfg.cfg_scale > 1.0
+        return cls(
+            use_cfg=use_cfg,
+            cfg_scale=cfg.cfg_scale,
+            guidance_rescale=cfg.guidance_rescale,
+            stg_scale=cfg.stg_scale,
+            stg_blocks=tuple(cfg.stg_blocks),
+            ge_gamma=cfg.ge_gamma,
+            cross_attention_scale=cfg.cross_attention_scale,
+        )
+
+    @property
+    def use_stg(self) -> bool:
+        return self.stg_scale > 0
+
+    @property
+    def num_rows(self) -> int:
+        return (2 if self.use_cfg else 1) + (1 if self.use_stg else 0)
+
+
+def build_guidance_context(guidance: GuidanceSpec, pos_embeddings, pos_mask,
+                           neg_embeddings=None, neg_mask=None):
+    """Stack per-row text context/mask: [neg?, pos, pos(perturbed)?].
+
+    pos/neg embeddings: (1, S, D); masks: (1, S) binary.
+    Returns (context (G, S, D), bias (G, 1, 1, S) or None).
+    """
+    rows = []
+    mask_rows = []
+    if guidance.use_cfg:
+        assert neg_embeddings is not None, "CFG requires negative embeddings"
+        rows.append(neg_embeddings)
+        mask_rows.append(neg_mask)
+    rows.append(pos_embeddings)
+    mask_rows.append(pos_mask)
+    if guidance.use_stg:
+        rows.append(pos_embeddings)
+        mask_rows.append(pos_mask)
+    context = jnp.concatenate(rows, axis=0)
+    if mask_rows[0] is None:
+        return context, None
+    mask = jnp.concatenate(mask_rows, axis=0)
+    return context, prepare_additive_mask(mask)
+
+
+def make_denoise_step(
+    dit_params,
+    tcfg: TransformerConfig,
+    guidance: GuidanceSpec,
+    shape: VideoLatentShape,
+    context,            # (G, S, caption_channels)
+    context_bias,       # (G, 1, 1, S) or None
+    conditioning_mask=None,   # (1, T) 1 on frame-0 tokens (I2V) or None
+    image_cond_noise_scale: float = 0.0,
+    fps: float = 24.0,
+    sdpa_impl: str = "auto",
+    remat: bool = False,
+):
+    """Build the jitted per-step function.
+
+    Returns step(latent, sigma, sigma_next, prev_velocity, has_prev, key)
+      -> (new_latent, velocity); latent/velocity are f32 (B, C, F, H, W).
+    """
+    g = guidance.num_rows
+    cos, sin = rope_ops.video_rope(
+        shape.frames, shape.height, shape.width, tcfg.inner_dim,
+        tcfg.num_heads, theta=tcfg.rope_theta, max_pos=tcfg.max_pos, fps=fps,
+    )
+    pe = (jnp.asarray(cos), jnp.asarray(sin))
+
+    skip_sa = skip_ff = None
+    if guidance.use_stg:
+        skip_sa, skip_ff = dit.stg_skip_masks(
+            tcfg, g, guidance.stg_blocks, perturbed_rows=[g - 1]
+        )
+
+    cond_mask = None
+    if conditioning_mask is not None:
+        cond_mask = jnp.asarray(conditioning_mask, jnp.float32)  # (1, T)
+
+    cas = (guidance.cross_attention_scale
+           if guidance.cross_attention_scale != 1.0 else None)
+
+    # Params, context and RoPE tables are jit ARGUMENTS, not closures:
+    # closed-over arrays lower as program constants, embedding the full
+    # multi-GB weight pytree into the executable.
+    @partial(jax.jit, donate_argnums=(4,))
+    def _step(dit_params, context, context_bias, pe,
+              latent, sigma, sigma_next, prev_velocity, has_prev, key):
+        sigma = jnp.asarray(sigma, jnp.float32)
+        sigma_next = jnp.asarray(sigma_next, jnp.float32)
+
+        # I2V: re-noise the conditioned frame 0 BEFORE the transformer
+        # (noise_scale * noise * sigma^2, quadratic decay;
+        # reference: LTXPipeline.swift:2224-2229)
+        if cond_mask is not None and image_cond_noise_scale > 0:
+            frame0 = latent[:, :, :1]
+            noise = jax.random.normal(key, frame0.shape, frame0.dtype)
+            noised = frame0 + image_cond_noise_scale * noise * sigma**2
+            latent = latent.at[:, :, :1].set(noised)
+
+        tokens = patchify(latent).astype(jnp.bfloat16)  # (1, T, C)
+        tokens_g = jnp.tile(tokens, (g, 1, 1))
+
+        if cond_mask is not None:
+            # per-token timestep: frame-0 tokens sigma=0 (clean)
+            timesteps = jnp.tile(sigma * (1 - cond_mask), (g, 1))  # (G, T)
+        else:
+            timesteps = jnp.full((g,), sigma, jnp.float32)
+
+        vel_tokens = dit.dit_forward(
+            dit_params, tokens_g, context, timesteps, pe, tcfg,
+            context_bias=context_bias,
+            skip_self_attn=skip_sa, skip_ff=skip_ff,
+            cross_attn_scale=cas, sdpa_impl=sdpa_impl, remat=remat,
+        )  # (G, T, C)
+
+        rows = unpatchify(
+            vel_tokens,
+            dataclasses.replace(shape, batch=g),
+        ).astype(jnp.float32)  # (G, C, F, H, W)
+
+        if guidance.use_cfg:
+            uncond, cond = rows[0:1], rows[1:2]
+            velocity = apply_cfg(uncond, cond, guidance.cfg_scale)
+            if guidance.guidance_rescale > 0:
+                velocity = apply_guidance_rescale(
+                    velocity, cond, guidance.guidance_rescale
+                )
+        else:
+            velocity = rows[0:1]
+
+        if guidance.use_stg:
+            perturbed = rows[g - 1 : g]
+            velocity = velocity + guidance.stg_scale * (velocity - perturbed)
+
+        if guidance.ge_gamma > 0:
+            ge = guidance.ge_gamma * (velocity - prev_velocity) + prev_velocity
+            velocity = jnp.where(has_prev, ge, velocity)
+
+        if cond_mask is not None:
+            # Euler only frames 1+; frame 0 stays clean
+            # (reference: LTXPipeline.swift:2349-2365)
+            stepped = euler_step(
+                latent[:, :, 1:], velocity[:, :, 1:], sigma, sigma_next
+            )
+            new_latent = jnp.concatenate([latent[:, :, :1], stepped], axis=2)
+        else:
+            new_latent = euler_step(latent, velocity, sigma, sigma_next)
+
+        return new_latent, velocity
+
+    def step(latent, sigma, sigma_next, prev_velocity, has_prev, key):
+        return _step(dit_params, context, context_bias, pe,
+                     latent, sigma, sigma_next, prev_velocity, has_prev, key)
+
+    step._jit = _step  # expose for cache introspection in tests
+    return step
+
+
+def run_denoise_loop(
+    step_fn,
+    latent,
+    sigmas: np.ndarray,
+    key=None,
+    on_step=None,
+):
+    """Drive the compiled step over the host-side sigma schedule.
+
+    The loop is host-side (progress callbacks, per-step timing) but each
+    iteration is a single device program; sigma values are traced so every
+    step shares the first compilation.
+    """
+    # the step donates its latent input; copy so the caller's array survives
+    latent = jnp.array(latent)
+    velocity = jnp.zeros_like(latent)
+    has_prev = jnp.asarray(False)
+    if key is None:
+        key = jax.random.key(0)
+    num_steps = len(sigmas) - 1
+    for i in range(num_steps):
+        key, sub = jax.random.split(key)
+        latent, velocity = step_fn(
+            latent, float(sigmas[i]), float(sigmas[i + 1]), velocity,
+            has_prev, sub,
+        )
+        has_prev = jnp.asarray(True)
+        if on_step is not None:
+            latent.block_until_ready()
+            on_step(i, num_steps, float(sigmas[i]))
+    return latent

@@ -1,0 +1,292 @@
+"""High-level generation pipeline: prompt -> video (T2V / I2V / two-stage).
+
+TPU-era re-design of the reference `LTXPipeline` actor
+(reference: Sources/LTXVideo/Pipeline/LTXPipeline.swift). The reference's
+phase choreography (load Gemma -> encode -> unload -> denoise -> unload ->
+VAE decode) exists to fit Apple unified memory; here phases are explicit
+methods on a plain params-holder class, text-encoder params can be dropped
+after encoding (`offload_text_encoder`), latent buffers are donated into the
+jitted step, and the denoise loop compiles once.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ltx_tpu.core.config import (
+    DEFAULT_NEGATIVE_PROMPT,
+    GenerationConfig,
+    MemoryConfig,
+    TransformerConfig,
+)
+from ltx_tpu.models import dit, gemma3, text_encoder, vae
+from ltx_tpu.ops import schedule
+from ltx_tpu.ops.latents import VideoLatentShape, generate_noise
+from ltx_tpu.pipeline.denoise import (
+    GuidanceSpec,
+    build_guidance_context,
+    make_denoise_step,
+    run_denoise_loop,
+)
+
+log = logging.getLogger("ltx_tpu")
+
+
+@dataclasses.dataclass
+class GenerationTimings:
+    """Per-phase timings (reference: LTXVideo.swift:255-297)."""
+
+    text_encoding: float = 0.0
+    denoise_steps: list = dataclasses.field(default_factory=list)
+    vae_decode: float = 0.0
+    total: float = 0.0
+
+    def report(self) -> str:
+        lines = [
+            f"Text encoding: {self.text_encoding:.2f}s",
+            f"Denoise: {sum(self.denoise_steps):.2f}s "
+            f"({len(self.denoise_steps)} steps, "
+            f"avg {np.mean(self.denoise_steps) if self.denoise_steps else 0:.2f}s)",
+            f"VAE decode: {self.vae_decode:.2f}s",
+            f"Total: {self.total:.2f}s",
+        ]
+        return "\n".join(lines)
+
+
+@dataclasses.dataclass
+class VideoGenerationResult:
+    frames: jax.Array  # (F, H, W, 3) in [0, 1]
+    timings: GenerationTimings
+    seed: int
+    audio: Optional[jax.Array] = None  # (2, samples) in [-1, 1] @ 24kHz
+
+
+class LTXPipeline:
+    """Holds model params + configs; drives generation phases.
+
+    For production use, params come from ltx_tpu.weights loaders; for tests,
+    `LTXPipeline.random_tiny()` builds a structurally-identical small model.
+    """
+
+    def __init__(
+        self,
+        transformer_params,
+        transformer_config: TransformerConfig,
+        vae_decoder_params,
+        vae_config: vae.VAEConfig,
+        gemma_params=None,
+        gemma_config: Optional[gemma3.Gemma3Config] = None,
+        text_encoder_params=None,
+        text_encoder_config: Optional[text_encoder.TextEncoderConfig] = None,
+        tokenizer=None,
+        vae_encoder_params=None,
+        memory: MemoryConfig = MemoryConfig(),
+        is_distilled: bool = True,
+        sdpa_impl: str = "auto",
+    ):
+        self.transformer_params = transformer_params
+        self.tcfg = transformer_config
+        self.vae_decoder_params = vae_decoder_params
+        self.vcfg = vae_config
+        self.gemma_params = gemma_params
+        self.gcfg = gemma_config
+        self.text_encoder_params = text_encoder_params
+        self.tecfg = text_encoder_config
+        self.tokenizer = tokenizer
+        self.vae_encoder_params = vae_encoder_params
+        self.memory = memory
+        self.is_distilled = is_distilled
+        self.sdpa_impl = sdpa_impl
+
+    # ------------------------------------------------------------------
+    # Construction helpers
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def random_tiny(cls, seed: int = 0, include_audio: bool = False):
+        """Structurally-faithful tiny pipeline for tests/benchmarks."""
+        tcfg = TransformerConfig().tiny()
+        vcfg = dataclasses.replace(
+            vae.VAEConfig().tiny(), latent_channels=tcfg.in_channels
+        )
+        gcfg = gemma3.Gemma3Config().tiny()
+        tecfg = dataclasses.replace(
+            text_encoder.TextEncoderConfig().tiny(),
+            hidden_dim=gcfg.hidden_size,
+            num_gemma_layers=gcfg.hidden_layers + 1,
+            connector_heads=4,
+            connector_head_dim=gcfg.hidden_size // 4,
+        )
+        # DiT caption channels must match connector output
+        tcfg = dataclasses.replace(tcfg, caption_channels=tecfg.inner_dim)
+        ks = jax.random.split(jax.random.key(seed), 5)
+        return cls(
+            transformer_params=dit.init_params(ks[0], tcfg, jnp.bfloat16),
+            transformer_config=tcfg,
+            vae_decoder_params=vae.init_decoder_params(ks[1], vcfg),
+            vae_config=vcfg,
+            gemma_params=gemma3.init_params(ks[2], gcfg, jnp.bfloat16),
+            gemma_config=gcfg,
+            text_encoder_params=text_encoder.init_params(
+                ks[3], tecfg, jnp.bfloat16, include_audio=include_audio
+            ),
+            text_encoder_config=tecfg,
+            vae_encoder_params=vae.init_encoder_params(ks[4], vcfg),
+        )
+
+    # ------------------------------------------------------------------
+    # Text encoding phase
+    # ------------------------------------------------------------------
+
+    def tokenize(self, prompt: str):
+        """Left-pad to max_length with pad_id 0
+        (reference: LTXPipeline.swift:3254-3278)."""
+        max_len = self.tecfg.max_length
+        if self.tokenizer is not None:
+            ids = self.tokenizer.encode(prompt).ids
+        else:
+            # test fallback: bytes as tokens
+            ids = [(b % (self.gcfg.vocab_size - 2)) + 2
+                   for b in prompt.encode()][: max_len]
+        ids = ids[:max_len]
+        pad = max_len - len(ids)
+        input_ids = np.full((1, max_len), 0, np.int32)
+        mask = np.zeros((1, max_len), np.int32)
+        input_ids[0, pad:] = ids
+        mask[0, pad:] = 1
+        return jnp.asarray(input_ids), jnp.asarray(mask)
+
+    def encode_prompt(self, prompt: str):
+        """prompt -> (embeddings (1, S, D), mask (1, S)[, audio])."""
+        assert self.gemma_params is not None, "text encoder not loaded"
+        ids, mask = self.tokenize(prompt)
+        hidden = gemma3.forward_hidden_states(
+            self.gemma_params, ids, mask, self.gcfg
+        )
+        out = text_encoder.encode_from_hidden_states(
+            self.text_encoder_params, hidden, mask, self.tecfg
+        )
+        return out
+
+    def offload_text_encoder(self):
+        """Drop Gemma + connector params (TPU equivalent of the reference's
+        unload-after-encode, LTXPipeline.swift:726-731)."""
+        self.gemma_params = None
+        self.text_encoder_params = None
+
+    # ------------------------------------------------------------------
+    # Generation
+    # ------------------------------------------------------------------
+
+    def generate_video(
+        self,
+        prompt: str,
+        config: GenerationConfig,
+        on_progress=None,
+        image_latent=None,
+    ) -> VideoGenerationResult:
+        """T2V single-stage (reference: LTXPipeline.swift:586-1040), or I2V
+        when `image_latent` (1, 128, 1, H', W') normalized latent is given.
+        """
+        config.validate()
+        total_start = time.time()
+        timings = GenerationTimings()
+        seed = config.seed if config.seed is not None else int(time.time())
+
+        guidance = GuidanceSpec.from_config(config)
+
+        # --- text encoding phase
+        t0 = time.time()
+        pos = self.encode_prompt(prompt)
+        neg = None
+        if guidance.use_cfg:
+            neg = self.encode_prompt(
+                config.negative_prompt or DEFAULT_NEGATIVE_PROMPT
+            )
+        timings.text_encoding = time.time() - t0
+        if self.memory.offload_text_encoder:
+            self.offload_text_encoder()
+
+        context, bias = build_guidance_context(
+            guidance, pos["video"], pos["mask"],
+            neg["video"] if neg else None, neg["mask"] if neg else None,
+        )
+
+        # --- latent init
+        shape = VideoLatentShape.from_pixels(
+            1, config.num_frames, config.height, config.width,
+            channels=self.tcfg.in_channels,
+        )
+        key = jax.random.key(seed)
+        key, nkey = jax.random.split(key)
+        sigmas = schedule.get_sigmas(
+            config.num_steps, distilled=self.is_distilled,
+            token_count=shape.token_count,
+        )
+        latent = generate_noise(nkey, shape) * float(sigmas[0])
+
+        conditioning_mask = None
+        if image_latent is not None:
+            # frame 0 = clean conditioned latent; mask marks frame-0 tokens
+            latent = latent.at[:, :, :1].set(image_latent.astype(latent.dtype))
+            tokens_per_frame = shape.height * shape.width
+            cm = np.zeros((1, shape.token_count), np.float32)
+            cm[:, :tokens_per_frame] = 1.0
+            conditioning_mask = cm
+
+        # --- denoise phase (one compiled step)
+        step_fn = make_denoise_step(
+            self.transformer_params, self.tcfg, guidance, shape,
+            context, bias,
+            conditioning_mask=conditioning_mask,
+            image_cond_noise_scale=config.image_cond_noise_scale,
+            fps=config.fps,
+            sdpa_impl=self.sdpa_impl,
+            remat=self.memory.remat_blocks,
+        )
+
+        def on_step(i, n, sigma):
+            timings.denoise_steps.append(time.time() - on_step.t0)
+            on_step.t0 = time.time()
+            if on_progress:
+                on_progress(i, n, sigma)
+
+        on_step.t0 = time.time()
+        key, dkey = jax.random.split(key)
+        latent = run_denoise_loop(step_fn, latent, sigmas, key=dkey,
+                                  on_step=on_step)
+
+        # --- VAE decode phase
+        t0 = time.time()
+        key, vkey = jax.random.split(key)
+        ts = 0.05 if self.vcfg.timestep_conditioning else None
+        frames = vae.decode_video(
+            self.vae_decoder_params, latent, self.vcfg, timestep=ts,
+            noise_key=vkey if ts is not None else None,
+            tile_size=self.memory.vae_tile_size,
+            tile_overlap=self.memory.vae_tile_overlap,
+        )
+        frames.block_until_ready()
+        timings.vae_decode = time.time() - t0
+
+        frames = frames[: config.num_frames]
+        timings.total = time.time() - total_start
+        return VideoGenerationResult(frames=frames, timings=timings, seed=seed)
+
+    def encode_image(self, pixels):
+        """(1, 3, 1, H, W) in [-1, 1] -> normalized latent for I2V
+        conditioning (VAE stats normalization,
+        reference: LTXPipeline.swift:1902-1932)."""
+        assert self.vae_encoder_params is not None, "VAE encoder not loaded"
+        latent = vae.encoder_forward(self.vae_encoder_params, pixels, self.vcfg)
+        mean = self.vae_decoder_params["mean_of_means"].astype(jnp.float32)
+        std = self.vae_decoder_params["std_of_means"].astype(jnp.float32)
+        return ((latent.astype(jnp.float32)
+                 - mean.reshape(1, -1, 1, 1, 1)) / std.reshape(1, -1, 1, 1, 1))

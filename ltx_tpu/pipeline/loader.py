@@ -1,0 +1,144 @@
+"""Assemble an LTXPipeline from downloaded weights.
+
+TPU equivalent of the reference's loadModels phase
+(reference: Sources/LTXVideo/Pipeline/LTXPipeline.swift:217-357): download ->
+split unified file -> key-map each component -> optional quantization ->
+optional LoRA fusion -> tokenizer.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+from pathlib import Path
+from typing import Optional
+
+import jax.numpy as jnp
+
+from ltx_tpu.core.config import (
+    LTXModel,
+    MemoryConfig,
+    QuantizationConfig,
+    TransformerConfig,
+)
+from ltx_tpu.models import gemma3, text_encoder, vae
+from ltx_tpu.pipeline.generate import LTXPipeline
+from ltx_tpu.weights import keymaps
+from ltx_tpu.weights.download import (
+    download_all_components,
+    load_safetensors,
+    load_safetensors_dir,
+)
+
+log = logging.getLogger("ltx_tpu")
+
+
+def load_tokenizer(gemma_dir):
+    """Gemma SentencePiece tokenizer via HF `tokenizers`
+    (reference: LTXPipeline.swift:254, swift-transformers AutoTokenizer)."""
+    from tokenizers import Tokenizer
+
+    path = Path(gemma_dir) / "tokenizer.json"
+    if not path.exists():
+        raise FileNotFoundError(f"tokenizer.json not found in {gemma_dir}")
+    return Tokenizer.from_file(str(path))
+
+
+def load_pipeline(
+    model: LTXModel = LTXModel.DISTILLED,
+    models_dir: Optional[str] = None,
+    hf_token: Optional[str] = None,
+    gemma_path: Optional[str] = None,
+    unified_weights_path: Optional[str] = None,
+    quantization: QuantizationConfig = QuantizationConfig(),
+    memory: MemoryConfig = MemoryConfig(),
+    lora_path: Optional[str] = None,
+    lora_scale: float = 1.0,
+    distilled_lora: bool = False,
+    include_audio: bool = False,
+) -> LTXPipeline:
+    """Download (if needed), load and assemble all components."""
+    tcfg = TransformerConfig()
+
+    paths = download_all_components(
+        model, models_dir=models_dir, hf_token=hf_token,
+        include_audio=include_audio,
+    )
+    unified_path = unified_weights_path or paths["unified"]
+    gemma_dir = gemma_path or paths["gemma"]
+
+    log.info("Loading unified weights: %s", unified_path)
+    tensors = load_safetensors(unified_path)
+    tr_raw, vae_raw, conn_raw = keymaps.split_unified(
+        tensors, include_audio=include_audio
+    )
+    del tensors
+
+    # --- transformer
+    dit_params = keymaps.load_transformer_params(
+        {k: v for k, v in tr_raw.items()}, tcfg.num_layers,
+        include_audio=include_audio,
+    )
+    del tr_raw
+
+    # --- LoRA fusion (before quantization: merge in bf16)
+    if distilled_lora or lora_path:
+        from ltx_tpu.lora.fuse import fuse_lora_file
+
+        path = lora_path or paths["distilled_lora"]
+        log.info("Fusing LoRA: %s (scale %.2f)", path, lora_scale)
+        dit_params = fuse_lora_file(dit_params, path, scale=lora_scale,
+                                    num_layers=tcfg.num_layers)
+
+    # --- quantization (reference: LTXPipeline.swift:323-333)
+    if quantization.bits is not None:
+        from ltx_tpu.kernels.quantization import quantize_dit_params
+
+        log.info("Quantizing transformer to int%d (group %d)",
+                 quantization.bits, quantization.group_size)
+        dit_params = quantize_dit_params(
+            dit_params, quantization.bits, quantization.group_size
+        )
+
+    # --- VAE decoder (+ config flag)
+    vcfg = vae.VAEConfig()
+    cfg_path = paths.get("vae_config")
+    if cfg_path and Path(cfg_path).exists():
+        with open(cfg_path) as f:
+            vae_json = json.load(f)
+        if vae_json.get("timestep_conditioning"):
+            import dataclasses
+
+            vcfg = dataclasses.replace(vcfg, timestep_conditioning=True)
+    vae_dec = keymaps.load_vae_decoder_params(vae_raw)
+    vae_enc = None
+    if any(k.startswith("encoder.") for k in vae_raw):
+        vae_enc = keymaps.load_vae_encoder_params(vae_raw)
+    del vae_raw
+
+    # --- text encoder stack
+    te_params = keymaps.load_text_encoder_params(conn_raw)
+    del conn_raw
+    gcfg_path = Path(gemma_dir) / "config.json"
+    with open(gcfg_path) as f:
+        gcfg = gemma3.Gemma3Config.from_hf_dict(json.load(f))
+    gemma_tensors = load_safetensors_dir(gemma_dir)
+    gemma_params = keymaps.load_gemma_params(gemma_tensors, gcfg.hidden_layers)
+    del gemma_tensors
+
+    tokenizer = load_tokenizer(gemma_dir)
+
+    return LTXPipeline(
+        transformer_params=dit_params,
+        transformer_config=tcfg,
+        vae_decoder_params=vae_dec,
+        vae_config=vcfg,
+        gemma_params=gemma_params,
+        gemma_config=gcfg,
+        text_encoder_params=te_params,
+        text_encoder_config=text_encoder.TextEncoderConfig(),
+        tokenizer=tokenizer,
+        vae_encoder_params=vae_enc,
+        memory=memory,
+        is_distilled=(model.is_distilled or distilled_lora),
+    )

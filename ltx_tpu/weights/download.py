@@ -1,0 +1,115 @@
+"""HuggingFace weight downloads with the reference's per-component layout.
+
+Reference: Sources/LTXVideo/Utils/ModelDownloader.swift:52-555 — per-component
+subdirectories under a cache dir, skip-if-exists. Uses huggingface_hub.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Dict, Optional
+
+from ltx_tpu.core.config import LTXModel
+
+# Component files on the HF hub (reference: ModelDownloader.swift:147-530)
+LTX_REPO = "Lightricks/LTX-2"
+GEMMA_REPO = "mlx-community/gemma-3-12b-it-qat-4bit"
+CONNECTOR_FILE = "connectors/diffusion_pytorch_model.safetensors"
+VAE_FILE = "vae/diffusion_pytorch_model.safetensors"
+VAE_CONFIG = "vae/config.json"
+UPSCALER_FILE = "upscaler/diffusion_pytorch_model.safetensors"
+DISTILLED_LORA_FILE = "ltx-2-19b-distilled-lora-384.safetensors"
+AUDIO_VAE_FILE = "audio_vae/diffusion_pytorch_model.safetensors"
+VOCODER_FILE = "vocoder/diffusion_pytorch_model.safetensors"
+
+
+def default_models_dir() -> str:
+    return os.environ.get(
+        "LTX_MODELS_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "ltx-tpu"),
+    )
+
+
+def _download_file(repo: str, filename: str, dest_dir: Path,
+                   token: Optional[str], force: bool) -> Path:
+    from huggingface_hub import hf_hub_download
+
+    local = dest_dir / Path(filename).name
+    if local.exists() and not force:
+        return local
+    dest_dir.mkdir(parents=True, exist_ok=True)
+    path = hf_hub_download(repo_id=repo, filename=filename, token=token,
+                           local_dir=str(dest_dir))
+    return Path(path)
+
+
+def download_gemma(models_dir: Optional[str] = None,
+                   hf_token: Optional[str] = None,
+                   force: bool = False) -> Path:
+    """Snapshot the shared 4-bit QAT VLM Gemma
+    (reference: ModelDownloader.swift:311-392)."""
+    from huggingface_hub import snapshot_download
+
+    base = Path(models_dir or default_models_dir()) / "vlm-gemma"
+    if base.exists() and not force and any(base.glob("*.safetensors")):
+        return base
+    snapshot_download(repo_id=GEMMA_REPO, token=hf_token, local_dir=str(base))
+    return base
+
+
+def download_all_components(
+    model: LTXModel,
+    models_dir: Optional[str] = None,
+    hf_token: Optional[str] = None,
+    force: bool = False,
+    include_audio: bool = False,
+    include_upscaler: bool = True,
+) -> Dict[str, Path]:
+    """Download everything a generation run needs
+    (reference: ModelDownloader.swift:435-468)."""
+    base = Path(models_dir or default_models_dir())
+    variant_dir = base / f"ltx-{model.value}"
+    out: Dict[str, Path] = {}
+
+    out["gemma"] = download_gemma(models_dir, hf_token, force)
+    out["unified"] = _download_file(
+        LTX_REPO, model.unified_weights_filename, variant_dir, hf_token, force
+    )
+    out["vae_config"] = _download_file(
+        LTX_REPO, VAE_CONFIG, base / "ltx-vae", hf_token, force
+    )
+    if include_upscaler:
+        out["upscaler"] = _download_file(
+            LTX_REPO, UPSCALER_FILE, base / "ltx-upscaler", hf_token, force
+        )
+    out["distilled_lora"] = _download_file(
+        LTX_REPO, DISTILLED_LORA_FILE, base / "ltx-lora", hf_token, force
+    )
+    if include_audio:
+        out["audio_vae"] = _download_file(
+            LTX_REPO, AUDIO_VAE_FILE, base / "ltx-audio-vae", hf_token, force
+        )
+        out["vocoder"] = _download_file(
+            LTX_REPO, VOCODER_FILE, base / "ltx-vocoder", hf_token, force
+        )
+    return out
+
+
+def load_safetensors(path, to_numpy: bool = True) -> dict:
+    """Load a safetensors file as {key: np.ndarray} (mmap'd, zero-copy)."""
+    from safetensors import safe_open
+
+    out = {}
+    with safe_open(str(path), framework="numpy") as f:
+        for key in f.keys():
+            out[key] = f.get_tensor(key)
+    return out
+
+
+def load_safetensors_dir(directory) -> dict:
+    """Merge all *.safetensors in a directory (sharded checkpoints)."""
+    out = {}
+    for p in sorted(Path(directory).glob("*.safetensors")):
+        out.update(load_safetensors(p))
+    return out
