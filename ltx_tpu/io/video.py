@@ -55,9 +55,13 @@ def export_video(
         export_wav(audio, wav_path, sample_rate=audio_sample_rate)
         try:
             _mux_av(video_path, wav_path, path)
-        finally:
             for p in (video_path, wav_path):
                 Path(p).unlink(missing_ok=True)
+        except (ImportError, ModuleNotFoundError, OSError) as e:
+            # No ffmpeg binary: keep silent video at `path` + side WAV
+            log.warning("AAC mux unavailable (%s); wrote side WAV %s",
+                        e, wav_path)
+            Path(video_path).rename(path)
     return path
 
 

@@ -87,6 +87,8 @@ class LTXPipeline:
         text_encoder_config: Optional[text_encoder.TextEncoderConfig] = None,
         tokenizer=None,
         vae_encoder_params=None,
+        upscaler_params=None,
+        upscaler_config=None,
         memory: MemoryConfig = MemoryConfig(),
         is_distilled: bool = True,
         sdpa_impl: str = "auto",
@@ -101,6 +103,8 @@ class LTXPipeline:
         self.tecfg = text_encoder_config
         self.tokenizer = tokenizer
         self.vae_encoder_params = vae_encoder_params
+        self.upscaler_params = upscaler_params
+        self.upscaler_config = upscaler_config
         self.memory = memory
         self.is_distilled = is_distilled
         self.sdpa_impl = sdpa_impl
@@ -126,8 +130,15 @@ class LTXPipeline:
         )
         # DiT caption channels must match connector output
         tcfg = dataclasses.replace(tcfg, caption_channels=tecfg.inner_dim)
-        ks = jax.random.split(jax.random.key(seed), 5)
+        from ltx_tpu.models import upscaler as upscaler_mod
+
+        ucfg = dataclasses.replace(
+            upscaler_mod.UpscalerConfig().tiny(), in_channels=tcfg.in_channels
+        )
+        ks = jax.random.split(jax.random.key(seed), 6)
         return cls(
+            upscaler_params=upscaler_mod.init_params(ks[5], ucfg),
+            upscaler_config=ucfg,
             transformer_params=dit.init_params(ks[0], tcfg, jnp.bfloat16),
             transformer_config=tcfg,
             vae_decoder_params=vae.init_decoder_params(ks[1], vcfg),
@@ -276,6 +287,157 @@ class LTXPipeline:
         frames.block_until_ready()
         timings.vae_decode = time.time() - t0
 
+        frames = frames[: config.num_frames]
+        timings.total = time.time() - total_start
+        return VideoGenerationResult(frames=frames, timings=timings, seed=seed)
+
+    def _denoise(self, latent, sigmas, shape, guidance, context, bias,
+                 conditioning_mask, cond_noise_scale, fps, key, timings,
+                 on_progress):
+        """Shared compiled-step denoise (reference: LTXPipeline.swift:2191)."""
+        step_fn = make_denoise_step(
+            self.transformer_params, self.tcfg, guidance, shape,
+            context, bias,
+            conditioning_mask=conditioning_mask,
+            image_cond_noise_scale=cond_noise_scale,
+            fps=fps,
+            sdpa_impl=self.sdpa_impl,
+            remat=self.memory.remat_blocks,
+        )
+
+        def on_step(i, n, sigma):
+            timings.denoise_steps.append(time.time() - on_step.t0)
+            on_step.t0 = time.time()
+            if on_progress:
+                on_progress(i, n, sigma)
+
+        on_step.t0 = time.time()
+        return run_denoise_loop(step_fn, latent, sigmas, key=key,
+                                on_step=on_step)
+
+    def _conditioning_mask(self, shape) -> np.ndarray:
+        tokens_per_frame = shape.height * shape.width
+        cm = np.zeros((1, shape.token_count), np.float32)
+        cm[:, :tokens_per_frame] = 1.0
+        return cm
+
+    def generate_video_two_stage(
+        self,
+        prompt: str,
+        config: GenerationConfig,
+        on_progress=None,
+        image_latent=None,
+        full_res_image_latent=None,
+    ) -> VideoGenerationResult:
+        """Half-res denoise -> 2x latent upscale (+AdaIN) -> 3-step refine
+        (reference: LTXPipeline.swift:2420-2740).
+
+        image_latent: HALF-resolution conditioned latent for I2V stage 1;
+        full_res_image_latent: full-resolution latent for stage 2 (both
+        produced by encode_image at the respective sizes).
+        """
+        from ltx_tpu.models.upscaler import UpscalerConfig, upsample_latents
+        from ltx_tpu.ops.latents import adain_filter_latent
+
+        config.validate()
+        assert self.upscaler_params is not None, "upscaler not loaded"
+        total_start = time.time()
+        timings = GenerationTimings()
+        seed = config.seed if config.seed is not None else int(time.time())
+        key = jax.random.key(seed)
+
+        guidance = GuidanceSpec.from_config(config)
+
+        # --- text encoding
+        t0 = time.time()
+        pos = self.encode_prompt(prompt)
+        neg = None
+        if guidance.use_cfg:
+            neg = self.encode_prompt(
+                config.negative_prompt or DEFAULT_NEGATIVE_PROMPT
+            )
+        timings.text_encoding = time.time() - t0
+        if self.memory.offload_text_encoder:
+            self.offload_text_encoder()
+        context, bias = build_guidance_context(
+            guidance, pos["video"], pos["mask"],
+            neg["video"] if neg else None, neg["mask"] if neg else None,
+        )
+
+        # === STAGE 1: half resolution ===
+        s1_shape = VideoLatentShape.from_pixels(
+            1, config.num_frames, config.height // 2, config.width // 2,
+            channels=self.tcfg.in_channels,
+        )
+        if config.num_steps <= 8 and config.cfg_scale <= 1.0:
+            s1_sigmas = schedule.get_sigmas(
+                config.num_steps, distilled=True,
+                token_count=s1_shape.token_count)
+        else:
+            s1_sigmas = schedule.get_sigmas(
+                config.num_steps, distilled=False,
+                token_count=s1_shape.token_count)
+
+        key, nkey, dkey = jax.random.split(key, 3)
+        latent = generate_noise(nkey, s1_shape) * float(s1_sigmas[0])
+        s1_cond_mask = None
+        if image_latent is not None:
+            latent = latent.at[:, :, :1].set(image_latent.astype(latent.dtype))
+            s1_cond_mask = self._conditioning_mask(s1_shape)
+
+        latent = self._denoise(
+            latent, s1_sigmas, s1_shape, guidance, context, bias,
+            s1_cond_mask, config.image_cond_noise_scale, config.fps, dkey,
+            timings, on_progress,
+        )
+        stage1_output = latent
+
+        # === UPSCALE 2x + AdaIN toward stage-1 stats ===
+        mean = self.vae_decoder_params["mean_of_means"]
+        std = self.vae_decoder_params["std_of_means"]
+        ucfg = self.upscaler_config or UpscalerConfig(
+            in_channels=self.tcfg.in_channels)
+        latent = upsample_latents(self.upscaler_params, latent, mean, std, ucfg)
+        latent = adain_filter_latent(latent, stage1_output)
+
+        # === STAGE 2: full resolution, 3 steps, never CFG ===
+        s2_shape = VideoLatentShape.from_pixels(
+            1, config.num_frames, config.height, config.width,
+            channels=self.tcfg.in_channels,
+        )
+        s2_sigmas = schedule.STAGE_2_SIGMAS
+        key, nkey2, dkey2 = jax.random.split(key, 3)
+        noise = generate_noise(nkey2, s2_shape)
+        noise_scale = float(s2_sigmas[0])  # 0.909375
+        latent = noise_scale * noise + (1.0 - noise_scale) * latent
+
+        s2_cond_mask = None
+        if full_res_image_latent is not None:
+            latent = latent.at[:, :, :1].set(
+                full_res_image_latent.astype(latent.dtype))
+            s2_cond_mask = self._conditioning_mask(s2_shape)
+
+        guidance2 = dataclasses.replace(guidance, use_cfg=False)
+        context2, bias2 = build_guidance_context(
+            guidance2, pos["video"], pos["mask"])
+        latent = self._denoise(
+            latent, s2_sigmas, s2_shape, guidance2, context2, bias2,
+            s2_cond_mask, config.image_cond_noise_scale, config.fps, dkey2,
+            timings, on_progress,
+        )
+
+        # --- decode
+        t0 = time.time()
+        key, vkey = jax.random.split(key)
+        ts = 0.05 if self.vcfg.timestep_conditioning else None
+        frames = vae.decode_video(
+            self.vae_decoder_params, latent, self.vcfg, timestep=ts,
+            noise_key=vkey if ts is not None else None,
+            tile_size=self.memory.vae_tile_size,
+            tile_overlap=self.memory.vae_tile_overlap,
+        )
+        frames.block_until_ready()
+        timings.vae_decode = time.time() - t0
         frames = frames[: config.num_frames]
         timings.total = time.time() - total_start
         return VideoGenerationResult(frames=frames, timings=timings, seed=seed)
