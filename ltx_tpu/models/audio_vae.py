@@ -30,10 +30,12 @@ class AudioVAEConfig:
     ch_mult: Tuple[int, ...] = (1, 2, 4)
     num_res_blocks: int = 2  # decoder levels use num_res_blocks + 1
     mel_bins: int = 64
+    mel_latent_bins: int = 16  # latent width; packed dim = 8 * this = 128
     latent_downsample: int = 4
 
     def tiny(self) -> "AudioVAEConfig":
-        return dataclasses.replace(self, base_channels=16, num_res_blocks=0)
+        return dataclasses.replace(self, base_channels=16, num_res_blocks=0,
+                                   mel_bins=8, mel_latent_bins=2)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -50,7 +52,7 @@ class VocoderConfig:
 
     def tiny(self) -> "VocoderConfig":
         return dataclasses.replace(
-            self, hidden_channels=32, upsample_factors=(2, 2),
+            self, in_channels=16, hidden_channels=32, upsample_factors=(2, 2),
             upsample_kernels=(4, 4), resnet_kernels=(3,),
             resnet_dilations=((1, 3),),
         )
@@ -182,7 +184,7 @@ def init_audio_vae_params(key, cfg: AudioVAEConfig = AudioVAEConfig(),
             level["upsample"] = {"conv": conv(co, co)}
         levels.append(level)
 
-    pack = cfg.latent_channels * 16
+    pack = cfg.latent_channels * cfg.mel_latent_bins
     return {
         "decoder": {
             "conv_in": conv(cfg.latent_channels, top),

@@ -219,6 +219,122 @@ def make_denoise_step(
     return step
 
 
+def make_av_denoise_step(
+    params,
+    tcfg: TransformerConfig,
+    guidance: GuidanceSpec,
+    shape: VideoLatentShape,
+    audio_frames: int,
+    video_context,        # (G, S, caption)
+    audio_context,        # (G, S, caption)
+    context_bias,         # (G, 1, 1, S) or None
+    conditioning_mask=None,
+    image_cond_noise_scale: float = 0.0,
+    fps: float = 24.0,
+    sdpa_impl: str = "auto",
+    remat: bool = False,
+):
+    """Dual video+audio denoise step, guidance rows batched.
+
+    Reference runs cond/uncond as serial dual-transformer passes
+    (LTXPipeline.swift:1313-1381); here they batch. Video steps via the
+    f32 Euler with bf16 round-trip; audio uses the reference's inline form
+    x += (sigma_next - sigma) * v (LTXPipeline.swift:1402). Guidance rescale
+    applies to VIDEO only, matching the reference. STG is not defined for
+    the AV path (reference has no STG in generateVideoWithAudio).
+    """
+    from ltx_tpu.models import dit_av
+
+    assert not guidance.use_stg, "STG is not supported on the AV path"
+    g = guidance.num_rows
+    ropes = dit_av.prepare_av_ropes(
+        tcfg, shape.frames, shape.height, shape.width, audio_frames, fps=fps
+    )
+
+    cond_mask = None
+    if conditioning_mask is not None:
+        cond_mask = jnp.asarray(conditioning_mask, jnp.float32)
+
+    @partial(jax.jit, donate_argnums=(4, 5))
+    def _step(params, v_ctx, a_ctx, bias, video_latent, audio_packed,
+              sigma, sigma_next, key):
+        sigma = jnp.asarray(sigma, jnp.float32)
+        sigma_next = jnp.asarray(sigma_next, jnp.float32)
+
+        if cond_mask is not None and image_cond_noise_scale > 0:
+            frame0 = video_latent[:, :, :1]
+            noise = jax.random.normal(key, frame0.shape, frame0.dtype)
+            noised = frame0 + image_cond_noise_scale * noise * sigma**2
+            video_latent = video_latent.at[:, :, :1].set(noised)
+
+        v_tokens = jnp.tile(patchify(video_latent).astype(jnp.bfloat16),
+                            (g, 1, 1))
+        a_tokens = jnp.tile(audio_packed.astype(jnp.bfloat16), (g, 1, 1))
+
+        if cond_mask is not None:
+            ts_v = jnp.tile(sigma * (1 - cond_mask), (g, 1))
+        else:
+            ts_v = jnp.full((g,), sigma, jnp.float32)
+        ts_a = jnp.full((g,), sigma, jnp.float32)
+
+        v_vel_tok, a_vel_tok = dit_av.dit_av_forward(
+            params, v_tokens, a_tokens, v_ctx, a_ctx, ts_v, ts_a, ropes,
+            tcfg, video_bias=bias, audio_bias=bias, sdpa_impl=sdpa_impl,
+            remat=remat,
+        )
+        v_rows = unpatchify(
+            v_vel_tok, dataclasses.replace(shape, batch=g)
+        ).astype(jnp.float32)
+        a_rows = a_vel_tok.astype(jnp.float32)
+
+        if guidance.use_cfg:
+            v_vel = apply_cfg(v_rows[0:1], v_rows[1:2], guidance.cfg_scale)
+            a_vel = apply_cfg(a_rows[0:1], a_rows[1:2], guidance.cfg_scale)
+            if guidance.guidance_rescale > 0:  # video only
+                v_vel = apply_guidance_rescale(
+                    v_vel, v_rows[1:2], guidance.guidance_rescale)
+        else:
+            v_vel, a_vel = v_rows[0:1], a_rows[0:1]
+
+        if cond_mask is not None:
+            stepped = euler_step(
+                video_latent[:, :, 1:], v_vel[:, :, 1:], sigma, sigma_next)
+            new_video = jnp.concatenate(
+                [video_latent[:, :, :1], stepped], axis=2)
+        else:
+            new_video = euler_step(video_latent, v_vel, sigma, sigma_next)
+
+        new_audio = (audio_packed.astype(jnp.float32)
+                     + (sigma_next - sigma) * a_vel)
+        return new_video, new_audio
+
+    def step(video_latent, audio_packed, sigma, sigma_next, key):
+        return _step(params, video_context, audio_context, context_bias,
+                     video_latent, audio_packed, sigma, sigma_next, key)
+
+    step._jit = _step
+    return step
+
+
+def run_av_denoise_loop(step_fn, video_latent, audio_packed, sigmas,
+                        key=None, on_step=None):
+    video_latent = jnp.array(video_latent)
+    audio_packed = jnp.array(audio_packed)
+    if key is None:
+        key = jax.random.key(0)
+    num_steps = len(sigmas) - 1
+    for i in range(num_steps):
+        key, sub = jax.random.split(key)
+        video_latent, audio_packed = step_fn(
+            video_latent, audio_packed, float(sigmas[i]), float(sigmas[i + 1]),
+            sub,
+        )
+        if on_step is not None:
+            video_latent.block_until_ready()
+            on_step(i, num_steps, float(sigmas[i]))
+    return video_latent, audio_packed
+
+
 def run_denoise_loop(
     step_fn,
     latent,

@@ -89,6 +89,11 @@ class LTXPipeline:
         vae_encoder_params=None,
         upscaler_params=None,
         upscaler_config=None,
+        av_transformer_params=None,
+        audio_vae_params=None,
+        audio_vae_config=None,
+        vocoder_params=None,
+        vocoder_config=None,
         memory: MemoryConfig = MemoryConfig(),
         is_distilled: bool = True,
         sdpa_impl: str = "auto",
@@ -105,6 +110,11 @@ class LTXPipeline:
         self.vae_encoder_params = vae_encoder_params
         self.upscaler_params = upscaler_params
         self.upscaler_config = upscaler_config
+        self.av_transformer_params = av_transformer_params
+        self.audio_vae_params = audio_vae_params
+        self.audio_vae_config = audio_vae_config
+        self.vocoder_params = vocoder_params
+        self.vocoder_config = vocoder_config
         self.memory = memory
         self.is_distilled = is_distilled
         self.sdpa_impl = sdpa_impl
@@ -135,10 +145,26 @@ class LTXPipeline:
         ucfg = dataclasses.replace(
             upscaler_mod.UpscalerConfig().tiny(), in_channels=tcfg.in_channels
         )
-        ks = jax.random.split(jax.random.key(seed), 6)
+        ks = jax.random.split(jax.random.key(seed), 9)
+        av_extras = {}
+        if include_audio:
+            from ltx_tpu.models import audio_vae as av_mod
+            from ltx_tpu.models import dit_av
+
+            avcfg = av_mod.AudioVAEConfig().tiny()
+            voccfg = av_mod.VocoderConfig().tiny()
+            av_extras = dict(
+                av_transformer_params=dit_av.init_params(ks[6], tcfg,
+                                                         jnp.bfloat16),
+                audio_vae_params=av_mod.init_audio_vae_params(ks[7], avcfg),
+                audio_vae_config=avcfg,
+                vocoder_params=av_mod.init_vocoder_params(ks[8], voccfg),
+                vocoder_config=voccfg,
+            )
         return cls(
             upscaler_params=upscaler_mod.init_params(ks[5], ucfg),
             upscaler_config=ucfg,
+            **av_extras,
             transformer_params=dit.init_params(ks[0], tcfg, jnp.bfloat16),
             transformer_config=tcfg,
             vae_decoder_params=vae.init_decoder_params(ks[1], vcfg),
@@ -212,6 +238,17 @@ class LTXPipeline:
         seed = config.seed if config.seed is not None else int(time.time())
 
         guidance = GuidanceSpec.from_config(config)
+
+        # --- prompt enhancement (reference: LTXPipeline.swift:2862-2971)
+        if config.enhance_prompt and self.gemma_params is not None \
+                and self.tokenizer is not None:
+            from ltx_tpu.pipeline.enhance import enhance_prompt
+
+            prompt = enhance_prompt(
+                self.gemma_params, self.gcfg, self.tokenizer, prompt,
+                is_i2v=image_latent is not None,
+            )
+            log.info("Enhanced prompt: %s", prompt)
 
         # --- text encoding phase
         t0 = time.time()
@@ -441,6 +478,127 @@ class LTXPipeline:
         frames = frames[: config.num_frames]
         timings.total = time.time() - total_start
         return VideoGenerationResult(frames=frames, timings=timings, seed=seed)
+
+    def generate_video_with_audio(
+        self,
+        prompt: str,
+        config: GenerationConfig,
+        on_progress=None,
+        image_latent=None,
+        audio_gain: float = 1.0,
+    ) -> VideoGenerationResult:
+        """Joint video+audio generation via the dual AV transformer
+        (reference: LTXPipeline.swift:1108-1450). Audio duration matches the
+        video (num_frames / fps); audio latent frames = round(dur * 25).
+        """
+        from ltx_tpu.models import audio_vae as audio_vae_mod
+        from ltx_tpu.models import dit_av
+        from ltx_tpu.pipeline.denoise import (
+            make_av_denoise_step,
+            run_av_denoise_loop,
+        )
+
+        config.validate()
+        assert self.av_transformer_params is not None, "AV transformer not loaded"
+        assert self.audio_vae_params is not None, "audio VAE not loaded"
+        total_start = time.time()
+        timings = GenerationTimings()
+        seed = config.seed if config.seed is not None else int(time.time())
+        key = jax.random.key(seed)
+
+        guidance = dataclasses.replace(
+            GuidanceSpec.from_config(config), stg_scale=0.0
+        )
+
+        # --- text encoding (video + audio connectors)
+        t0 = time.time()
+        pos = self.encode_prompt(prompt)
+        assert "audio" in pos, "text encoder lacks the audio connector"
+        neg = None
+        if guidance.use_cfg:
+            neg = self.encode_prompt(
+                config.negative_prompt or DEFAULT_NEGATIVE_PROMPT)
+        timings.text_encoding = time.time() - t0
+        if self.memory.offload_text_encoder:
+            self.offload_text_encoder()
+
+        v_ctx, bias = build_guidance_context(
+            guidance, pos["video"], pos["mask"],
+            neg["video"] if neg else None, neg["mask"] if neg else None)
+        a_ctx, _ = build_guidance_context(
+            guidance, pos["audio"], pos["mask"],
+            neg["audio"] if neg else None, neg["mask"] if neg else None)
+
+        # --- latents: video noise first, then audio (reference RNG order)
+        shape = VideoLatentShape.from_pixels(
+            1, config.num_frames, config.height, config.width,
+            channels=self.tcfg.in_channels)
+        duration = config.num_frames / config.fps
+        audio_frames = dit_av.audio_frame_count(duration)
+
+        sigmas = schedule.get_sigmas(
+            config.num_steps, distilled=self.is_distilled,
+            token_count=shape.token_count)
+
+        key, vkey, akey, dkey = jax.random.split(key, 4)
+        video_latent = generate_noise(vkey, shape) * float(sigmas[0])
+        mel_latent_bins = self.tcfg.audio_in_channels // 8
+        audio_raw = jax.random.normal(
+            akey, (1, 8, audio_frames, mel_latent_bins), jnp.float32)
+        audio_packed = dit_av.pack_audio_latents(audio_raw) * float(sigmas[0])
+
+        conditioning_mask = None
+        if image_latent is not None:
+            video_latent = video_latent.at[:, :, :1].set(
+                image_latent.astype(video_latent.dtype))
+            conditioning_mask = self._conditioning_mask(shape)
+
+        step_fn = make_av_denoise_step(
+            self.av_transformer_params, self.tcfg, guidance, shape,
+            audio_frames, v_ctx, a_ctx, bias,
+            conditioning_mask=conditioning_mask,
+            image_cond_noise_scale=config.image_cond_noise_scale,
+            fps=config.fps, sdpa_impl=self.sdpa_impl,
+            remat=self.memory.remat_blocks,
+        )
+
+        def on_step(i, n, sigma):
+            timings.denoise_steps.append(time.time() - on_step.t0)
+            on_step.t0 = time.time()
+            if on_progress:
+                on_progress(i, n, sigma)
+
+        on_step.t0 = time.time()
+        video_latent, audio_packed = run_av_denoise_loop(
+            step_fn, video_latent, audio_packed, sigmas, key=dkey,
+            on_step=on_step)
+
+        # --- decode video
+        t0 = time.time()
+        key, dvkey = jax.random.split(key)
+        ts = 0.05 if self.vcfg.timestep_conditioning else None
+        frames = vae.decode_video(
+            self.vae_decoder_params, video_latent, self.vcfg, timestep=ts,
+            noise_key=dvkey if ts is not None else None,
+            tile_size=self.memory.vae_tile_size,
+            tile_overlap=self.memory.vae_tile_overlap)
+        frames.block_until_ready()
+        timings.vae_decode = time.time() - t0
+        frames = frames[: config.num_frames]
+
+        # --- decode audio
+        audio_latents = dit_av.unpack_audio_latents(
+            audio_packed, channels=8, mel=mel_latent_bins)
+        waveform = audio_vae_mod.decode_audio(
+            self.audio_vae_params, self.vocoder_params, audio_latents,
+            self.audio_vae_config or audio_vae_mod.AudioVAEConfig(),
+            self.vocoder_config or audio_vae_mod.VocoderConfig())
+        if audio_gain != 1.0:
+            waveform = jnp.clip(waveform * audio_gain, -1.0, 1.0)
+
+        timings.total = time.time() - total_start
+        return VideoGenerationResult(frames=frames, timings=timings,
+                                     seed=seed, audio=waveform[0])
 
     def encode_image(self, pixels):
         """(1, 3, 1, H, W) in [-1, 1] -> normalized latent for I2V

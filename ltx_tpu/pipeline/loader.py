@@ -56,13 +56,14 @@ def load_pipeline(
     lora_scale: float = 1.0,
     distilled_lora: bool = False,
     include_audio: bool = False,
+    include_upscaler: bool = False,
 ) -> LTXPipeline:
     """Download (if needed), load and assemble all components."""
     tcfg = TransformerConfig()
 
     paths = download_all_components(
         model, models_dir=models_dir, hf_token=hf_token,
-        include_audio=include_audio,
+        include_audio=include_audio, include_upscaler=include_upscaler,
     )
     unified_path = unified_weights_path or paths["unified"]
     gemma_dir = gemma_path or paths["gemma"]
@@ -128,7 +129,33 @@ def load_pipeline(
 
     tokenizer = load_tokenizer(gemma_dir)
 
+    # --- optional components
+    extras = {}
+    if include_upscaler and "upscaler" in paths:
+        from ltx_tpu.models import upscaler as upscaler_mod
+
+        extras["upscaler_params"] = upscaler_mod.load_params(
+            load_safetensors(paths["upscaler"]))
+        extras["upscaler_config"] = upscaler_mod.UpscalerConfig()
+    if include_audio:
+        from ltx_tpu.models import audio_vae as av_mod
+
+        if "audio_vae" in paths:
+            extras["audio_vae_params"] = av_mod.load_audio_vae_params(
+                load_safetensors(paths["audio_vae"]))
+            extras["audio_vae_config"] = av_mod.AudioVAEConfig()
+        if "vocoder" in paths:
+            extras["vocoder_params"] = av_mod.load_vocoder_params(
+                load_safetensors(paths["vocoder"]))
+            extras["vocoder_config"] = av_mod.VocoderConfig()
+        # dual AV transformer: re-split the unified file with audio keys
+        tensors2 = load_safetensors(unified_path)
+        extras["av_transformer_params"] = keymaps.load_av_transformer_params(
+            tensors2, tcfg.num_layers)
+        del tensors2
+
     return LTXPipeline(
+        **extras,
         transformer_params=dit_params,
         transformer_config=tcfg,
         vae_decoder_params=vae_dec,

@@ -183,6 +183,150 @@ def load_transformer_params(tensors: Tensors, num_layers: int,
     return assemble_transformer_params(raw, num_layers, include_audio)
 
 
+def assemble_av_transformer_params(raw: Tensors, num_layers: int) -> dict:
+    """Canonical-keyed tensors -> dual AV DiT pytree (models/dit_av.py).
+
+    Accepts both plausible checkpoint spellings for the audio top-level
+    modules (audio_proj_in|audio_patchify_proj,
+    audio_time_embed|audio_adaln_single, audio_proj_out) — the reference's
+    Swift key map leaves audio keys untouched while its module keys use the
+    patchify/adaln names (ModelDownloader.swift:744-760), so the real
+    checkpoint must carry whichever the module expects.
+    """
+    per_layer: list = [dict() for _ in range(num_layers)]
+    top: dict = {}
+    for key, value in raw.items():
+        m = _BLOCK_RE.match(key)
+        if m:
+            idx = int(m.group(1))
+            per_layer[idx][m.group(2)] = value
+        else:
+            top[key] = value
+
+    def lin(d, prefix, alt=None):
+        pre = prefix if f"{prefix}.weight" in d else alt
+        if pre is None or f"{pre}.weight" not in d:
+            raise KeyError(f"missing linear {prefix} (alt {alt})")
+        p = {"w": _bf16(_t(d.pop(f"{pre}.weight")))}
+        if f"{pre}.bias" in d:
+            p["b"] = _bf16(d.pop(f"{pre}.bias"))
+        return p
+
+    def attn(d, prefix):
+        out = {}
+        for proj in ("to_q", "to_k", "to_v", "to_out"):
+            out[proj] = lin(d, f"{prefix}.{proj}")
+        for nrm in ("q_norm", "k_norm"):
+            out[nrm] = {"w": _bf16(d.pop(f"{prefix}.{nrm}.weight"))}
+        return out
+
+    def norm(d, prefix):
+        return {"w": _bf16(d.pop(f"{prefix}.weight"))}
+
+    def ff(d, prefix):
+        return {
+            "project_in": lin(d, f"{prefix}.project_in.proj"),
+            "project_out": lin(d, f"{prefix}.project_out"),
+        }
+
+    def sst(d, key):
+        return jnp.asarray(d.pop(key), jnp.float32)
+
+    layers = []
+    for i, d in enumerate(per_layer):
+        blk = {
+            "norm1": norm(d, "norm1"), "attn1": attn(d, "attn1"),
+            "norm2": norm(d, "norm2"), "attn2": attn(d, "attn2"),
+            "norm3": norm(d, "norm3"), "ff": ff(d, "ff"),
+            "scale_shift_table": sst(d, "scale_shift_table"),
+            "audio_norm1": norm(d, "audio_norm1"),
+            "audio_attn1": attn(d, "audio_attn1"),
+            "audio_norm2": norm(d, "audio_norm2"),
+            "audio_attn2": attn(d, "audio_attn2"),
+            "audio_norm3": norm(d, "audio_norm3"),
+            "audio_ff": ff(d, "audio_ff"),
+            "audio_scale_shift_table": sst(d, "audio_scale_shift_table"),
+            "audio_to_video_norm": norm(d, "audio_to_video_norm"),
+            "audio_to_video_attn": attn(d, "audio_to_video_attn"),
+            "video_to_audio_norm": norm(d, "video_to_audio_norm"),
+            "video_to_audio_attn": attn(d, "video_to_audio_attn"),
+            "scale_shift_table_a2v_ca_video":
+                sst(d, "scale_shift_table_a2v_ca_video"),
+            "scale_shift_table_a2v_ca_audio":
+                sst(d, "scale_shift_table_a2v_ca_audio"),
+        }
+        if d:
+            raise KeyError(f"unconsumed AV block-{i} keys: {sorted(d)[:5]}")
+        layers.append(blk)
+
+    import jax
+
+    def adaln(d, prefix, alt=None):
+        pre = prefix if f"{prefix}.emb.linear_1.weight" in d else (alt or prefix)
+        return {
+            "emb": {
+                "linear_1": lin(d, f"{pre}.emb.linear_1"),
+                "linear_2": lin(d, f"{pre}.emb.linear_2"),
+            },
+            "linear": lin(d, f"{pre}.linear"),
+        }
+
+    params = {
+        "blocks": jax.tree.map(lambda *xs: jnp.stack(xs), *layers),
+        "patchify_proj": lin(top, "patchify_proj"),
+        "adaln_single": adaln(top, "adaln_single"),
+        "caption_projection": {
+            "linear_1": lin(top, "caption_projection.linear_1"),
+            "linear_2": lin(top, "caption_projection.linear_2"),
+        },
+        "proj_out": lin(top, "proj_out"),
+        "scale_shift_table": jnp.asarray(top.pop("scale_shift_table"),
+                                         jnp.float32),
+        "audio_patchify_proj": lin(top, "audio_patchify_proj",
+                                   alt="audio_proj_in"),
+        "audio_adaln_single": adaln(top, "audio_adaln_single",
+                                    alt="audio_time_embed"),
+        "audio_caption_projection": {
+            "linear_1": lin(top, "audio_caption_projection.linear_1"),
+            "linear_2": lin(top, "audio_caption_projection.linear_2"),
+        },
+        "audio_proj_out": lin(top, "audio_proj_out"),
+        "audio_scale_shift_table": jnp.asarray(
+            top.pop("audio_scale_shift_table"), jnp.float32),
+        "av_ca_video_scale_shift_adaln_single": adaln(
+            top, "av_ca_video_scale_shift_adaln_single"),
+        "av_ca_a2v_gate_adaln_single": adaln(
+            top, "av_ca_a2v_gate_adaln_single"),
+        "av_ca_audio_scale_shift_adaln_single": adaln(
+            top, "av_ca_audio_scale_shift_adaln_single"),
+        "av_ca_v2a_gate_adaln_single": adaln(
+            top, "av_ca_v2a_gate_adaln_single"),
+    }
+    return params
+
+
+def load_av_transformer_params(tensors: Tensors, num_layers: int) -> dict:
+    """Unified-file tensors -> dual AV DiT pytree."""
+    diffusion = "model.diffusion_model."
+    raw: Tensors = {}
+    for key, value in tensors.items():
+        if key.endswith(".weight_scale") or key.endswith(".input_scale"):
+            continue
+        k = key
+        if k.startswith(diffusion):
+            k = k[len(diffusion):]
+        if k.startswith("video_embeddings_connector.") or \
+                k.startswith("audio_embeddings_connector.") or \
+                k.startswith("text_embedding_projection.") or \
+                k.startswith("vae.") or "per_channel_statistics" in k or \
+                k.startswith("vocoder"):
+            continue
+        mapped = map_transformer_key(k, include_audio=True)
+        if mapped is not None:
+            raw[mapped] = value
+    return assemble_av_transformer_params(raw, num_layers)
+
+
 # ---------------------------------------------------------------------------
 # VAE decoder
 # ---------------------------------------------------------------------------

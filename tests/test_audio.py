@@ -15,10 +15,11 @@ TCFG = TransformerConfig().tiny()
 
 def test_audio_vae_decode_shape():
     params = audio_vae.init_audio_vae_params(jax.random.key(0), AV_CFG)
-    latents = jax.random.normal(jax.random.key(1), (1, 8, 5, 16))
+    latents = jax.random.normal(
+        jax.random.key(1), (1, 8, 5, AV_CFG.mel_latent_bins))
     mel = audio_vae.audio_vae_decode(params, latents, AV_CFG)
-    # target frames: 4*5 - 3 = 17; mel bins 64
-    assert mel.shape == (1, 2, 17, 64)
+    # target frames: 4*5 - 3 = 17; tiny mel bins 8
+    assert mel.shape == (1, 2, 17, AV_CFG.mel_bins)
     assert np.isfinite(np.asarray(mel)).all()
 
 
@@ -41,7 +42,8 @@ def test_audio_causal_conv_time_causality():
 def test_vocoder_upsample_ratio_and_range():
     params = audio_vae.init_vocoder_params(jax.random.key(4), VOC_CFG)
     t_mel = 8
-    mel = jax.random.normal(jax.random.key(5), (1, 2, t_mel, 64))
+    mel = jax.random.normal(jax.random.key(5),
+                            (1, 2, t_mel, VOC_CFG.in_channels // 2))
     wav = audio_vae.vocoder_forward(params, mel, VOC_CFG)
     factor = int(np.prod(VOC_CFG.upsample_factors))
     assert wav.shape == (1, 2, t_mel * factor)
@@ -161,14 +163,16 @@ def test_audio_vae_weight_loading():
         if has_up:
             conv(f"decoder.up.{i}.upsample.conv", co, co)
     conv("decoder.conv_out", cfg.base_channels, 2)
-    t["latents_mean"] = np.zeros((128,), np.float32)
-    t["latents_std"] = np.ones((128,), np.float32)
+    pack = cfg.latent_channels * cfg.mel_latent_bins
+    t["latents_mean"] = np.zeros((pack,), np.float32)
+    t["latents_std"] = np.ones((pack,), np.float32)
     t["encoder.conv_in.conv.weight"] = np.zeros((4, 4, 3, 3), np.float32)
 
     params = audio_vae.load_audio_vae_params(t)
-    latents = jax.random.normal(jax.random.key(7), (1, 8, 3, 16))
+    latents = jax.random.normal(jax.random.key(7),
+                                (1, 8, 3, cfg.mel_latent_bins))
     mel = audio_vae.audio_vae_decode(params, latents, cfg)
-    assert mel.shape == (1, 2, 9, 64)
+    assert mel.shape == (1, 2, 9, cfg.mel_bins)
 
 
 def test_vocoder_weight_loading():
