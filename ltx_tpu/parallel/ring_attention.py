@@ -1,0 +1,114 @@
+"""Sequence-parallel ring attention.
+
+The reference has NO sequence parallelism — its only long-video mechanisms
+are VAE decode tiling and memory pacing, and its DiT always attends over the
+full token sequence on one device (SURVEY.md §5.7). This module is new
+TPU-first capability: shard the video token axis across the mesh and rotate
+K/V (+ key bias) around the ring with `jax.lax.ppermute`, merging partial
+attention with flash-style running (m, l, acc) statistics. Attention memory
+and K/V residency become O(T / n_devices) per chip; compute overlaps the
+ICI transfers across ring steps.
+
+Use under `jax.shard_map` with q/k/v sharded on the sequence axis:
+
+    attn = shard_map(
+        lambda q, k, v: ring_attention(q, k, v, axis_name="seq"),
+        mesh=mesh,
+        in_specs=P(None, None, "seq", None),
+        out_specs=P(None, None, "seq", None),
+    )(q, k, v)
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def ring_attention(q, k, v, axis_name: str, bias=None,
+                   scale: Optional[float] = None):
+    """Full (non-causal) attention with sequence-sharded q/k/v.
+
+    q: (B, H, Tq_local, D); k, v: (B, H, Tk_local, D) — the LOCAL shards.
+    bias: optional (B, Tk_local) additive key bias shard (rotates with k/v).
+    Returns (B, H, Tq_local, D) in q.dtype.
+    """
+    n = lax.psum(1, axis_name)
+    d = q.shape[-1]
+    if scale is None:
+        scale = d**-0.5
+
+    qf = q.astype(jnp.float32) * jnp.float32(scale)
+    b, h, tq, _ = q.shape
+
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    def partial_attn(kv_bias):
+        k_blk, v_blk, bias_blk = kv_bias
+        s = jnp.einsum("bhqd,bhkd->bhqk", qf, k_blk.astype(jnp.float32),
+                       preferred_element_type=jnp.float32)
+        if bias_blk is not None:
+            s = s + bias_blk[:, None, None, :].astype(jnp.float32)
+        m_cur = jnp.max(s, axis=-1)                      # (B, H, Tq)
+        p = jnp.exp(s - m_cur[..., None])
+        l_cur = jnp.sum(p, axis=-1)
+        pv = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v_blk.dtype), v_blk,
+                        preferred_element_type=jnp.float32)
+        return m_cur, l_cur, pv
+
+    def body(i, carry):
+        m, l, acc, k_blk, v_blk, bias_blk = carry
+        m_cur, l_cur, pv = partial_attn((k_blk, v_blk, bias_blk))
+        m_new = jnp.maximum(m, m_cur)
+        alpha = jnp.exp(m - m_new)
+        beta = jnp.exp(m_cur - m_new)
+        l_new = l * alpha + l_cur * beta
+        acc_new = acc * alpha[..., None] + pv * beta[..., None]
+        # rotate K/V (+bias) to the next device; skip after the last block
+        k_nxt = lax.ppermute(k_blk, axis_name, perm)
+        v_nxt = lax.ppermute(v_blk, axis_name, perm)
+        b_nxt = (lax.ppermute(bias_blk, axis_name, perm)
+                 if bias_blk is not None else None)
+        return m_new, l_new, acc_new, k_nxt, v_nxt, b_nxt
+
+    m0 = jnp.full((b, h, tq), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((b, h, tq), jnp.float32)
+    acc0 = jnp.zeros((b, h, tq, d), jnp.float32)
+
+    # unrolled python loop over ring steps: n is static under shard_map
+    carry = (m0, l0, acc0, k, v, bias)
+    for i in range(n):
+        carry = body(i, carry)
+    m, l, acc = carry[0], carry[1], carry[2]
+    safe_l = jnp.where(l == 0, 1.0, l)
+    return (acc / safe_l[..., None]).astype(q.dtype)
+
+
+def sequence_parallel_sdpa(q, k, v, mesh, bias=None,
+                           scale: Optional[float] = None,
+                           seq_axis: str = "model"):
+    """Convenience wrapper: shard (B, H, T, D) q/k/v over `seq_axis` of the
+    mesh and run ring attention via shard_map. Intended for the 10k-20k token
+    stage-2 / 241-frame configs where one chip's attention working set is the
+    bottleneck.
+    """
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    qkv_spec = P(None, None, seq_axis, None)
+    specs_in = (qkv_spec, qkv_spec, qkv_spec)
+    args = (q, k, v)
+    if bias is not None:
+        specs_in = specs_in + (P(None, seq_axis),)
+        args = args + (bias,)
+        fn = lambda q_, k_, v_, b_: ring_attention(
+            q_, k_, v_, axis_name=seq_axis, bias=b_, scale=scale)
+    else:
+        fn = lambda q_, k_, v_: ring_attention(
+            q_, k_, v_, axis_name=seq_axis, scale=scale)
+
+    return shard_map(fn, mesh=mesh, in_specs=specs_in, out_specs=qkv_spec)(
+        *args)

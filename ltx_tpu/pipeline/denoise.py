@@ -341,13 +341,21 @@ def run_denoise_loop(
     sigmas: np.ndarray,
     key=None,
     on_step=None,
+    checkpoint=None,
+    seed: int = 0,
 ):
     """Drive the compiled step over the host-side sigma schedule.
 
     The loop is host-side (progress callbacks, per-step timing) but each
     iteration is a single device program; sigma values are traced so every
     step shares the first compilation.
+
+    checkpoint: optional utils.diagnostics.DenoiseCheckpoint — persists the
+    latent every N steps and resumes an interrupted run exactly (PRNG key
+    splits are fast-forwarded so resumed noise draws match).
     """
+    from ltx_tpu.utils.diagnostics import diag_stats
+
     # the step donates its latent input; copy so the caller's array survives
     latent = jnp.array(latent)
     velocity = jnp.zeros_like(latent)
@@ -355,13 +363,30 @@ def run_denoise_loop(
     if key is None:
         key = jax.random.key(0)
     num_steps = len(sigmas) - 1
+
+    resume_from = -1
+    if checkpoint is not None:
+        state = checkpoint.load()
+        if (state is not None
+                and np.shape(state["sigmas"]) == np.shape(sigmas)
+                and np.allclose(state["sigmas"], sigmas)):
+            latent = jnp.asarray(state["latent"])
+            velocity = jnp.asarray(state["velocity"])
+            resume_from = state["step"]
+            has_prev = jnp.asarray(True)
+
     for i in range(num_steps):
-        key, sub = jax.random.split(key)
+        key, sub = jax.random.split(key)  # advance even when skipping
+        if i <= resume_from:
+            continue
         latent, velocity = step_fn(
             latent, float(sigmas[i]), float(sigmas[i + 1]), velocity,
             has_prev, sub,
         )
         has_prev = jnp.asarray(True)
+        if checkpoint is not None:
+            checkpoint.save(i, latent, velocity, sigmas, seed)
+        diag_stats(f"denoise step {i} latent", latent)
         if on_step is not None:
             latent.block_until_ready()
             on_step(i, num_steps, float(sigmas[i]))
