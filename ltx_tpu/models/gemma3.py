@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+from ltx_tpu.kernels.quantization import linear_any
 from ltx_tpu.ops.attention import sdpa
 
 
@@ -192,12 +193,9 @@ def _attention(p, x, bias, cos, sin, cfg: Gemma3Config, kv_cache=None,
     b, t, _ = x.shape
     nh, nkv, hd = cfg.attention_heads, cfg.kv_heads, cfg.head_dim
 
-    q = jnp.dot(x, p["q_proj"]["w"], preferred_element_type=jnp.float32
-                ).astype(x.dtype)
-    k = jnp.dot(x, p["k_proj"]["w"], preferred_element_type=jnp.float32
-                ).astype(x.dtype)
-    v = jnp.dot(x, p["v_proj"]["w"], preferred_element_type=jnp.float32
-                ).astype(x.dtype)
+    q = linear_any(p["q_proj"], x)
+    k = linear_any(p["k_proj"], x)
+    v = linear_any(p["v_proj"], x)
 
     q = q.reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
     k = k.reshape(b, t, nkv, hd).transpose(0, 2, 1, 3)
@@ -220,20 +218,16 @@ def _attention(p, x, bias, cos, sin, cfg: Gemma3Config, kv_cache=None,
     scale = cfg.query_pre_attn_scalar**-0.5
     out = sdpa(q, k, v, bias=bias, scale=scale)
     out = out.transpose(0, 2, 1, 3).reshape(b, t, nh * hd)
-    out = jnp.dot(out, p["o_proj"]["w"], preferred_element_type=jnp.float32
-                  ).astype(x.dtype)
+    out = linear_any(p["o_proj"], out)
     return out, new_cache
 
 
 def _mlp(p, x):
     """down(gelu_tanh(gate) * up) (reference: Gemma3Model.swift:115-130)."""
-    gate = jnp.dot(x, p["gate_proj"]["w"], preferred_element_type=jnp.float32
-                   ).astype(x.dtype)
-    up = jnp.dot(x, p["up_proj"]["w"], preferred_element_type=jnp.float32
-                 ).astype(x.dtype)
+    gate = linear_any(p["gate_proj"], x)
+    up = linear_any(p["up_proj"], x)
     h = jax.nn.gelu(gate, approximate=True) * up
-    return jnp.dot(h, p["down_proj"]["w"], preferred_element_type=jnp.float32
-                   ).astype(x.dtype)
+    return linear_any(p["down_proj"], h)
 
 
 def _decoder_layer(p, x, bias, cos, sin, cfg: Gemma3Config, kv_cache=None,

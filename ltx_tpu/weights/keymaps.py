@@ -610,13 +610,43 @@ def _maybe_dequant_mlx_4bit(tensors: Tensors, key: str,
     return w.reshape(o, d_in)
 
 
+def _repack_mlx_4bit(tensors: Tensors, key: str, bits: int = 4):
+    """MLX-quantized (out, in) weight -> our int4 linear pytree, EXACTLY
+    (same grouping transposed; no dequant round-trip, zero extra error).
+
+    MLX: w[o,i] = q * scales[o, i//g] + biases[o, i//g], q packed
+    little-endian in uint32. Ours: w[i,o] = q * scale[i//g, o] + bias[i//g, o],
+    two nibbles per uint8 along the input axis.
+    """
+    packed = tensors[f"{key}.weight"].astype(np.uint32)
+    scales = tensors[f"{key}.scales"]
+    biases = tensors[f"{key}.biases"]
+    per_word = 32 // bits
+    o, iw = packed.shape
+    q = np.zeros((o, iw * per_word), np.uint8)
+    mask = (1 << bits) - 1
+    for n in range(per_word):
+        q[:, n::per_word] = ((packed >> (n * bits)) & mask).astype(np.uint8)
+    qt = np.ascontiguousarray(q.T)  # (in, out)
+    return {
+        "w_q4": jnp.asarray(qt[0::2] | (qt[1::2] << 4)),
+        "scale": jnp.asarray(np.ascontiguousarray(scales.T), jnp.float32),
+        "bias": jnp.asarray(np.ascontiguousarray(biases.T), jnp.float32),
+    }
+
+
 def load_gemma_params(tensors: Tensors, num_layers: int,
-                      quant_group_size: int = 64, quant_bits: int = 4) -> dict:
+                      quant_group_size: int = 64, quant_bits: int = 4,
+                      keep_quantized: bool = True) -> dict:
     """HF/MLX Gemma-3 weights -> models/gemma3.py stacked pytree.
 
     Sanitize rules (reference: Gemma3Model.swift:347-370): strip
-    `language_model.` VLM prefix, drop `lm_head`, f32 -> bf16; MLX 4-bit QAT
-    weights (``.scales`` present) are dequantized to bf16.
+    `language_model.` VLM prefix, drop `lm_head`, f32 -> bf16. MLX 4-bit QAT
+    weights (``.scales`` present) REPACK losslessly into our int4 layout by
+    default — Gemma-3-12B bf16 is ~24 GB, over one v5e chip's HBM, so the
+    model must stay quantized at runtime (the reference likewise runs it
+    4-bit, LTXPipeline.swift:246). Embeddings dequantize to bf16 (gather
+    needs a dense table; ~2 GB).
     """
     src: Tensors = {}
     has_lm_prefix = any(k.startswith("language_model.") for k in tensors)
@@ -631,6 +661,8 @@ def load_gemma_params(tensors: Tensors, num_layers: int,
 
     def dense(prefix: str):
         if f"{prefix}.scales" in src:
+            if keep_quantized:
+                return _repack_mlx_4bit(src, prefix, quant_bits)
             w = _maybe_dequant_mlx_4bit(src, prefix, quant_group_size,
                                         quant_bits)
         else:
