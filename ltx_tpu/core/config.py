@@ -208,6 +208,26 @@ class MemoryConfig:
     remat_blocks: bool = False  # jax.checkpoint over the DiT block scan
     offload_text_encoder: bool = True  # drop Gemma weights after encoding
 
+    @classmethod
+    def preset(cls, name: str) -> "MemoryConfig":
+        """Presets mirroring the reference's disabled/light/moderate/
+        aggressive tiers (MemoryOptimizationConfig.swift:69-121), translated
+        to the TPU knobs that actually matter here."""
+        presets = {
+            "disabled": cls(vae_tile_size=0, remat_blocks=False,
+                            offload_text_encoder=False),
+            "light": cls(vae_tile_size=0, remat_blocks=False,
+                         offload_text_encoder=True),
+            "moderate": cls(vae_tile_size=8, vae_tile_overlap=1,
+                            remat_blocks=False, offload_text_encoder=True),
+            "aggressive": cls(vae_tile_size=6, vae_tile_overlap=1,
+                              remat_blocks=True, offload_text_encoder=True),
+        }
+        if name not in presets:
+            raise ValueError(f"unknown memory preset: {name} "
+                             f"(choose from {sorted(presets)})")
+        return presets[name]
+
 
 @dataclasses.dataclass(frozen=True)
 class SchedulerConfig:

@@ -60,6 +60,9 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--fps", type=float, default=24.0)
     g.add_argument("--vae-tile-size", type=int, default=0)
     g.add_argument("--vae-tile-overlap", type=int, default=1)
+    g.add_argument("--memory", choices=["disabled", "light", "moderate",
+                                        "aggressive"], default=None,
+                   help="Memory preset (overrides the vae-tile flags)")
     g.add_argument("--debug", action="store_true")
     g.add_argument("--profile", action="store_true")
     g.add_argument("--dry-run", action="store_true")
@@ -124,10 +127,13 @@ def cmd_generate(args) -> int:
     from ltx_tpu.core.config import LTXModel, MemoryConfig, QuantizationConfig
     from ltx_tpu.pipeline.loader import load_pipeline
 
-    memory = MemoryConfig(
-        vae_tile_size=args.vae_tile_size,
-        vae_tile_overlap=args.vae_tile_overlap,
-    )
+    if args.memory:
+        memory = MemoryConfig.preset(args.memory)
+    else:
+        memory = MemoryConfig(
+            vae_tile_size=args.vae_tile_size,
+            vae_tile_overlap=args.vae_tile_overlap,
+        )
     pipe = load_pipeline(
         model=LTXModel(args.model),
         models_dir=args.models_dir,
@@ -140,6 +146,7 @@ def cmd_generate(args) -> int:
         lora_scale=args.lora_scale,
         distilled_lora=args.distilled_lora,
         include_audio=args.audio,
+        include_upscaler=args.two_stage,
     )
 
     image_latent = None

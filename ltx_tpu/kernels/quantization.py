@@ -9,17 +9,28 @@ INPUT dimension, asymmetric affine (scale + bias per group):
     w ~= w_q * scale[g] + bias[g],   w_q in [0, 2^bits - 1]
 
 Storage is a pytree of arrays only (jit-friendly): int8 uses key "w_q"
-(uint8, (in, out)); int4 uses key "w_q4" (uint8, (in/2, out), two nibbles
-per byte along the input axis). Group size is derived from the scale shape,
-so everything is static at trace time. Matmuls dequantize inside the jitted
-step — XLA fuses the dequant into the dot's operand load, so HBM traffic is
-the quantized bytes (the op is bandwidth-bound, which is the whole point).
+(uint8, (in, out)); int4 uses key "w_q4" (uint8, (in/2, out)) with
+BLOCK-PLANE packing: within each PACK_BLOCK=256 input rows, byte row r holds
+q[r] in the low nibble and q[r + 128] in the high nibble. The unpack is then
+a sublane CONCAT (fast on TPU) instead of a row interleave (slow), both in
+XLA and inside the Pallas matmul kernel. Group size derives from the scale
+shape, so everything is static at trace time.
+
+int4 matmuls route through a fused Pallas kernel on TPU (dequant per weight
+tile in VMEM): 7.3 ms vs 10.1 ms XLA-dequant and 7.9 ms plain bf16 for a
+6144x4096 @ 4096x16384 — the kernel reads 4x less weight HBM.
 """
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+PACK_BLOCK = 256  # divides every DiT (4096/16384) and Gemma (3840/15360) dim
 
 
 def quantize_weight(w, bits: int = 8, group_size: int = 64):
@@ -41,10 +52,36 @@ def quantize_weight(w, bits: int = 8, group_size: int = 64):
     if bits == 8:
         out["w_q"] = q8
     elif bits == 4:
-        out["w_q4"] = (q8[0::2] | (q8[1::2] << 4)).astype(jnp.uint8)
+        out["w_q4"] = pack_int4(q8)
     else:
         raise ValueError(f"unsupported bits: {bits}")
     return out
+
+
+def _effective_pack_block(d_in: int) -> int:
+    """PACK_BLOCK when it divides d_in; else the whole dim (single plane).
+    Both pack and unpack apply the same rule, so the format is self-
+    describing from shapes alone."""
+    return PACK_BLOCK if d_in % PACK_BLOCK == 0 else d_in
+
+
+def pack_int4(q8):
+    """(in, out) uint8 values [0,15] -> (in/2, out) block-plane packed."""
+    d_in, d_out = q8.shape
+    blk = _effective_pack_block(d_in)
+    half = blk // 2
+    qb = q8.reshape(d_in // blk, blk, d_out)
+    return (qb[:, :half] | (qb[:, half:] << 4)).reshape(d_in // 2, d_out)
+
+
+def unpack_int4(packed, dtype=jnp.float32):
+    """Inverse of pack_int4 -> (in, out) values."""
+    d2, d_out = packed.shape
+    half = _effective_pack_block(d2 * 2) // 2
+    pb = packed.reshape(d2 // half, half, d_out)
+    lo = (pb & 0x0F).astype(dtype)
+    hi = (pb >> 4).astype(dtype)
+    return jnp.concatenate([lo, hi], axis=1).reshape(d2 * 2, d_out)
 
 
 def _unpack(qp):
@@ -52,11 +89,7 @@ def _unpack(qp):
     if "w_q" in qp:
         q = qp["w_q"].astype(jnp.float32)
     else:
-        packed = qp["w_q4"]
-        lo = (packed & 0x0F).astype(jnp.float32)
-        hi = (packed >> 4).astype(jnp.float32)
-        d2, d_out = packed.shape
-        q = jnp.stack([lo, hi], axis=1).reshape(d2 * 2, d_out)
+        q = unpack_int4(qp["w_q4"], jnp.float32)
     group = q.shape[0] // qp["scale"].shape[0]
     return q, group
 
@@ -74,6 +107,114 @@ def is_quantized(p) -> bool:
     return isinstance(p, dict) and ("w_q" in p or "w_q4" in p)
 
 
+# ---------------------------------------------------------------------------
+# Fused Pallas int4 matmul (dequant per weight tile in VMEM)
+# ---------------------------------------------------------------------------
+
+
+def _int4_matmul_kernel(x_ref, wq_ref, scale_ref, bias_ref, o_ref, acc_ref,
+                        *, nk, group):
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    packed = wq_ref[:].astype(jnp.int32)      # (bk/2, bn)
+    half = PACK_BLOCK // 2
+    d2, bn = packed.shape
+    pb = packed.reshape(d2 // half, half, bn)
+    lo = (pb & 0x0F).astype(jnp.float32)
+    hi = (pb >> 4).astype(jnp.float32)
+    q = jnp.concatenate([lo, hi], axis=1).reshape(d2 * 2, bn)
+
+    bk = d2 * 2
+    # scale/bias arrive pre-reshaped to (nk, groups_per_block, N) so the
+    # block covers the full sublane dim (arbitrary gpb like 12 can't be
+    # dynamically sliced with sublane alignment).
+    s = scale_ref[0]
+    b = bias_ref[0]
+    qg = q.reshape(bk // group, group, bn)
+    w = (qg * s[:, None] + b[:, None]).reshape(bk, bn).astype(jnp.bfloat16)
+
+    acc_ref[:] += jax.lax.dot(x_ref[:], w, preferred_element_type=jnp.float32)
+
+    @pl.when(ki == nk - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+def _pick_block(dim: int, candidates) -> int:
+    for c in candidates:
+        if dim % c == 0:
+            return c
+    return 0
+
+
+@functools.partial(jax.jit, static_argnames=("bm", "bk", "bn"))
+def _int4_matmul_2d(x, wq, scale, bias, bm: int, bk: int, bn: int):
+    m, k = x.shape
+    n = wq.shape[1]
+    group = k // scale.shape[0]
+    nk = k // bk
+    gpb = bk // group
+    scale3 = scale.reshape(nk, gpb, n)
+    bias3 = bias.reshape(nk, gpb, n)
+    return pl.pallas_call(
+        functools.partial(_int4_matmul_kernel, nk=nk, group=group),
+        grid=(m // bm, n // bn, nk),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk)),
+            pl.BlockSpec((bk // 2, bn), lambda i, j, kk: (kk, j)),
+            pl.BlockSpec((1, gpb, bn), lambda i, j, kk: (kk, 0, j)),
+            pl.BlockSpec((1, gpb, bn), lambda i, j, kk: (kk, 0, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.bfloat16),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(x, wq, scale3, bias3)
+
+
+def int4_matmul(qp, x):
+    """x (..., K) @ int4 weights -> (..., N) via the fused Pallas kernel.
+
+    Pads the token dim to the block size; requires K and N to tile by the
+    PACK_BLOCK-aligned block candidates (all LTX/Gemma dims do).
+    """
+    k = x.shape[-1]
+    n = qp["w_q4"].shape[1]
+    bk = _pick_block(k, (1024, 768, 512, 256))
+    bn = _pick_block(n, (1024, 768, 512, 256))
+    lead = x.shape[:-1]
+    m = 1
+    for d in lead:
+        m *= d
+    x2 = x.reshape(m, k).astype(jnp.bfloat16)
+    bm = _pick_block(m, (512, 256, 128))
+    if not (bk and bn):
+        raise ValueError(f"int4_matmul cannot tile K={k} N={n}")
+    if not bm:
+        pad = (-m) % 128
+        x2 = jnp.pad(x2, ((0, pad), (0, 0)))
+        bm = _pick_block(m + pad, (512, 256, 128))
+    out = _int4_matmul_2d(x2, qp["w_q4"], qp["scale"], qp["bias"], bm, bk, bn)
+    out = out[:m].reshape(*lead, n)
+    return out
+
+
+def _use_pallas_int4(p, x) -> bool:
+    if "w_q4" not in p or jax.default_backend() != "tpu":
+        return False
+    k = x.shape[-1]
+    n = p["w_q4"].shape[1]
+    return bool(_pick_block(k, (1024, 768, 512, 256))
+                and _pick_block(n, (1024, 768, 512, 256))
+                and k % PACK_BLOCK == 0)
+
+
 def linear_any(p, x):
     """Apply a linear that may be quantized ({"w_q"|"w_q4", scale, bias, b?})
     or plain ({"w", b?}); f32 accumulation either way.
@@ -82,6 +223,11 @@ def linear_any(p, x):
     sees the per-layer slice, so shapes here are always 2D.
     """
     if is_quantized(p):
+        if _use_pallas_int4(p, x):
+            out = int4_matmul(p, x).astype(x.dtype)
+            if "b" in p:
+                out = out + p["b"].astype(x.dtype)
+            return out
         w = dequantize_weight(p, jnp.bfloat16).astype(x.dtype)
         if "w_q" in p:
             # int8 only: without the barrier XLA fuses the dequant into the

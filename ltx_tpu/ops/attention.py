@@ -24,6 +24,19 @@ from jax import lax
 
 _PALLAS_MIN_SEQ = 1024  # below this, XLA's fused softmax-attention is fine
 
+# Sequence-parallel context: set by the pipeline when a mesh is active so
+# sdpa(impl="ring") can route self-attention through ring attention without
+# threading the mesh through every model signature.
+_SP_CONTEXT = {"mesh": None, "axis": "model"}
+
+
+def set_sequence_parallel(mesh, axis: str = "model"):
+    """Enable (mesh) or disable (None) ring-attention dispatch for
+    sdpa(impl='ring'). Self-attention shards the token axis; cross-attention
+    (tq != tk) keeps replicated text keys and falls back to XLA."""
+    _SP_CONTEXT["mesh"] = mesh
+    _SP_CONTEXT["axis"] = axis
+
 
 def _xla_sdpa(q, k, v, bias=None, scale=None):
     """(B, H, Tq, D) x (B, H, Tk, D) attention with f32 softmax."""
@@ -57,6 +70,15 @@ def sdpa(q, k, v, bias=None, scale: Optional[float] = None, impl: str = "auto"):
         v = jnp.repeat(v, rep, axis=1)
 
     if impl == "xla":
+        return _xla_sdpa(q, k, v, bias=bias, scale=scale)
+
+    if impl == "ring":
+        mesh = _SP_CONTEXT["mesh"]
+        if mesh is not None and q.shape[2] == k.shape[2] and bias is None:
+            from ltx_tpu.parallel.ring_attention import sequence_parallel_sdpa
+
+            return sequence_parallel_sdpa(q, k, v, mesh, scale=scale,
+                                          seq_axis=_SP_CONTEXT["axis"])
         return _xla_sdpa(q, k, v, bias=bias, scale=scale)
 
     if impl in ("pallas", "auto"):

@@ -228,9 +228,22 @@ class LTXPipeline:
         config: GenerationConfig,
         on_progress=None,
         image_latent=None,
+        precomputed_embeddings=None,
+        initial_noise=None,
+        checkpoint=None,
     ) -> VideoGenerationResult:
         """T2V single-stage (reference: LTXPipeline.swift:586-1040), or I2V
         when `image_latent` (1, 128, 1, H', W') normalized latent is given.
+
+        Parity-injection hooks (the reference's own validation methodology,
+        SURVEY.md §4, generalized to noise):
+          precomputed_embeddings: {"video": (1,S,D), "mask": (1,S),
+            optionally "neg_video"/"neg_mask"} — bypass the text encoder and
+            feed reference-produced embeddings to isolate the transformer.
+          initial_noise: (1, C, F', H', W') float32 — bypass jax PRNG so
+            per-step latents can be diffed against reference [DIAG] logs
+            (MLX Philox != JAX threefry; injection is the only exact path).
+          checkpoint: utils.diagnostics.DenoiseCheckpoint for resumable runs.
         """
         config.validate()
         total_start = time.time()
@@ -252,12 +265,20 @@ class LTXPipeline:
 
         # --- text encoding phase
         t0 = time.time()
-        pos = self.encode_prompt(prompt)
-        neg = None
-        if guidance.use_cfg:
-            neg = self.encode_prompt(
-                config.negative_prompt or DEFAULT_NEGATIVE_PROMPT
-            )
+        if precomputed_embeddings is not None:
+            pos = {"video": jnp.asarray(precomputed_embeddings["video"]),
+                   "mask": jnp.asarray(precomputed_embeddings["mask"])}
+            neg = None
+            if guidance.use_cfg:
+                neg = {"video": jnp.asarray(precomputed_embeddings["neg_video"]),
+                       "mask": jnp.asarray(precomputed_embeddings["neg_mask"])}
+        else:
+            pos = self.encode_prompt(prompt)
+            neg = None
+            if guidance.use_cfg:
+                neg = self.encode_prompt(
+                    config.negative_prompt or DEFAULT_NEGATIVE_PROMPT
+                )
         timings.text_encoding = time.time() - t0
         if self.memory.offload_text_encoder:
             self.offload_text_encoder()
@@ -278,7 +299,10 @@ class LTXPipeline:
             config.num_steps, distilled=self.is_distilled,
             token_count=shape.token_count,
         )
-        latent = generate_noise(nkey, shape) * float(sigmas[0])
+        if initial_noise is not None:
+            latent = jnp.asarray(initial_noise, jnp.float32) * float(sigmas[0])
+        else:
+            latent = generate_noise(nkey, shape) * float(sigmas[0])
 
         conditioning_mask = None
         if image_latent is not None:
@@ -309,7 +333,8 @@ class LTXPipeline:
         on_step.t0 = time.time()
         key, dkey = jax.random.split(key)
         latent = run_denoise_loop(step_fn, latent, sigmas, key=dkey,
-                                  on_step=on_step)
+                                  on_step=on_step, checkpoint=checkpoint,
+                                  seed=seed)
 
         # --- VAE decode phase
         t0 = time.time()

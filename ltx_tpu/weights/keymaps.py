@@ -627,9 +627,11 @@ def _repack_mlx_4bit(tensors: Tensors, key: str, bits: int = 4):
     mask = (1 << bits) - 1
     for n in range(per_word):
         q[:, n::per_word] = ((packed >> (n * bits)) & mask).astype(np.uint8)
+    from ltx_tpu.kernels.quantization import pack_int4
+
     qt = np.ascontiguousarray(q.T)  # (in, out)
     return {
-        "w_q4": jnp.asarray(qt[0::2] | (qt[1::2] << 4)),
+        "w_q4": jnp.asarray(pack_int4(qt)),
         "scale": jnp.asarray(np.ascontiguousarray(scales.T), jnp.float32),
         "bias": jnp.asarray(np.ascontiguousarray(biases.T), jnp.float32),
     }

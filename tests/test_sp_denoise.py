@@ -1,0 +1,62 @@
+"""Sequence-parallel denoise step: ring attention inside the DiT forward."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ltx_tpu.ops.attention import set_sequence_parallel
+from ltx_tpu.parallel.sharding import make_mesh
+from ltx_tpu.pipeline.denoise import GuidanceSpec, make_denoise_step
+from ltx_tpu.pipeline.generate import LTXPipeline
+from ltx_tpu.ops.latents import VideoLatentShape
+
+
+@pytest.fixture()
+def sp_mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(data=1, model=8)
+    set_sequence_parallel(mesh)
+    yield mesh
+    set_sequence_parallel(None)
+
+
+def test_sp_denoise_matches_unsharded(sp_mesh):
+    pipe = LTXPipeline.random_tiny(seed=0)
+    # token count divisible by 8: (F, H, W) = (2, 4, 4) -> 32 tokens
+    shape = VideoLatentShape(1, pipe.tcfg.in_channels, 2, 4, 4)
+    g = GuidanceSpec(False, 1.0, 0.0, 0.0, (29,), 0.0, 1.0)
+    ctx = jnp.ones((1, 8, pipe.tcfg.caption_channels), jnp.bfloat16)
+    latent = jax.random.normal(jax.random.key(0), shape.shape)
+    vel = jnp.zeros_like(latent)
+
+    step_ring = make_denoise_step(pipe.transformer_params, pipe.tcfg, g,
+                                  shape, ctx, None, sdpa_impl="ring")
+    out_ring, _ = step_ring(jnp.array(latent), 0.9, 0.5, vel,
+                            jnp.asarray(False), jax.random.key(1))
+
+    set_sequence_parallel(None)
+    step_base = make_denoise_step(pipe.transformer_params, pipe.tcfg, g,
+                                  shape, ctx, None, sdpa_impl="xla")
+    out_base, _ = step_base(jnp.array(latent), 0.9, 0.5, vel,
+                            jnp.asarray(False), jax.random.key(1))
+
+    np.testing.assert_allclose(
+        np.asarray(out_ring, np.float32), np.asarray(out_base, np.float32),
+        atol=2e-2, rtol=2e-2,
+    )
+
+
+def test_ring_impl_without_mesh_falls_back():
+    set_sequence_parallel(None)
+    pipe = LTXPipeline.random_tiny(seed=0)
+    shape = VideoLatentShape(1, pipe.tcfg.in_channels, 2, 2, 2)
+    g = GuidanceSpec(False, 1.0, 0.0, 0.0, (29,), 0.0, 1.0)
+    ctx = jnp.ones((1, 8, pipe.tcfg.caption_channels), jnp.bfloat16)
+    step = make_denoise_step(pipe.transformer_params, pipe.tcfg, g, shape,
+                             ctx, None, sdpa_impl="ring")
+    latent = jax.random.normal(jax.random.key(0), shape.shape)
+    out, _ = step(latent, 0.9, 0.5, jnp.zeros_like(latent),
+                  jnp.asarray(False), jax.random.key(1))
+    assert np.isfinite(np.asarray(out)).all()
