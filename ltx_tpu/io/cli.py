@@ -204,15 +204,44 @@ def cmd_download(args) -> int:
 
 
 def cmd_info(args) -> int:
+    from pathlib import Path
+
     import jax
 
     import ltx_tpu
+    from ltx_tpu.core.config import LTXModel
     from ltx_tpu.weights.download import default_models_dir
 
     print(f"ltx-tpu {ltx_tpu.__version__}")
     print(f"jax {jax.__version__} | backend {jax.default_backend()} | "
           f"devices {len(jax.devices())}")
-    print(f"models dir: {args.models_dir or default_models_dir()}")
+    base = Path(args.models_dir or default_models_dir())
+    print(f"models dir: {base}")
+
+    # cached components (reference: ModelDownloader layout)
+    components = {
+        "gemma (text encoder)": base / "vlm-gemma",
+        "ltx-distilled unified": base / "ltx-distilled"
+        / LTXModel.DISTILLED.unified_weights_filename,
+        "ltx-dev unified": base / "ltx-dev"
+        / LTXModel.DEV.unified_weights_filename,
+        "upscaler": base / "ltx-upscaler",
+        "distilled LoRA": base / "ltx-lora",
+        "audio VAE": base / "ltx-audio-vae",
+        "vocoder": base / "ltx-vocoder",
+    }
+    for name, path in components.items():
+        status = "cached" if path.exists() else "not downloaded"
+        print(f"  {name}: {status}")
+
+    # model recommendation by device memory (reference: LTXModelRegistry
+    # recommends by RAM; on TPU the analog is HBM per chip)
+    n = len(jax.devices())
+    if n >= 2:
+        print("recommended: dev or distilled bf16 with TP over the mesh")
+    else:
+        print("recommended: distilled with --transformer-quant int4 "
+              "(19B bf16 exceeds one chip's HBM)")
     return 0
 
 
