@@ -1,0 +1,72 @@
+"""CLI flag surface: parsing, config mapping, dry-run validation."""
+
+import pytest
+
+from ltx_tpu.io.cli import _generation_config, build_parser, main
+
+
+def parse(argv):
+    return build_parser().parse_args(argv)
+
+
+def test_generate_defaults():
+    args = parse(["generate", "a cat"])
+    assert args.prompt == "a cat"
+    assert (args.width, args.height, args.frames) == (512, 512, 25)
+    assert args.model == "distilled"
+    cfg = _generation_config(args)
+    assert cfg.num_steps == 8 and cfg.cfg_scale == 1.0  # distilled defaults
+
+
+def test_dev_model_defaults():
+    args = parse(["generate", "x", "-m", "dev"])
+    cfg = _generation_config(args)
+    assert cfg.num_steps == 40 and cfg.cfg_scale == 4.0
+
+
+def test_flag_mapping():
+    args = parse([
+        "generate", "x", "-w", "768", "-H", "512", "-f", "121",
+        "--seed", "42", "--stg-scale", "0.5", "--stg-blocks", "28,29",
+        "--guidance-rescale", "0.7", "--cross-attn-scale", "1.2",
+        "--ge-gamma", "0.3", "--two-stage", "--enhance-prompt",
+        "--image", "/tmp/x.png", "--image-cond-noise", "0.2",
+        "--negative-prompt", "blurry", "--fps", "30",
+    ])
+    cfg = _generation_config(args)
+    assert (cfg.width, cfg.height, cfg.num_frames) == (768, 512, 121)
+    assert cfg.seed == 42
+    assert cfg.stg_scale == 0.5 and cfg.stg_blocks == (28, 29)
+    assert cfg.guidance_rescale == 0.7
+    assert cfg.cross_attention_scale == 1.2
+    assert cfg.ge_gamma == 0.3
+    assert cfg.two_stage and cfg.enhance_prompt
+    assert cfg.image_path == "/tmp/x.png"
+    assert cfg.image_cond_noise_scale == 0.2
+    assert cfg.negative_prompt == "blurry"
+    assert cfg.fps == 30.0
+
+
+def test_dry_run_exit_codes():
+    assert main(["generate", "a cat", "--dry-run", "-w", "256", "-H", "256",
+                 "-f", "9"]) == 0
+    assert main(["generate", "a cat", "--dry-run", "-w", "100"]) == 2
+
+
+def test_quant_choices():
+    args = parse(["generate", "x", "--transformer-quant", "int4"])
+    assert args.transformer_quant == "int4"
+    with pytest.raises(SystemExit):
+        parse(["generate", "x", "--transformer-quant", "fp8"])
+
+
+def test_memory_preset_flag():
+    args = parse(["generate", "x", "--memory", "aggressive"])
+    assert args.memory == "aggressive"
+
+
+def test_download_and_info_subcommands():
+    d = parse(["download", "-m", "dev", "--force", "--audio"])
+    assert d.model == "dev" and d.force and d.audio
+    i = parse(["info"])
+    assert i.command == "info"
