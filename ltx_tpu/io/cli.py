@@ -82,13 +82,27 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def _generation_config(args):
-    from ltx_tpu.core.config import GenerationConfig, LTXModel
+def _effective_model(args):
+    """--distilled-lora forces the dev model (the LoRA fuses into dev
+    weights; reference: LTXVideoCLI.swift:186-187)."""
+    from ltx_tpu.core.config import LTXModel
 
-    model = LTXModel(args.model)
-    steps = args.steps if args.steps is not None else model.default_steps
-    cfg_scale = (args.guidance if args.guidance is not None
-                 else model.default_guidance)
+    return LTXModel("dev" if args.distilled_lora else args.model)
+
+
+def _generation_config(args):
+    from ltx_tpu.core.config import GenerationConfig
+
+    model = _effective_model(args)
+    if args.distilled_lora:
+        # dev + distilled LoRA runs the distilled recipe: 8 steps, no CFG
+        # unless explicitly overridden (reference: LTXVideoCLI.swift:275-283)
+        steps = args.steps if args.steps is not None else 8
+        cfg_scale = args.guidance if args.guidance is not None else 1.0
+    else:
+        steps = args.steps if args.steps is not None else model.default_steps
+        cfg_scale = (args.guidance if args.guidance is not None
+                     else model.default_guidance)
     stg_blocks = tuple(int(b) for b in str(args.stg_blocks).split(",") if b)
     return GenerationConfig(
         width=args.width,
@@ -124,7 +138,7 @@ def cmd_generate(args) -> int:
         print(f"  {config}")
         return 0
 
-    from ltx_tpu.core.config import LTXModel, MemoryConfig, QuantizationConfig
+    from ltx_tpu.core.config import MemoryConfig, QuantizationConfig
     from ltx_tpu.pipeline.loader import load_pipeline
 
     if args.memory:
@@ -135,7 +149,7 @@ def cmd_generate(args) -> int:
             vae_tile_overlap=args.vae_tile_overlap,
         )
     pipe = load_pipeline(
-        model=LTXModel(args.model),
+        model=_effective_model(args),
         models_dir=args.models_dir,
         hf_token=args.hf_token,
         gemma_path=args.gemma_path,

@@ -47,6 +47,41 @@ def test_flag_mapping():
     assert cfg.fps == 30.0
 
 
+def test_distilled_lora_forces_dev_8_steps_no_cfg():
+    """--distilled-lora forces dev model + 8 steps + no CFG unless
+    overridden (reference: LTXVideoCLI.swift:186-187,275-283)."""
+    from ltx_tpu.core.config import LTXModel
+    from ltx_tpu.io.cli import _effective_model
+
+    args = parse(["generate", "x", "-m", "distilled", "--distilled-lora"])
+    assert _effective_model(args) is LTXModel.DEV
+    cfg = _generation_config(args)
+    assert cfg.num_steps == 8 and cfg.cfg_scale == 1.0
+
+    # explicit overrides still win
+    args = parse(["generate", "x", "--distilled-lora", "-s", "12",
+                  "-g", "2.0"])
+    cfg = _generation_config(args)
+    assert cfg.num_steps == 12 and cfg.cfg_scale == 2.0
+
+    # dev without the LoRA keeps dev defaults
+    args = parse(["generate", "x", "-m", "dev"])
+    assert _effective_model(args) is LTXModel.DEV
+    cfg = _generation_config(args)
+    assert cfg.num_steps == 40 and cfg.cfg_scale == 4.0
+
+
+def test_default_negative_prompt_matches_reference():
+    """The ~100-term default negative prompt is behavioral data from the
+    reference (LTXPipeline.swift:19-31); spot-check invariants."""
+    from ltx_tpu.core.config import DEFAULT_NEGATIVE_PROMPT as p
+
+    assert p.startswith("blurry, out of focus, overexposed")
+    assert p.endswith("stylized filters, or AI artifacts.")
+    assert "uncanny valley effect" in p and "mismatched lip sync" in p
+    assert len(p.split(", ")) == 58
+
+
 def test_dry_run_exit_codes():
     assert main(["generate", "a cat", "--dry-run", "-w", "256", "-H", "256",
                  "-f", "9"]) == 0
