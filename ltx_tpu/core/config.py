@@ -129,27 +129,37 @@ class GenerationConfig:
     fps: float = 24.0
 
     def validate(self) -> None:
-        """Reference: LTXConfig.swift:310-353."""
-        if self.width % 32 != 0:
-            raise ValueError(f"Width must be divisible by 32, got {self.width}")
-        if self.height % 32 != 0:
-            raise ValueError(f"Height must be divisible by 32, got {self.height}")
+        """Reference: LTXConfig.swift:310-353; raises the typed taxonomy
+        (LTXVideo.swift:66-141) instead of bare ValueError."""
+        from ltx_tpu.core.errors import (
+            InvalidConfigurationError,
+            InvalidDimensionsError,
+            InvalidFrameCountError,
+        )
+
+        if self.width % 32 != 0 or self.height % 32 != 0:
+            raise InvalidDimensionsError(self.width, self.height)
         if (self.num_frames - 1) % 8 != 0:
-            raise ValueError(
-                f"Number of frames must be 8n + 1 (9, 17, ...), got {self.num_frames}"
-            )
+            raise InvalidFrameCountError(self.num_frames)
         if not (64 <= self.width <= 2048):
-            raise ValueError(f"Width must be in [64, 2048], got {self.width}")
+            raise InvalidConfigurationError(
+                f"Width must be in [64, 2048], got {self.width}")
         if not (64 <= self.height <= 2048):
-            raise ValueError(f"Height must be in [64, 2048], got {self.height}")
+            raise InvalidConfigurationError(
+                f"Height must be in [64, 2048], got {self.height}")
         if not (9 <= self.num_frames <= 257):
-            raise ValueError(f"num_frames must be in [9, 257], got {self.num_frames}")
+            raise InvalidConfigurationError(
+                f"num_frames must be in [9, 257], got {self.num_frames}")
         if not (1 <= self.num_steps <= 100):
-            raise ValueError(f"num_steps must be in [1, 100], got {self.num_steps}")
+            raise InvalidConfigurationError(
+                f"num_steps must be in [1, 100], got {self.num_steps}")
         if not (1.0 <= self.cfg_scale <= 20.0):
-            raise ValueError(f"cfg_scale must be in [1.0, 20.0], got {self.cfg_scale}")
+            raise InvalidConfigurationError(
+                f"cfg_scale must be in [1.0, 20.0], got {self.cfg_scale}")
         if self.two_stage and (self.width % 64 or self.height % 64):
-            raise ValueError("two-stage requires width/height divisible by 64")
+            raise InvalidConfigurationError(
+                "Two-stage requires width and height divisible by 64. "
+                f"Got {self.width}x{self.height}")
 
     @property
     def latent_width(self) -> int:

@@ -83,7 +83,9 @@ def _write_mp4(pixels: np.ndarray, path: str, fps: float) -> None:
     fourcc = cv2.VideoWriter_fourcc(*"mp4v")
     vw = cv2.VideoWriter(path, fourcc, fps, (w, h))
     if not vw.isOpened():
-        raise RuntimeError(f"cannot open video writer for {path}")
+        from ltx_tpu.core.errors import ExportFailedError
+
+        raise ExportFailedError(f"cannot open video writer for {path}")
     for frame in pixels:
         vw.write(cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
     vw.release()

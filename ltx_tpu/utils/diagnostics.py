@@ -50,6 +50,18 @@ def diag_stats(name: str, array, first_n: int = 5) -> Optional[str]:
     return msg
 
 
+def device_sync(array) -> None:
+    """Block until `array` is actually computed, via a host readback.
+
+    `block_until_ready()` is unreliable under the axon TPU tunnel — it can
+    return before execution finishes (errors then surface at the next host
+    transfer), making per-step timings fiction. A reduced host readback is
+    the only dependable sync, so all pipeline timing uses this (same
+    technique bench.py uses; one compiled reduce per shape).
+    """
+    float(jax.numpy.asarray(array).sum())
+
+
 @contextlib.contextmanager
 def profile_trace(log_dir: str = "/tmp/ltx_tpu_trace"):
     """jax.profiler trace context: view with TensorBoard's profile plugin."""

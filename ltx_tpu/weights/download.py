@@ -39,8 +39,13 @@ def _download_file(repo: str, filename: str, dest_dir: Path,
     if local.exists() and not force:
         return local
     dest_dir.mkdir(parents=True, exist_ok=True)
-    path = hf_hub_download(repo_id=repo, filename=filename, token=token,
-                           local_dir=str(dest_dir))
+    try:
+        path = hf_hub_download(repo_id=repo, filename=filename, token=token,
+                               local_dir=str(dest_dir))
+    except Exception as e:  # network/auth/not-found from hf_hub
+        from ltx_tpu.core.errors import DownloadFailedError
+
+        raise DownloadFailedError(f"{repo}/{filename}: {e}") from e
     return Path(path)
 
 
@@ -54,7 +59,13 @@ def download_gemma(models_dir: Optional[str] = None,
     base = Path(models_dir or default_models_dir()) / "vlm-gemma"
     if base.exists() and not force and any(base.glob("*.safetensors")):
         return base
-    snapshot_download(repo_id=GEMMA_REPO, token=hf_token, local_dir=str(base))
+    try:
+        snapshot_download(repo_id=GEMMA_REPO, token=hf_token,
+                          local_dir=str(base))
+    except Exception as e:
+        from ltx_tpu.core.errors import DownloadFailedError
+
+        raise DownloadFailedError(f"{GEMMA_REPO}: {e}") from e
     return base
 
 

@@ -576,7 +576,10 @@ def load_text_encoder_params(tensors: Tensors) -> dict:
         }
     }
     video = _assemble_connector(raw, "embeddings_connector")
-    assert video is not None, "missing video connector weights"
+    if video is None:
+        from ltx_tpu.core.errors import WeightLoadingFailedError
+
+        raise WeightLoadingFailedError("missing video connector weights")
     params["embeddings_connector"] = video
     audio = _assemble_connector(raw, "audio_embeddings_connector")
     if audio is not None:
