@@ -91,7 +91,7 @@ def _pad_to(x, axis, multiple, value=0.0):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "block_q", "block_k")
+    jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret")
 )
 def flash_attention(
     q, k, v,
@@ -99,9 +99,13 @@ def flash_attention(
     scale: Optional[float] = None,
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
+    interpret: bool = False,
 ):
     """q: (B, H, Tq, D); k, v: (B, H, Tk, D); bias: None, (B, Tk) additive
     key bias, or (B, 1, 1, Tk) (squeezed automatically). Returns (B, H, Tq, D).
+
+    interpret=True runs the kernel in the Pallas interpreter (CPU) so the
+    CPU test suite exercises the REAL kernel logic, not the XLA fallback.
     """
     b, h, tq, d = q.shape
     tk = k.shape[2]
@@ -176,6 +180,7 @@ def flash_attention(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
+        interpret=interpret,
     )(*inputs)
 
     return out.reshape(b, h, tq_p, d)[:, :, :tq]

@@ -151,8 +151,10 @@ def _pick_block(dim: int, candidates) -> int:
     return 0
 
 
-@functools.partial(jax.jit, static_argnames=("bm", "bk", "bn"))
-def _int4_matmul_2d(x, wq, scale, bias, bm: int, bk: int, bn: int):
+@functools.partial(jax.jit,
+                   static_argnames=("bm", "bk", "bn", "interpret"))
+def _int4_matmul_2d(x, wq, scale, bias, bm: int, bk: int, bn: int,
+                    interpret: bool = False):
     m, k = x.shape
     n = wq.shape[1]
     group = k // scale.shape[0]
@@ -175,14 +177,16 @@ def _int4_matmul_2d(x, wq, scale, bias, bm: int, bk: int, bn: int):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
+        interpret=interpret,
     )(x, wq, scale3, bias3)
 
 
-def int4_matmul(qp, x):
+def int4_matmul(qp, x, interpret: bool = False):
     """x (..., K) @ int4 weights -> (..., N) via the fused Pallas kernel.
 
     Pads the token dim to the block size; requires K and N to tile by the
     PACK_BLOCK-aligned block candidates (all LTX/Gemma dims do).
+    interpret=True runs in the Pallas interpreter for CPU CI coverage.
     """
     k = x.shape[-1]
     n = qp["w_q4"].shape[1]
@@ -202,13 +206,28 @@ def int4_matmul(qp, x):
         pad = (-m) % 128
         x2 = jnp.pad(x2, ((0, pad), (0, 0)))
         bm = _pick_block(m + pad, (512, 256, 128))
-    out = _int4_matmul_2d(x2, qp["w_q4"], qp["scale"], qp["bias"], bm, bk, bn)
+    out = _int4_matmul_2d(x2, qp["w_q4"], qp["scale"], qp["bias"], bm, bk, bn,
+                          interpret=interpret)
     out = out[:m].reshape(*lead, n)
     return out
 
 
+# When params are TP-sharded over a mesh, GSPMD cannot partition a custom
+# Pallas call — the XLA dequant path (which partitions fine and fuses the
+# int4 unpack into the dot) is used instead. Toggled by
+# parallel.sharding.shard_transformer_params / LTXPipeline.shard.
+_TENSOR_PARALLEL = False
+
+
+def set_tensor_parallel(enabled: bool) -> None:
+    global _TENSOR_PARALLEL
+    _TENSOR_PARALLEL = bool(enabled)
+
+
 def _use_pallas_int4(p, x) -> bool:
     if "w_q4" not in p or jax.default_backend() != "tpu":
+        return False
+    if _TENSOR_PARALLEL:
         return False
     k = x.shape[-1]
     n = p["w_q4"].shape[1]
@@ -256,9 +275,19 @@ def quantize_linear_params(p, bits: int, group_size: int = 64):
 
 _MIN_QUANT_SIZE = 1 << 16  # only quantize big matmuls (projections, FFN)
 
+# Linear leaf names that carry the bulk of transformer weights. Covers the
+# video DiT (attn1/attn2/ff), the dual AV transformer's 6 attentions + 2
+# FFNs per block (models/dit_av.py::_block_init), and Gemma's projections.
+QUANTIZABLE_LEAVES = frozenset({
+    "to_q", "to_k", "to_v", "to_out", "project_in", "project_out",
+    "q_proj", "k_proj", "v_proj", "o_proj", "gate_proj", "up_proj",
+    "down_proj",
+})
 
-def quantize_dit_params(params, bits: int, group_size: int = 64):
-    """Quantize every large linear in the stacked-block DiT pytree.
+
+def quantize_transformer_params(params, bits: int, group_size: int = 64):
+    """Quantize every large linear under `params["blocks"]` (any transformer
+    pytree: video DiT, dual AV transformer).
 
     Stacked blocks have (L, in, out) weights — quantized per layer slice via
     vmap so group stats don't mix across layers. Norm weights, tables and
@@ -273,22 +302,25 @@ def quantize_dit_params(params, bits: int, group_size: int = 64):
         return out
 
     def maybe_quant(p):
-        if not (isinstance(p, dict) and "w" in p):
-            return p
         w = p["w"]
         if (w.ndim == 3 and w.shape[1] * w.shape[2] >= _MIN_QUANT_SIZE
                 and w.shape[1] % group_size == 0):
             return quant_stacked(p)
         return p
 
-    blocks = params["blocks"]
-    new_blocks = {}
-    for attn_key in ("attn1", "attn2"):
-        new_blocks[attn_key] = {
-            k: (maybe_quant(v) if k in ("to_q", "to_k", "to_v", "to_out")
-                else v)
-            for k, v in blocks[attn_key].items()
-        }
-    new_blocks["ff"] = {k: maybe_quant(v) for k, v in blocks["ff"].items()}
-    new_blocks["scale_shift_table"] = blocks["scale_shift_table"]
-    return {**params, "blocks": new_blocks}
+    def walk(tree):
+        out = {}
+        for k, v in tree.items():
+            if (k in QUANTIZABLE_LEAVES and isinstance(v, dict) and "w" in v):
+                out[k] = maybe_quant(v)
+            elif isinstance(v, dict):
+                out[k] = walk(v)
+            else:
+                out[k] = v
+        return out
+
+    return {**params, "blocks": walk(params["blocks"])}
+
+
+# Backwards-compatible name (round-1 API; the walker now covers dit_av too).
+quantize_dit_params = quantize_transformer_params

@@ -22,6 +22,7 @@ Key semantics preserved:
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -306,12 +307,28 @@ def forward_hidden_states(params, input_ids, attention_mask, cfg: Gemma3Config):
 # ---------------------------------------------------------------------------
 # Autoregressive generation (prompt enhancement)
 # ---------------------------------------------------------------------------
+#
+# TPU design: the reference's generateTokens (Gemma3Model.swift:390-513)
+# drives 48 eager layer calls per token and round-trips logits to the CPU
+# for the repetition penalty. Here the WHOLE generation — prefill + the
+# token loop — is ONE compiled program: layers run under lax.scan (one
+# compiled layer body), the token loop is lax.while_loop, and the
+# repetition penalty / top-p sampling happen on device (a vocab-sized
+# scatter mask instead of host mutation). Prompt lengths are bucketed to
+# multiples of 128 (left-padded) so compile count is bounded.
+#
+# Semantics preserved from the reference:
+#   * prefill: global layers full-causal, sliding layers windowed;
+#   * decode: mask "none" — every layer attends to the FULL cache
+#     (Gemma3Model.swift:482-487 passes mask: .none with KVCacheSimple,
+#     so sliding layers are NOT windowed during decode);
+#   * repetition penalty over the last `repetition_context` GENERATED
+#     tokens only (positive logits divided, negative multiplied);
+#   * top-p: keep tokens where descending cumulative prob > 1 - top_p.
 
 
-def _select_rope(cfg, is_global, cos_g, sin_g, cos_l, sin_l):
-    cos = jnp.where(is_global, cos_g, cos_l)
-    sin = jnp.where(is_global, sin_g, sin_l)
-    return cos, sin
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
 
 
 def generate_tokens(
@@ -325,117 +342,193 @@ def generate_tokens(
     repetition_penalty: float = 1.1,
     repetition_context: int = 64,
     stop_tokens: Tuple[int, ...] = (1,),
+    input_embeds=None,
+    bucket: int = 128,
 ):
-    """KV-cached autoregressive sampling with top-p + repetition penalty
-    (reference: Gemma3Model.swift:390-513). Tied embeddings as lm_head.
+    """KV-cached autoregressive sampling, fully device-side.
 
-    Host-driven loop: prefill is one jit call; each decode step is one jit
-    call. Returns the generated token list (without the prompt).
+    input_embeds: optional (1, T, D) PRE-SCALED prompt embeddings (text
+    embeddings already multiplied by sqrt(hidden); used by the VLM path to
+    splice SigLIP image soft-tokens into the prompt). When given, input_ids
+    must still hold the token ids of the same length (for bookkeeping).
+    Returns the generated token list (without the prompt).
     """
     input_ids = np.asarray(input_ids)
     if input_ids.ndim == 1:
         input_ids = input_ids[None]
     b, t = input_ids.shape
-    assert b == 1, "prompt enhancement generates one prompt at a time"
-    max_len = t + max_new_tokens
+    if b != 1:
+        from ltx_tpu.core.errors import InvalidConfigurationError
 
-    emb_w = params["embed_tokens"]["w"]
-    dtype = emb_w.dtype
-    nl, nkv, hd = cfg.hidden_layers, cfg.kv_heads, cfg.head_dim
-    scale_emb = np.sqrt(cfg.hidden_size)
+        raise InvalidConfigurationError(
+            "prompt enhancement generates one prompt at a time")
+
+    t_pad = _round_up(max(t, 1), bucket)
+    pad = t_pad - t
+    max_len = t_pad + max_new_tokens
+    ids_padded = np.zeros((1, t_pad), np.int32)
+    ids_padded[0, pad:] = input_ids[0]
+
+    embeds_padded = None
+    if input_embeds is not None:
+        d = input_embeds.shape[-1]
+        embeds_padded = jnp.zeros((1, t_pad, d), input_embeds.dtype)
+        embeds_padded = embeds_padded.at[:, pad:].set(input_embeds)
 
     cos_g, sin_g = rope_tables(max_len, cfg.head_dim, cfg.rope_theta)
     cos_l, sin_l = rope_tables(max_len, cfg.head_dim, cfg.rope_local_base_freq)
-    cos_g, sin_g = jnp.asarray(cos_g), jnp.asarray(sin_g)
-    cos_l, sin_l = jnp.asarray(cos_l), jnp.asarray(sin_l)
-    is_global_flags = [cfg.is_global_layer(i) for i in range(nl)]
+    tables = tuple(jnp.asarray(a) for a in (cos_g, sin_g, cos_l, sin_l))
+    stop_arr = (jnp.asarray(list(stop_tokens), jnp.int32)
+                if stop_tokens else jnp.zeros((0,), jnp.int32))
 
-    # prefill attends over the full max_len cache; slots >= t are masked
-    def _pad_cols(bias_tt):
-        pad = jnp.full((1, 1, t, max_len - t), -1e9, jnp.float32)
-        return jnp.concatenate([bias_tt, pad], axis=-1)
-
-    causal = _pad_cols(
-        jnp.where(jnp.tril(jnp.ones((t, t), bool))[None, None], 0.0, -1e9)
+    fn = _build_generate_fn(
+        cfg, t_pad, max_new_tokens, float(temperature), float(top_p),
+        float(repetition_penalty), int(repetition_context),
+        with_embeds=embeds_padded is not None,
     )
-    sliding = _pad_cols(_sliding_causal_mask(t, cfg.sliding_window))
+    out, n_gen = fn(params, jnp.asarray(ids_padded), embeds_padded,
+                    jnp.asarray(pad, jnp.int32), stop_arr, tables, key)
+    n = int(n_gen)
+    return [int(x) for x in np.asarray(out[:n])]
 
-    @jax.jit
-    def prefill(params, ids):
-        h = params["embed_tokens"]["w"][ids] * jnp.asarray(scale_emb, dtype)
-        caches = []
-        for i in range(nl):
-            p = jax.tree.map(lambda x: x[i], params["layers"])
-            glob = is_global_flags[i]
-            bias = causal if glob else sliding
-            cos = (cos_g if glob else cos_l)[:t]
-            sin = (sin_g if glob else sin_l)[:t]
-            ck = jnp.zeros((1, nkv, max_len, hd), dtype)
-            cv = jnp.zeros((1, nkv, max_len, hd), dtype)
-            h, cache = _decoder_layer(p, h, bias, cos, sin, cfg, (ck, cv), 0)
-            caches.append(cache)
-        h = gemma_rms_norm(h, params["norm"]["w"], cfg.rms_norm_eps)
-        logits = jnp.dot(h[:, -1], params["embed_tokens"]["w"].T,
-                         preferred_element_type=jnp.float32)
-        return logits, caches
 
-    @jax.jit
-    def decode_step(params, token, caches, pos):
-        h = params["embed_tokens"]["w"][token][None] * jnp.asarray(scale_emb, dtype)
-        # attend to cache slots < pos+1; per-layer sliding window bias
-        idx = jnp.arange(max_len)[None, None, None, :]
-        base_ok = idx <= pos
-        new_caches = []
-        for i in range(nl):
-            p = jax.tree.map(lambda x: x[i], params["layers"])
-            glob = is_global_flags[i]
-            ok = base_ok if glob else (base_ok & (idx > pos - cfg.sliding_window))
-            bias = jnp.where(ok, 0.0, -1e9).astype(jnp.float32)
-            cos = lax.dynamic_slice_in_dim(cos_g if glob else cos_l, pos, 1)
-            sin = lax.dynamic_slice_in_dim(sin_g if glob else sin_l, pos, 1)
-            h, cache = _decoder_layer(p, h, bias, cos, sin, cfg, caches[i], pos)
-            new_caches.append(cache)
-        h = gemma_rms_norm(h, params["norm"]["w"], cfg.rms_norm_eps)
-        logits = jnp.dot(h[:, -1], params["embed_tokens"]["w"].T,
-                         preferred_element_type=jnp.float32)
-        return logits, new_caches
 
-    logits, caches = prefill(params, jnp.asarray(input_ids))
-    generated: list[int] = []
-    stop = set(int(s) for s in stop_tokens)
+@functools.lru_cache(maxsize=8)
+def _build_generate_fn(cfg: Gemma3Config, t_pad: int, max_new_tokens: int,
+                       temperature: float, top_p: float,
+                       repetition_penalty: float, repetition_context: int,
+                       with_embeds: bool):
+    """Compile-cached generation program for one (config, bucket) pair."""
+    nl, nkv, hd = cfg.hidden_layers, cfg.kv_heads, cfg.head_dim
+    vocab = cfg.vocab_size
+    max_len = t_pad + max_new_tokens
+    scale_emb = float(np.sqrt(cfg.hidden_size))
+    is_global = jnp.asarray(
+        [cfg.is_global_layer(i) for i in range(nl)])
+    ctx = max(repetition_context, 1)
 
-    for step in range(max_new_tokens):
-        lg = np.array(logits[0], np.float32)  # writable copy
-        if repetition_penalty != 1.0 and generated:
-            recent = set(generated[-repetition_context:])
-            for tok in recent:
-                if lg[tok] > 0:
-                    lg[tok] /= repetition_penalty
-                else:
-                    lg[tok] *= repetition_penalty
-        if temperature <= 0:
-            nxt = int(np.argmax(lg))
+    def run(params, ids, embeds, pad, stop_arr, tables, key):
+        cos_g, sin_g, cos_l, sin_l = tables
+        dtype = params["embed_tokens"]["w"].dtype
+
+        if with_embeds:
+            h = embeds.astype(dtype)
         else:
+            h = _embed_lookup(params, ids) * jnp.asarray(scale_emb, dtype)
+
+        # --- prefill biases: (1, 1, t_pad, max_len)
+        row = jnp.arange(t_pad)[:, None]
+        col = jnp.arange(max_len)[None, :]
+        valid = (col <= row) & (col >= pad)
+        bias_g = jnp.where(valid, 0.0, -1e9)[None, None].astype(jnp.float32)
+        valid_s = valid & (col > row - cfg.sliding_window)
+        bias_s = jnp.where(valid_s, 0.0, -1e9)[None, None].astype(jnp.float32)
+
+        # position ids shifted by the left pad; junk slots clamp to 0
+        pos_ids = jnp.maximum(jnp.arange(t_pad) - pad, 0)
+        pcos_g, psin_g = cos_g[pos_ids], sin_g[pos_ids]
+        pcos_l, psin_l = cos_l[pos_ids], sin_l[pos_ids]
+
+        ck0 = jnp.zeros((nl, 1, nkv, max_len, hd), dtype)
+        cv0 = jnp.zeros((nl, 1, nkv, max_len, hd), dtype)
+
+        def prefill_layer(carry, scanned):
+            h = carry
+            p, glob, ck, cv = scanned
+            cos = jnp.where(glob, pcos_g, pcos_l)
+            sin = jnp.where(glob, psin_g, psin_l)
+            bias = jnp.where(glob, bias_g, bias_s)
+            h, (ck, cv) = _decoder_layer(p, h, bias, cos, sin, cfg,
+                                         (ck, cv), 0)
+            return h, (ck, cv)
+
+        h, (cks, cvs) = lax.scan(
+            prefill_layer, h, (params["layers"], is_global, ck0, cv0))
+        h = gemma_rms_norm(h, params["norm"]["w"], cfg.rms_norm_eps)
+        logits0 = _lm_head(params, h[:, -1])  # (1, vocab) f32
+
+        def decode(carry_caches, token, pos):
+            """One token through all layers; pos = cache slot to write."""
+            cks, cvs = carry_caches
+            h = (_embed_lookup(params, token[None, None])
+                 * jnp.asarray(scale_emb, dtype))
+            idx = jnp.arange(max_len)[None, None, None, :]
+            # reference decode mask is .none: attend to every written slot
+            ok = (idx >= pad) & (idx <= pos)
+            bias = jnp.where(ok, 0.0, -1e9).astype(jnp.float32)
+            rp = pos - pad
+            dcos_g = lax.dynamic_slice_in_dim(cos_g, rp, 1)
+            dsin_g = lax.dynamic_slice_in_dim(sin_g, rp, 1)
+            dcos_l = lax.dynamic_slice_in_dim(cos_l, rp, 1)
+            dsin_l = lax.dynamic_slice_in_dim(sin_l, rp, 1)
+
+            def layer(carry, scanned):
+                h = carry
+                p, glob, ck, cv = scanned
+                cos = jnp.where(glob, dcos_g, dcos_l)
+                sin = jnp.where(glob, dsin_g, dsin_l)
+                h, (ck, cv) = _decoder_layer(p, h, bias, cos, sin, cfg,
+                                             (ck, cv), pos)
+                return h, (ck, cv)
+
+            h, (cks, cvs) = lax.scan(
+                layer, h, (params["layers"], is_global, cks, cvs))
+            h = gemma_rms_norm(h, params["norm"]["w"], cfg.rms_norm_eps)
+            return (cks, cvs), _lm_head(params, h[:, -1])
+
+        def penalize(lg, ring):
+            if repetition_penalty == 1.0:
+                return lg
+            hit = jnp.zeros((vocab + 1,), bool).at[ring].set(True)[:vocab]
+            return jnp.where(
+                hit, jnp.where(lg > 0, lg / repetition_penalty,
+                               lg * repetition_penalty), lg)
+
+        def sample(lg, key):
+            if temperature <= 0:
+                return jnp.argmax(lg).astype(jnp.int32)
+            probs = jax.nn.softmax(lg / temperature)
+            order = jnp.argsort(-probs)
+            sp = probs[order]
+            keep = jnp.cumsum(sp) > (1.0 - top_p)
+            filt = jnp.where(keep, sp, 0.0)
+            choice = jax.random.categorical(key, jnp.log(filt + 1e-10))
+            return order[choice].astype(jnp.int32)
+
+        def cond(state):
+            _, _, _, _, _, n_gen, done = state
+            return (~done) & (n_gen < max_new_tokens)
+
+        def body(state):
+            caches, logits, key, out, ring, n_gen, done = state
             key, sub = jax.random.split(key)
-            nxt = _sample_top_p(lg, temperature, top_p, sub)
-        if nxt in stop:
-            break
-        generated.append(nxt)
-        logits, caches = decode_step(
-            params, jnp.asarray([nxt]), caches, jnp.asarray(t + step)
-        )
-    return generated
+            lg = penalize(logits[0], ring)
+            nxt = sample(lg, sub)
+            stop_hit = jnp.any(nxt == stop_arr) if stop_arr.shape[0] else \
+                jnp.asarray(False)
+            out = jnp.where(stop_hit, out, out.at[n_gen].set(nxt))
+            ring = jnp.where(stop_hit, ring, ring.at[n_gen % ctx].set(nxt))
+            pos = t_pad + n_gen
+            caches, logits = decode(caches, nxt, pos)
+            n_gen = n_gen + jnp.where(stop_hit, 0, 1)
+            return caches, logits, key, out, ring, n_gen, stop_hit
+
+        out0 = jnp.full((max_new_tokens,), -1, jnp.int32)
+        ring0 = jnp.full((ctx,), vocab, jnp.int32)  # out-of-range slot
+        state = ((cks, cvs), logits0, key, out0, ring0,
+                 jnp.asarray(0, jnp.int32), jnp.asarray(False))
+        state = lax.while_loop(cond, body, state)
+        _, _, _, out, _, n_gen, _ = state
+        return out, n_gen
+
+    return jax.jit(run)
 
 
-def _sample_top_p(logits: np.ndarray, temperature: float, top_p: float, key):
-    """Top-p sampling matching the reference's masking form
-    (Gemma3Model.swift:495-513): keep tokens where cumulative prob (sorted
-    descending) exceeds 1 - top_p."""
-    probs = jax.nn.softmax(jnp.asarray(logits) / temperature)
-    order = jnp.argsort(-probs)
-    sorted_probs = probs[order]
-    csum = jnp.cumsum(sorted_probs)
-    keep = csum > (1.0 - top_p)
-    filtered = jnp.where(keep, sorted_probs, 0.0)
-    choice = jax.random.categorical(key, jnp.log(filtered + 1e-10))
-    return int(order[choice])
+def _embed_lookup(params, ids):
+    return params["embed_tokens"]["w"][ids]
+
+
+def _lm_head(params, h):
+    """Tied embeddings as lm_head (reference: Gemma3Model.swift:434)."""
+    return jnp.dot(h, params["embed_tokens"]["w"].T,
+                   preferred_element_type=jnp.float32)

@@ -433,6 +433,104 @@ def decode_video(params, latent, cfg: VAEConfig,
     return finish(result)
 
 
+def decode_video_sharded(params, latent, cfg: VAEConfig, mesh,
+                         timestep: Optional[float] = 0.05,
+                         noise_key: Optional[jax.Array] = None,
+                         tile_overlap: int = 1, axis: str = "model"):
+    """Frame-axis SHARDED temporal-tiled decode (SURVEY.md §2.9 item 5).
+
+    The sequential `decode_video` loop maps directly onto a shard_map over
+    the latent frame axis: each device owns `stride` latent frames, fetches
+    a RIGHT halo of `tile_overlap` frames from its neighbor via ppermute
+    (the tile structure exploits the causal conv's front-only replicate
+    padding: extra future frames never change earlier outputs), decodes its
+    tile independently, then a second ppermute carries the LEFT neighbor's
+    decoded seam pixels over for the same linear blend the host loop does.
+    All n tiles decode CONCURRENTLY — wall-clock ~1/n of the host loop.
+
+    Numerics match `decode_video(tile_size=stride+overlap, overlap)` exactly
+    for timestep=None (with decode noise, the edge-padded last tile draws a
+    differently-shaped noise block; everything before it is identical).
+
+    Returns (F, H, W, 3) in [0, 1], gathered to the host.
+    """
+    import numpy as np
+    try:
+        from jax import shard_map
+        _check_kw = {"check_vma": False}
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+        _check_kw = {"check_rep": False}
+    from jax.sharding import PartitionSpec as P
+
+    if latent.ndim == 4:
+        latent = latent[None]
+    b, c, f, lh, lw = latent.shape
+    n = mesh.shape[axis]
+    ov = max(tile_overlap, 1)
+    stride = -(-f // n)  # ceil
+    pad = n * stride - f
+    if pad:
+        latent = jnp.concatenate(
+            [latent, jnp.repeat(latent[:, :, -1:], pad, axis=2)], axis=2)
+    # right halo also needs edge frames past the final chunk
+    latent_ext = jnp.concatenate(
+        [latent, jnp.repeat(latent[:, :, -1:], ov, axis=2)], axis=2)
+    tail = latent_ext[:, :, n * stride:]  # (B, C, ov, ...) replicated
+
+    pb = 8 * (ov - 1)  # blended pixel frames per seam
+    own = 8 * stride + 1  # pixels each device emits
+
+    def body(lat, tail_pad):
+        # lat: (B, C, stride, lh, lw) local shard; tail_pad replicated
+        idx = jax.lax.axis_index(axis)
+        perm_left = [(i, (i - 1) % n) for i in range(n)]  # to LEFT neighbor
+        halo = jax.lax.ppermute(lat[:, :, :ov], axis, perm_left)
+        # last device: neighbor's wrap-around halo is garbage; use edge pad
+        halo = jnp.where(idx == n - 1, tail_pad, halo)
+        tile = jnp.concatenate([lat, halo], axis=2)  # (B, C, stride+ov, ...)
+
+        # per-tile decode noise, same fold_in indexing as the host loop
+        k = None
+        if noise_key is not None and timestep is not None:
+            k = jax.random.fold_in(noise_key, idx)
+        pixels = decoder_forward(params, tile, cfg, timestep, k)
+        # (B, 3, 8*(stride+ov-1)+1, H, W); local q>=1 = global 8*s_i + q
+
+        out = pixels[:, :, :own]
+        if pb > 0:
+            # seam blend: receive the LEFT neighbor's decode of our first
+            # pb pixels (its local q' = 8*stride + q) and ramp toward ours
+            # (reference blend: VideoDecoder.swift:560-585, frame-aligned)
+            seam = pixels[:, :, 8 * stride + 1: 8 * stride + 1 + pb]
+            perm_right = [(i, (i + 1) % n) for i in range(n)]
+            prev_tail = jax.lax.ppermute(seam, axis, perm_right)
+            w = (jnp.arange(1, pb + 1, dtype=jnp.float32)
+                 / (pb + 1)).reshape(1, 1, -1, 1, 1)
+            blended = prev_tail * (1 - w) + out[:, :, 1: 1 + pb] * w
+            # device 0 has no left neighbor: keep its own pixels
+            blended = jnp.where(idx == 0, out[:, :, 1: 1 + pb], blended)
+            out = jnp.concatenate(
+                [out[:, :, :1], blended, out[:, :, 1 + pb:]], axis=2)
+        return out[None]  # (1, B, 3, own, H, W) -> stacked over devices
+
+    spec_in = P(None, None, axis, None, None)
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(spec_in, P()),
+        out_specs=P(axis),
+        **_check_kw,
+    )
+    chunks = fn(latent, tail)
+    # host-side stitch: device 0 keeps its anchor pixel; others drop q=0
+    # (owned by the left neighbor)
+    chunks = np.asarray(chunks)  # (n, B, 3, own, H, W)
+    parts = [chunks[0]] + [chunks[i][:, :, 1:] for i in range(1, n)]
+    full = np.concatenate(parts, axis=2)[:, :, : 8 * (f - 1) + 1]
+    frames = np.clip((full + 1.0) / 2.0, 0.0, 1.0)
+    return jnp.asarray(frames[0].transpose(1, 2, 3, 0))
+
+
 # ---------------------------------------------------------------------------
 # Encoder
 # ---------------------------------------------------------------------------

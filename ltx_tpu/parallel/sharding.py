@@ -1,15 +1,21 @@
-"""Mesh + tensor-parallel sharding for the DiT.
+"""Mesh + tensor-parallel sharding for every transformer in the pipeline.
 
 The reference has NO parallelism of any kind (SURVEY.md §2.9); this module is
 new TPU-first capability, not a port. Strategy:
 
 * 2D mesh ("data", "model"). Guidance branches / batch ride the data axis;
-  attention heads and the 16384-wide FFN shard over the model axis (classic
+  attention heads and the FFN hidden dim shard over the model axis (classic
   megatron-style TP, expressed as NamedSharding on the stacked block params —
-  XLA GSPMD inserts the all-reduces after to_out / project_out).
+  XLA GSPMD inserts the all-reduces after to_out / project_out / o_proj).
+* One generic spec walker covers the video DiT, the dual AV transformer and
+  Gemma, in both bf16 ({"w","b"}) and quantized ({"w_q"|"w_q4","scale",
+  "bias","b"}) forms: column-parallel leaves shard every array's LAST axis
+  (output dim); row-parallel leaves shard the axis BEFORE it (input dim —
+  w_q4's packed rows and the per-group scale/bias rows all follow the input
+  dim, and PACK_BLOCK=256 planes stay shard-aligned for all real dims).
 * The flat-tensor QK RMSNorm reduces over the full 4096 dim; with Q sharded
   by heads GSPMD turns the mean into a small all-reduce — semantics
-  preserved.
+  preserved. Gemma's per-head-dim q_norm/k_norm (256,) stays replicated.
 * 19B bf16 weights (~38 GB) exceed one v5e core's 16 GB HBM, so TP sharding
   is REQUIRED for bf16, not an optimization (SURVEY.md §5 hard part 5).
 """
@@ -22,6 +28,17 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+# Leaf-dict names by parallelism style. Covers models/dit.py,
+# models/dit_av.py and models/gemma3.py layer pytrees.
+COLUMN_PARALLEL = frozenset({
+    "to_q", "to_k", "to_v", "project_in",
+    "q_proj", "k_proj", "v_proj", "gate_proj", "up_proj",
+})
+ROW_PARALLEL = frozenset({
+    "to_out", "project_out", "o_proj", "down_proj",
+})
+_WEIGHT_KEYS = ("w", "w_q", "w_q4", "scale", "bias")
+
 
 def make_mesh(data: int = 1, model: Optional[int] = None,
               devices=None) -> Mesh:
@@ -31,56 +48,99 @@ def make_mesh(data: int = 1, model: Optional[int] = None,
     if model is None:
         model = n // data
     need = data * model
-    assert need <= n, f"mesh {data}x{model} needs {need} devices, have {n}"
+    if need > n:
+        from ltx_tpu.core.errors import InvalidConfigurationError
+
+        raise InvalidConfigurationError(
+            f"mesh {data}x{model} needs {need} devices, have {n}")
     arr = np.asarray(devices[:need]).reshape(data, model)
     return Mesh(arr, ("data", "model"))
 
 
-def _attn_spec():
-    """Column-parallel QKV, row-parallel output projection."""
-    return {
-        "to_q": {"w": P(None, None, "model"), "b": P(None, "model")},
-        "to_k": {"w": P(None, None, "model"), "b": P(None, "model")},
-        "to_v": {"w": P(None, None, "model"), "b": P(None, "model")},
-        "to_out": {"w": P(None, "model", None), "b": P(None, None)},
-        "q_norm": {"w": P(None, "model")},
-        "k_norm": {"w": P(None, "model")},
-    }
+def _shard_axis(arr, axis_from_end: int):
+    """P with "model" at rank-1-axis_from_end, None elsewhere."""
+    rank = np.ndim(arr)
+    axes = [None] * rank
+    idx = rank - 1 - axis_from_end
+    if idx < 0:
+        return P()
+    axes[idx] = "model"
+    return P(*axes)
+
+
+def _linear_leaf_specs(name: str, leaf: dict):
+    """Specs for one (possibly quantized) linear leaf-dict."""
+    out = {}
+    if name in COLUMN_PARALLEL:
+        for k, v in leaf.items():
+            # output dim is the LAST axis of every array incl. "b"
+            out[k] = _shard_axis(v, 0)
+    else:  # row parallel
+        for k, v in leaf.items():
+            if k == "b":
+                out[k] = P()  # bias adds after the all-reduce
+            else:
+                # input dim: second-to-last axis (w, w_q, w_q4 packed rows,
+                # per-group scale/bias all follow the input dim)
+                out[k] = _shard_axis(v, 1)
+    return out
+
+
+def transformer_param_specs(params) -> dict:
+    """PartitionSpec pytree for any stacked-block transformer pytree.
+
+    Rules: linear leaves in COLUMN_PARALLEL / ROW_PARALLEL shard over
+    "model"; q_norm/k_norm shard IF they span the flat attention inner dim
+    (DiT convention: norm before head split) and replicate if per-head-dim
+    (Gemma convention); everything else (tables, norms, embeddings, small
+    heads) replicates.
+    """
+
+    def walk(tree, attn_out_dim=None):
+        specs = {}
+        # detect attention scope: to_q/q_proj present => flat dim known
+        local_attn_dim = attn_out_dim
+        for probe in ("to_q", "q_proj"):
+            if probe in tree and isinstance(tree[probe], dict):
+                wk = next(k for k in _WEIGHT_KEYS if k in tree[probe])
+                local_attn_dim = tree[probe][wk].shape[-1]
+        for k, v in tree.items():
+            if not isinstance(v, dict):
+                specs[k] = P()
+            elif k in COLUMN_PARALLEL or k in ROW_PARALLEL:
+                specs[k] = _linear_leaf_specs(k, v)
+            elif k in ("q_norm", "k_norm") and "w" in v:
+                if (local_attn_dim is not None
+                        and v["w"].shape[-1] == local_attn_dim):
+                    specs[k] = {"w": _shard_axis(v["w"], 0)}
+                else:
+                    specs[k] = {"w": P()}  # per-head-dim (Gemma)
+            else:
+                specs[k] = walk(v, local_attn_dim)
+        return specs
+
+    return walk(params)
 
 
 def dit_param_specs(params) -> dict:
-    """PartitionSpec pytree for the stacked-block DiT params.
-
-    Block leaves carry a leading layer axis (never sharded). Replicated
-    leaves get P() — small tables, embeddings, output head.
-    """
-    specs = {
-        "patchify_proj": {"w": P(), "b": P()},
-        "adaln_single": jax.tree.map(lambda _: P(), params["adaln_single"]),
-        "caption_projection": jax.tree.map(
-            lambda _: P(), params["caption_projection"]
-        ),
-        "blocks": {
-            "attn1": _attn_spec(),
-            "attn2": _attn_spec(),
-            "ff": {
-                "project_in": {"w": P(None, None, "model"), "b": P(None, "model")},
-                "project_out": {"w": P(None, "model", None), "b": P(None, None)},
-            },
-            "scale_shift_table": P(),
-        },
-        "proj_out": {"w": P(), "b": P()},
-        "scale_shift_table": P(),
-    }
-    return specs
+    """Spec tree for the video DiT (round-1 name, now the generic walker —
+    handles bf16 and quantized leaves)."""
+    return transformer_param_specs(params)
 
 
-def shard_dit_params(params, mesh: Mesh):
-    """Place DiT params on the mesh with TP sharding."""
-    specs = dit_param_specs(params)
+def shard_transformer_params(params, mesh: Mesh):
+    """Place any transformer pytree on the mesh with TP sharding."""
+    from ltx_tpu.kernels.quantization import set_tensor_parallel
+
+    set_tensor_parallel(True)  # route int4 matmuls through GSPMD-partitionable XLA
+    specs = transformer_param_specs(params)
     return jax.tree.map(
         lambda p, s: jax.device_put(p, NamedSharding(mesh, s)), params, specs
     )
+
+
+# Round-1 name
+shard_dit_params = shard_transformer_params
 
 
 def replicate(tree, mesh: Mesh):

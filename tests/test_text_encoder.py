@@ -137,6 +137,45 @@ def test_generate_tokens_smoke(gparams):
     assert all(0 <= t < GCFG.vocab_size for t in toks)
 
 
+def test_generate_stop_token_halts(gparams):
+    """Re-running greedy with the first emitted token as a stop token must
+    yield an empty generation (device-side stop check)."""
+    ids = np.asarray([[5, 6, 7]])
+    toks = gemma3.generate_tokens(
+        gparams, ids, GCFG, jax.random.key(0), max_new_tokens=3,
+        temperature=0.0, stop_tokens=(),
+    )
+    assert len(toks) == 3
+    again = gemma3.generate_tokens(
+        gparams, ids, GCFG, jax.random.key(0), max_new_tokens=3,
+        temperature=0.0, stop_tokens=(toks[0],),
+    )
+    assert again == []
+
+
+def test_generate_program_is_cached(gparams):
+    """Same-bucket prompts share one compiled program (VERDICT weak #8:
+    the old path unrolled 48 layers per jit and re-compiled per length)."""
+    gemma3._build_generate_fn.cache_clear()
+    for prompt in ([[5, 6, 7]], [[9, 2, 4, 8]]):
+        gemma3.generate_tokens(
+            gparams, np.asarray(prompt), GCFG, jax.random.key(0),
+            max_new_tokens=2, temperature=0.0, stop_tokens=(),
+        )
+    info = gemma3._build_generate_fn.cache_info()
+    assert info.misses == 1 and info.hits == 1
+
+
+def test_generate_repetition_penalty_changes_output(gparams):
+    """A huge penalty must forbid immediate greedy repeats."""
+    ids = np.asarray([[5, 6, 7]])
+    toks = gemma3.generate_tokens(
+        gparams, ids, GCFG, jax.random.key(0), max_new_tokens=6,
+        temperature=0.0, repetition_penalty=1e9, stop_tokens=(),
+    )
+    assert all(toks[i] != toks[i + 1] for i in range(len(toks) - 1))
+
+
 def test_generate_greedy_matches_forward(gparams):
     """Greedy decode's first token must equal argmax of the forward logits."""
     ids = np.asarray([[5, 6, 7]])
