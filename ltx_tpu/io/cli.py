@@ -63,6 +63,9 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--memory", choices=["disabled", "light", "moderate",
                                         "aggressive"], default=None,
                    help="Memory preset (overrides the vae-tile flags)")
+    g.add_argument("--mesh", default=None, metavar="DATA,MODEL",
+                   help="Shard over a (data, model) device mesh, e.g. 1,8 "
+                        "(TP over heads/FFN; required for bf16 19B)")
     g.add_argument("--debug", action="store_true")
     g.add_argument("--profile", action="store_true")
     g.add_argument("--dry-run", action="store_true")
@@ -126,10 +129,12 @@ def _generation_config(args):
 
 
 def cmd_generate(args) -> int:
+    from ltx_tpu.core.errors import LTXError
+
     config = _generation_config(args)
     try:
         config.validate()
-    except ValueError as e:
+    except (LTXError, ValueError) as e:
         print(f"error: {e}", file=sys.stderr)
         return 2
 
@@ -163,31 +168,41 @@ def cmd_generate(args) -> int:
         include_upscaler=args.two_stage,
     )
 
-    image_latent = None
-    if args.image:
-        from ltx_tpu.io.video import load_image
+    if args.mesh:
+        from ltx_tpu.parallel.sharding import make_mesh
 
-        pixels = load_image(args.image, config.width, config.height)
-        image_latent = pipe.encode_image(pixels)
+        try:
+            data, model = (int(x) for x in args.mesh.split(","))
+        except ValueError:
+            print(f"error: --mesh expects DATA,MODEL, got {args.mesh!r}",
+                  file=sys.stderr)
+            return 2
+        pipe.shard(make_mesh(data=data, model=model))
 
     def on_progress(step, total, sigma):
         print(f"  step {step + 1}/{total}  sigma={sigma:.4f}", flush=True)
 
+    # I2V image encoding happens INSIDE the pipeline entry points (at the
+    # correct per-stage resolutions) via config.image_path — mirroring the
+    # reference (LTXPipeline.swift:2456,2651-2663).
     t0 = time.time()
-    if args.two_stage:
-        result = pipe.generate_video_two_stage(
+    if args.audio and args.two_stage:
+        result = pipe.generate_video_with_audio_two_stage(
             args.prompt, config, on_progress=on_progress,
-            image_latent=image_latent,
+            audio_gain=args.audio_gain,
         )
     elif args.audio:
         result = pipe.generate_video_with_audio(
             args.prompt, config, on_progress=on_progress,
-            image_latent=image_latent, audio_gain=args.audio_gain,
+            audio_gain=args.audio_gain,
+        )
+    elif args.two_stage:
+        result = pipe.generate_video_two_stage(
+            args.prompt, config, on_progress=on_progress,
         )
     else:
         result = pipe.generate_video(
             args.prompt, config, on_progress=on_progress,
-            image_latent=image_latent,
         )
 
     from ltx_tpu.io.video import export_video, export_wav
@@ -267,7 +282,15 @@ def main(argv=None) -> int:
     )
     handler = {"generate": cmd_generate, "download": cmd_download,
                "info": cmd_info}[args.command]
-    return handler(args)
+    from ltx_tpu.core.errors import LTXError
+
+    try:
+        return handler(args)
+    except LTXError as e:
+        # user-facing message, not a traceback (reference prints
+        # LTXError.errorDescription; LTXVideo.swift:109-140)
+        print(f"error: {e}", file=sys.stderr)
+        return 1
 
 
 if __name__ == "__main__":

@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ltx_tpu.core.config import GenerationConfig, TransformerConfig
+from ltx_tpu.core.errors import InvalidConfigurationError
 from ltx_tpu.models import dit
 from ltx_tpu.ops import rope as rope_ops
 from ltx_tpu.ops.attention import prepare_additive_mask
@@ -42,6 +43,7 @@ from ltx_tpu.ops.latents import (
     unpatchify,
 )
 from ltx_tpu.ops.schedule import euler_step
+from ltx_tpu.utils.diagnostics import device_sync
 
 
 @dataclasses.dataclass(frozen=True)
@@ -89,7 +91,9 @@ def build_guidance_context(guidance: GuidanceSpec, pos_embeddings, pos_mask,
     rows = []
     mask_rows = []
     if guidance.use_cfg:
-        assert neg_embeddings is not None, "CFG requires negative embeddings"
+        if neg_embeddings is None:
+            raise InvalidConfigurationError(
+                "CFG requires negative-prompt embeddings")
         rows.append(neg_embeddings)
         mask_rows.append(neg_mask)
     rows.append(pos_embeddings)
@@ -233,6 +237,7 @@ def make_av_denoise_step(
     fps: float = 24.0,
     sdpa_impl: str = "auto",
     remat: bool = False,
+    video_euler: str = "scheduler",
 ):
     """Dual video+audio denoise step, guidance rows batched.
 
@@ -242,10 +247,17 @@ def make_av_denoise_step(
     x += (sigma_next - sigma) * v (LTXPipeline.swift:1402). Guidance rescale
     applies to VIDEO only, matching the reference. STG is not defined for
     the AV path (reference has no STG in generateVideoWithAudio).
+
+    video_euler: "scheduler" = the f32/bf16-round-trip scheduler step
+    (stage 1 of every AV path); "plain" = x += dt * v, which is what the
+    reference uses for VIDEO in stage 2 of the audio two-stage path
+    (LTXPipeline.swift:1800-1816) instead of scheduler.step.
     """
     from ltx_tpu.models import dit_av
 
-    assert not guidance.use_stg, "STG is not supported on the AV path"
+    if guidance.use_stg:
+        raise InvalidConfigurationError(
+            "STG is not supported on the audio+video path")
     g = guidance.num_rows
     ropes = dit_av.prepare_av_ropes(
         tcfg, shape.frames, shape.height, shape.width, audio_frames, fps=fps
@@ -296,13 +308,20 @@ def make_av_denoise_step(
         else:
             v_vel, a_vel = v_rows[0:1], a_rows[0:1]
 
+        if video_euler == "plain":
+            def _vstep(lat, vel):
+                return (lat.astype(jnp.float32)
+                        + (sigma_next - sigma) * vel).astype(lat.dtype)
+        else:
+            def _vstep(lat, vel):
+                return euler_step(lat, vel, sigma, sigma_next)
+
         if cond_mask is not None:
-            stepped = euler_step(
-                video_latent[:, :, 1:], v_vel[:, :, 1:], sigma, sigma_next)
+            stepped = _vstep(video_latent[:, :, 1:], v_vel[:, :, 1:])
             new_video = jnp.concatenate(
                 [video_latent[:, :, :1], stepped], axis=2)
         else:
-            new_video = euler_step(video_latent, v_vel, sigma, sigma_next)
+            new_video = _vstep(video_latent, v_vel)
 
         new_audio = (audio_packed.astype(jnp.float32)
                      + (sigma_next - sigma) * a_vel)
@@ -330,7 +349,7 @@ def run_av_denoise_loop(step_fn, video_latent, audio_packed, sigmas,
             sub,
         )
         if on_step is not None:
-            video_latent.block_until_ready()
+            device_sync(video_latent)
             on_step(i, num_steps, float(sigmas[i]))
     return video_latent, audio_packed
 
@@ -388,6 +407,6 @@ def run_denoise_loop(
             checkpoint.save(i, latent, velocity, sigmas, seed)
         diag_stats(f"denoise step {i} latent", latent)
         if on_step is not None:
-            latent.block_until_ready()
+            device_sync(latent)
             on_step(i, num_steps, float(sigmas[i]))
     return latent

