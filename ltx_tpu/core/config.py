@@ -217,6 +217,10 @@ class MemoryConfig:
     vae_tile_overlap: int = 1  # latent-frame overlap between tiles
     remat_blocks: bool = False  # jax.checkpoint over the DiT block scan
     offload_text_encoder: bool = True  # drop Gemma weights after encoding
+    # Keep host (numpy) originals and place each component into HBM only for
+    # its phase, releasing afterwards (utils/staging.py). Required for
+    # single-chip runs at real scale: Gemma int4 + DiT int4 > 15.5 GB HBM.
+    phase_staging: bool = False
 
     @classmethod
     def preset(cls, name: str) -> "MemoryConfig":
@@ -229,9 +233,11 @@ class MemoryConfig:
             "light": cls(vae_tile_size=0, remat_blocks=False,
                          offload_text_encoder=True),
             "moderate": cls(vae_tile_size=8, vae_tile_overlap=1,
-                            remat_blocks=False, offload_text_encoder=True),
+                            remat_blocks=False, offload_text_encoder=True,
+                            phase_staging=True),
             "aggressive": cls(vae_tile_size=6, vae_tile_overlap=1,
-                              remat_blocks=True, offload_text_encoder=True),
+                              remat_blocks=True, offload_text_encoder=True,
+                              phase_staging=True),
         }
         if name not in presets:
             raise ValueError(f"unknown memory preset: {name} "

@@ -54,7 +54,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref,
         preferred_element_type=jnp.float32,
     )                                               # (bq, bk)
     if bias_ref is not None:
-        s = s + bias_ref[0][None, :].astype(jnp.float32)
+        s = s + bias_ref[0, 0][None, :].astype(jnp.float32)
 
     m_prev = m_ref[:, 0]                            # (bq,)
     l_prev = l_ref[:, 0]
@@ -151,11 +151,16 @@ def flash_attention(
     ]
     inputs = [q3, k3, v3]
     if bias is not None:
-        # bias is per batch (not per head): index map folds bh -> b
+        # bias is per batch (not per head): index map folds bh -> b. The
+        # singleton middle axis makes the block's trailing dims (1, block_k),
+        # which satisfies the TPU (8, 128) tiling rule for ANY batch size —
+        # a 2D (B, Tk) bias block of (1, block_k) is only legal when B == 1
+        # (bug found by the dev-CFG contract bench: guidance rows batch on B).
         in_specs.append(
-            pl.BlockSpec((1, block_k), lambda bh_i, iq, ik: (bh_i // h, ik))
+            pl.BlockSpec((1, 1, block_k),
+                         lambda bh_i, iq, ik: (bh_i // h, 0, ik))
         )
-        inputs.append(bias)
+        inputs.append(bias[:, None, :])
         kernel = functools.partial(
             _flash_kernel, sm_scale=scale, num_k_blocks=num_k
         )

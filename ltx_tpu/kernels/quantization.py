@@ -103,6 +103,27 @@ def dequantize_weight(qp, dtype=jnp.bfloat16):
     return w.reshape(d_in, d_out).astype(dtype)
 
 
+def dequantize_weight_np(qp):
+    """Host (numpy) twin of dequantize_weight -> (in, out) float32."""
+    import numpy as np
+
+    if "w_q" in qp:
+        q = np.asarray(qp["w_q"], np.float32)
+    else:
+        packed = np.asarray(qp["w_q4"])
+        d2, d_out = packed.shape
+        half = _effective_pack_block(d2 * 2) // 2
+        pb = packed.reshape(d2 // half, half, d_out)
+        q = np.concatenate([pb & 0x0F, pb >> 4], axis=1) \
+            .reshape(d2 * 2, d_out).astype(np.float32)
+    group = q.shape[0] // qp["scale"].shape[0]
+    d_in, d_out = q.shape
+    qg = q.reshape(d_in // group, group, d_out)
+    w = (qg * np.asarray(qp["scale"], np.float32)[:, None]
+         + np.asarray(qp["bias"], np.float32)[:, None])
+    return w.reshape(d_in, d_out)
+
+
 def is_quantized(p) -> bool:
     return isinstance(p, dict) and ("w_q" in p or "w_q4" in p)
 
@@ -285,6 +306,31 @@ QUANTIZABLE_LEAVES = frozenset({
 })
 
 
+def _quantize_weight_np(w, bits: int, group_size: int):
+    """Host (numpy) twin of quantize_weight — loading real 19B bf16 weights
+    must not stage the unquantized tree through device HBM."""
+    import numpy as np
+
+    d_in, d_out = w.shape
+    levels = (1 << bits) - 1
+    wf = np.asarray(w, np.float32).reshape(d_in // group_size, group_size,
+                                           d_out)
+    w_min = wf.min(axis=1)
+    w_max = wf.max(axis=1)
+    scale = (w_max - w_min) / levels
+    scale = np.where(scale == 0, 1.0, scale).astype(np.float32)
+    q = np.clip(np.rint((wf - w_min[:, None]) / scale[:, None]), 0, levels)
+    out = {"scale": scale, "bias": w_min.astype(np.float32)}
+    q8 = q.reshape(d_in, d_out).astype(np.uint8)
+    if bits == 8:
+        out["w_q"] = q8
+    elif bits == 4:
+        out["w_q4"] = pack_int4(q8)  # pure reshape/bit-ops: stays numpy
+    else:
+        raise ValueError(f"unsupported bits: {bits}")
+    return out
+
+
 def quantize_transformer_params(params, bits: int, group_size: int = 64):
     """Quantize every large linear under `params["blocks"]` (any transformer
     pytree: video DiT, dual AV transformer).
@@ -292,11 +338,20 @@ def quantize_transformer_params(params, bits: int, group_size: int = 64):
     Stacked blocks have (L, in, out) weights — quantized per layer slice via
     vmap so group stats don't mix across layers. Norm weights, tables and
     small layers stay in bf16 (the reference likewise only quantizes Linear
-    modules above a size threshold).
+    modules above a size threshold). Host (numpy) inputs quantize layer-by-
+    layer on the host and stay there — see _quantize_weight_np.
     """
+    import numpy as np
 
     def quant_stacked(p):
-        out = jax.vmap(lambda w: quantize_weight(w, bits, group_size))(p["w"])
+        if isinstance(p["w"], np.ndarray):
+            per_layer = [_quantize_weight_np(w, bits, group_size)
+                         for w in p["w"]]
+            out = {k: np.stack([pl[k] for pl in per_layer])
+                   for k in per_layer[0]}
+        else:
+            out = jax.vmap(lambda w: quantize_weight(w, bits, group_size))(
+                p["w"])
         if "b" in p:
             out["b"] = p["b"]
         return out

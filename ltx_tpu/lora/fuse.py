@@ -139,26 +139,48 @@ def _set(tree, path, value):
     node[path[-1]] = value
 
 
-def _merge_leaf(leaf, layer_index: Optional[int], delta_t: jnp.ndarray):
-    """Add a (in, out) delta to a plain or quantized linear leaf."""
+def _merge_leaf(leaf, layer_index: Optional[int], delta_t):
+    """Add a (in, out) delta to a plain or quantized linear leaf.
+
+    Device (jax) leaves update functionally via `.at[i].set`. HOST (numpy)
+    leaves — how the weight loaders now deliver params — update IN PLACE:
+    fuse_lora hands this function a private copy-on-write leaf, so the
+    caller's tree is never mutated and the 19B host tree is never deep-
+    copied wholesale.
+    """
+    from ltx_tpu.kernels.quantization import (
+        _quantize_weight_np,
+        dequantize_weight_np,
+    )
+
     if is_quantized(leaf):
         # dequant -> merge -> requant (reference: LoRAAdapter.swift:104-133)
         bits = 8 if "w_q" in leaf else 4
+        qkey = "w_q" if bits == 8 else "w_q4"
+        host = isinstance(leaf[qkey], np.ndarray)
         if layer_index is None:
             sl = {k: leaf[k] for k in leaf if k in ("w_q", "w_q4", "scale",
                                                     "bias")}
-            w = dequantize_weight(sl, jnp.float32) + delta_t
             group = leaf["scale"].shape[0]
-            new = quantize_weight(w, bits, w.shape[0] // group)
+            if host:
+                w = dequantize_weight_np(sl) + np.asarray(delta_t, np.float32)
+                new = _quantize_weight_np(w, bits, w.shape[0] // group)
+            else:
+                w = dequantize_weight(sl, jnp.float32) + delta_t
+                new = quantize_weight(w, bits, w.shape[0] // group)
             out = dict(leaf)
             out.update(new)
             return out
         sl = {k: leaf[k][layer_index] for k in ("scale", "bias")}
-        sl["w_q" if bits == 8 else "w_q4"] = (
-            leaf["w_q"][layer_index] if bits == 8 else leaf["w_q4"][layer_index]
-        )
-        w = dequantize_weight(sl, jnp.float32) + delta_t
+        sl[qkey] = leaf[qkey][layer_index]
         group_count = leaf["scale"].shape[1]
+        if host:
+            w = dequantize_weight_np(sl) + np.asarray(delta_t, np.float32)
+            new = _quantize_weight_np(w, bits, w.shape[0] // group_count)
+            for k, v in new.items():
+                leaf[k][layer_index] = v
+            return leaf
+        w = dequantize_weight(sl, jnp.float32) + delta_t
         new = quantize_weight(w, bits, w.shape[0] // group_count)
         out = dict(leaf)
         for k, v in new.items():
@@ -166,6 +188,14 @@ def _merge_leaf(leaf, layer_index: Optional[int], delta_t: jnp.ndarray):
         return out
 
     w = leaf["w"]
+    if isinstance(w, np.ndarray):
+        delta = np.asarray(delta_t, np.float32)
+        if layer_index is None:
+            merged = w.astype(np.float32) + delta
+            return {**leaf, "w": merged.astype(w.dtype)}
+        w[layer_index] = (w[layer_index].astype(np.float32)
+                          + delta).astype(w.dtype)
+        return leaf
     if layer_index is None:
         merged = w.astype(jnp.float32) + delta_t
         return {**leaf, "w": merged.astype(w.dtype)}
@@ -173,31 +203,47 @@ def _merge_leaf(leaf, layer_index: Optional[int], delta_t: jnp.ndarray):
     return {**leaf, "w": w.at[layer_index].set(merged.astype(w.dtype))}
 
 
+def _copy_structure(tree):
+    """Copy nested dicts; alias leaves (copy-on-write happens per leaf)."""
+    if isinstance(tree, dict):
+        return {k: _copy_structure(v) for k, v in tree.items()}
+    return tree
+
+
 def fuse_lora(params: dict, layers: List[LoRALayer], scale: float = 1.0,
               num_layers: Optional[int] = None) -> dict:
     """Permanently merge LoRA deltas into a DiT pytree; returns NEW params.
 
     The reference batches updates per transformer block to bound peak memory
-    (LoRAAdapter.swift:64-166); here `.at[i].set` updates are functional and
-    XLA fuses the scatter, so no batching choreography is needed.
+    (LoRAAdapter.swift:64-166); here device leaves update functionally
+    (`.at[i].set`, XLA fuses the scatter) and host leaves copy-on-write once
+    per touched leaf — a full deep copy of a real 19B host tree would burn
+    ~38 GB of host RAM for nothing.
     """
-    import copy
+    out = _copy_structure(params)
+    materialized = set()
 
-    out = copy.deepcopy(params)
+    def leaf_for(path):
+        leaf = _get(out, path)
+        if path not in materialized:
+            leaf = {k: (v.copy() if isinstance(v, np.ndarray) else v)
+                    for k, v in leaf.items()}
+            _set(out, path, leaf)
+            materialized.add(path)
+        return leaf
+
     fused = skipped = 0
     for layer in layers:
-        delta_t = jnp.asarray(layer.delta(scale).T)  # -> (in, out)
+        delta_t = layer.delta(scale).T  # -> (in, out), host
         m = _BLOCK_KEY.match(layer.original_key)
         try:
             if m:
                 idx = int(m.group(1))
                 path = ("blocks",) + _BLOCK_PATHS[m.group(2)]
-                leaf = _get(out, path)
-                _set(out, path, _merge_leaf(leaf, idx, delta_t))
+                _set(out, path, _merge_leaf(leaf_for(path), idx, delta_t))
             else:
                 path = _TOP_PATHS[layer.original_key]
-                leaf = _get(out, path)
-                _set(out, path, _merge_leaf(leaf, None, delta_t))
+                _set(out, path, _merge_leaf(leaf_for(path), None, delta_t))
             fused += 1
         except KeyError:
             skipped += 1

@@ -487,13 +487,7 @@ def _build_generate_fn(cfg: Gemma3Config, t_pad: int, max_new_tokens: int,
         def sample(lg, key):
             if temperature <= 0:
                 return jnp.argmax(lg).astype(jnp.int32)
-            probs = jax.nn.softmax(lg / temperature)
-            order = jnp.argsort(-probs)
-            sp = probs[order]
-            keep = jnp.cumsum(sp) > (1.0 - top_p)
-            filt = jnp.where(keep, sp, 0.0)
-            choice = jax.random.categorical(key, jnp.log(filt + 1e-10))
-            return order[choice].astype(jnp.int32)
+            return topp_sample(lg, key, temperature, top_p)
 
         def cond(state):
             _, _, _, _, _, n_gen, done = state
@@ -522,6 +516,30 @@ def _build_generate_fn(cfg: Gemma3Config, t_pad: int, max_new_tokens: int,
         return out, n_gen
 
     return jax.jit(run)
+
+
+def topp_sample(lg, key, temperature: float, top_p: float,
+                top_k: int = 64):
+    """Nucleus (top-p) sampling over a (vocab,) logit row.
+
+    Keeps the smallest descending-probability prefix whose mass reaches
+    top_p (the reference's MLX sampler expresses the same set as
+    "ascending cumsum > 1 - top_p"). Probabilities normalize over the FULL
+    vocab (logsumexp), but only the top_k candidates enter the sort — a
+    full 262k argsort per decode token costs more than a whole 48-layer
+    forward on TPU, and at temperature<=1 the nucleus virtually never
+    extends past 64 tokens (the truncation only matters for mass beyond
+    top_p anyway).
+    """
+    lgt = lg.astype(jnp.float32) / temperature
+    lse = jax.nn.logsumexp(lgt)
+    kvals, kidx = lax.top_k(lgt, top_k)      # descending
+    kprobs = jnp.exp(kvals - lse)
+    mass_before = jnp.cumsum(kprobs) - kprobs
+    keep = mass_before < top_p               # token 0 always kept
+    filt = jnp.where(keep, kprobs, 0.0)
+    choice = jax.random.categorical(key, jnp.log(filt + 1e-12))
+    return kidx[choice].astype(jnp.int32)
 
 
 def _embed_lookup(params, ids):

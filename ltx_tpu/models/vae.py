@@ -385,7 +385,14 @@ def decode_video(params, latent, cfg: VAEConfig,
     8*(F-1)+1 frames and blends 8*(overlap-1) genuinely-coincident frames.
     Every full tile has the same shape -> one decoder compilation (plus one
     for a ragged tail).
+
+    The stitched video assembles in a PREALLOCATED HOST buffer: only one
+    decoded tile is ever device-resident (the untiled 241f@1024x640 output
+    alone is ~1.9 GB f32 on top of decoder activations), and the frames are
+    headed to host-side MP4 export anyway.
     """
+    import numpy as np
+
     if latent.ndim == 4:
         latent = latent[None]
     f = latent.shape[2]
@@ -400,37 +407,44 @@ def decode_video(params, latent, cfg: VAEConfig,
     tile_overlap = max(tile_overlap, 1)
     stride = tile_size - tile_overlap
     pixel_blend = 8 * (tile_overlap - 1)
-    pieces = []  # aligned pixel segments
+    out = None  # host (B, 3, 8(f-1)+1, H, W) float32, allocated on chunk 0
+    filled = 0
     start = 0
     idx = 0
-    result = None
     while start < f:
         end = min(start + tile_size, f)
         key_i = None
         if noise_key is not None:
             key_i = jax.random.fold_in(noise_key, idx)
-        chunk = decoder_forward(params, latent[:, :, start:end], cfg, timestep,
-                                key_i)
+        chunk = np.asarray(
+            decoder_forward(params, latent[:, :, start:end], cfg, timestep,
+                            key_i), np.float32)
         if idx == 0:
-            result = chunk
+            b, _, _, hh, ww = chunk.shape
+            out = np.empty((b, 3, 8 * (f - 1) + 1, hh, ww), np.float32)
+            out[:, :, : chunk.shape[2]] = chunk
+            filled = chunk.shape[2]
         else:
             nxt = chunk[:, :, 1:]  # drop re-anchored first pixel frame
-            rf = result.shape[2]
-            if 0 < pixel_blend < rf and pixel_blend < nxt.shape[2]:
-                wts = (jnp.arange(1, pixel_blend + 1, dtype=jnp.float32)
+            if 0 < pixel_blend < filled and pixel_blend < nxt.shape[2]:
+                wts = (np.arange(1, pixel_blend + 1, dtype=np.float32)
                        / (pixel_blend + 1)).reshape(1, 1, -1, 1, 1)
-                blended = (result[:, :, rf - pixel_blend:] * (1 - wts)
-                           + nxt[:, :, :pixel_blend] * wts)
-                result = jnp.concatenate(
-                    [result[:, :, : rf - pixel_blend], blended,
-                     nxt[:, :, pixel_blend:]], axis=2)
+                out[:, :, filled - pixel_blend: filled] = (
+                    out[:, :, filled - pixel_blend: filled] * (1 - wts)
+                    + nxt[:, :, :pixel_blend] * wts)
+                rest = nxt[:, :, pixel_blend:]
             else:
-                result = jnp.concatenate([result, nxt], axis=2)
+                rest = nxt
+            out[:, :, filled: filled + rest.shape[2]] = rest
+            filled += rest.shape[2]
         idx += 1
         if end >= f:
             break
         start += stride
-    return finish(result)
+    assert filled == out.shape[2], (filled, out.shape)
+    frames = np.clip((out + 1.0) / 2.0, 0.0, 1.0)
+    # stays on host: the frames are headed to host-side export
+    return frames[0].transpose(1, 2, 3, 0)
 
 
 def decode_video_sharded(params, latent, cfg: VAEConfig, mesh,

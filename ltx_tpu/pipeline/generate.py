@@ -128,6 +128,9 @@ class LTXPipeline:
         self.vision_params = vision_params
         self.vision_config = vision_config
         self.mesh = None
+        # host originals for phase staging (utils/staging.py): filled lazily
+        # by _on_device when a component arrives as a host (numpy) tree
+        self._host_store = {}
 
     # ------------------------------------------------------------------
     # Construction helpers
@@ -189,6 +192,45 @@ class LTXPipeline:
         )
 
     # ------------------------------------------------------------------
+    # Phase staging (host <-> device placement)
+    # ------------------------------------------------------------------
+
+    _TP_SHARDED = ("transformer_params", "av_transformer_params",
+                   "gemma_params")
+
+    def _on_device(self, *names):
+        """Place host (numpy) component trees into device memory — sharded
+        over the mesh when one is attached, plain device_put otherwise.
+        No-op for components already on device; the host original is kept
+        in _host_store so phase_staging can release HBM without readbacks."""
+        from ltx_tpu.utils import staging
+
+        for name in names:
+            tree = getattr(self, name, None)
+            if tree is None or not staging.is_host_tree(tree):
+                continue
+            self._host_store.setdefault(name, tree)
+            if self.mesh is not None:
+                from ltx_tpu.parallel import sharding as shard_mod
+
+                if name in self._TP_SHARDED:
+                    placed = shard_mod.shard_transformer_params(tree, self.mesh)
+                else:
+                    placed = shard_mod.replicate(tree, self.mesh)
+            else:
+                placed = staging.to_device(tree)
+            setattr(self, name, placed)
+
+    def _release_to_host(self, *names):
+        """Drop a component's device copy (phase_staging only): restore the
+        stored host original; XLA frees the HBM when the refs die."""
+        if not self.memory.phase_staging:
+            return
+        for name in names:
+            if name in self._host_store:
+                setattr(self, name, self._host_store[name])
+
+    # ------------------------------------------------------------------
     # Parallelism
     # ------------------------------------------------------------------
 
@@ -203,21 +245,25 @@ class LTXPipeline:
         (SURVEY.md §2.9).
         """
         from ltx_tpu.parallel import sharding as shard_mod
+        from ltx_tpu.utils import staging
 
         self.mesh = mesh
-        self.transformer_params = shard_mod.shard_transformer_params(
-            self.transformer_params, mesh)
-        if self.av_transformer_params is not None:
-            self.av_transformer_params = shard_mod.shard_transformer_params(
-                self.av_transformer_params, mesh)
-        if self.gemma_params is not None:
-            self.gemma_params = shard_mod.shard_transformer_params(
-                self.gemma_params, mesh)
+        # Host (numpy) trees are left in place: _on_device shards them when
+        # their phase starts (phase_staging choreography); device trees
+        # re-place eagerly.
+        if not staging.is_host_tree(self.transformer_params):
+            self.transformer_params = shard_mod.shard_transformer_params(
+                self.transformer_params, mesh)
+        for tp_name in ("av_transformer_params", "gemma_params"):
+            tree = getattr(self, tp_name)
+            if tree is not None and not staging.is_host_tree(tree):
+                setattr(self, tp_name,
+                        shard_mod.shard_transformer_params(tree, mesh))
         for name in ("vae_decoder_params", "vae_encoder_params",
                      "upscaler_params", "text_encoder_params",
                      "audio_vae_params", "vocoder_params"):
             tree = getattr(self, name)
-            if tree is not None:
+            if tree is not None and not staging.is_host_tree(tree):
                 setattr(self, name, shard_mod.replicate(tree, mesh))
         return self
 
@@ -247,6 +293,7 @@ class LTXPipeline:
         """prompt -> (embeddings (1, S, D), mask (1, S)[, audio])."""
         if self.gemma_params is None:
             raise ModelNotLoadedError("text encoder (Gemma)")
+        self._on_device("gemma_params", "text_encoder_params")
         ids, mask = self.tokenize(prompt)
         hidden = gemma3.forward_hidden_states(
             self.gemma_params, ids, mask, self.gcfg
@@ -257,10 +304,16 @@ class LTXPipeline:
         return out
 
     def offload_text_encoder(self):
-        """Drop Gemma + connector params (TPU equivalent of the reference's
-        unload-after-encode, LTXPipeline.swift:726-731)."""
-        self.gemma_params = None
-        self.text_encoder_params = None
+        """Drop Gemma + connector params' device copies (TPU equivalent of
+        the reference's unload-after-encode, LTXPipeline.swift:726-731).
+        With phase_staging the host originals survive, so later generations
+        re-place them; otherwise the params are gone for good."""
+        if self.memory.phase_staging:
+            self._release_to_host("gemma_params", "text_encoder_params",
+                                  "vision_params")
+        else:
+            self.gemma_params = None
+            self.text_encoder_params = None
 
     def _maybe_enhance(self, prompt: str, config: GenerationConfig,
                        is_i2v: bool) -> str:
@@ -272,6 +325,7 @@ class LTXPipeline:
             log.warning("enhance_prompt requested but the text encoder is "
                         "not loaded; using the raw prompt")
             return prompt
+        self._on_device("gemma_params", "vision_params")
         from ltx_tpu.pipeline.enhance import enhance_prompt
 
         enhanced = enhance_prompt(
@@ -300,6 +354,10 @@ class LTXPipeline:
         frame axis decodes CONCURRENTLY across devices via
         vae.decode_video_sharded (halo-exchange shard_map); otherwise the
         sequential host tiling loop."""
+        # all denoising is done by the time frames decode: free the DiT's
+        # HBM before the conv stack's activations (phase_staging only)
+        self._release_to_host("transformer_params", "av_transformer_params")
+        self._on_device("vae_decoder_params")
         t0 = time.time()
         ts = 0.05 if self.vcfg.timestep_conditioning else None
         mesh = self.mesh
@@ -412,6 +470,7 @@ class LTXPipeline:
             conditioning_mask = cm
 
         # --- denoise phase (one compiled step)
+        self._on_device("transformer_params")
         step_fn = make_denoise_step(
             self.transformer_params, self.tcfg, guidance, shape,
             context, bias,
@@ -446,6 +505,7 @@ class LTXPipeline:
                  conditioning_mask, cond_noise_scale, fps, key, timings,
                  on_progress):
         """Shared compiled-step denoise (reference: LTXPipeline.swift:2191)."""
+        self._on_device("transformer_params")
         step_fn = make_denoise_step(
             self.transformer_params, self.tcfg, guidance, shape,
             context, bias,
@@ -558,6 +618,7 @@ class LTXPipeline:
         stage1_output = latent
 
         # === UPSCALE 2x + AdaIN toward stage-1 stats ===
+        self._on_device("upscaler_params")
         mean = self.vae_decoder_params["mean_of_means"]
         std = self.vae_decoder_params["std_of_means"]
         ucfg = self.upscaler_config or UpscalerConfig(
@@ -690,6 +751,7 @@ class LTXPipeline:
                 image_latent.astype(video_latent.dtype))
             conditioning_mask = self._conditioning_mask(shape)
 
+        self._on_device("av_transformer_params")
         step_fn = make_av_denoise_step(
             self.av_transformer_params, self.tcfg, guidance, shape,
             audio_frames, v_ctx, a_ctx, bias,
@@ -718,6 +780,7 @@ class LTXPipeline:
         # --- decode audio
         audio_latents = dit_av.unpack_audio_latents(
             audio_packed, channels=8, mel=mel_latent_bins)
+        self._on_device("audio_vae_params", "vocoder_params")
         waveform = audio_vae_mod.decode_audio(
             self.audio_vae_params, self.vocoder_params, audio_latents,
             self.audio_vae_config or audio_vae_mod.AudioVAEConfig(),
@@ -831,6 +894,7 @@ class LTXPipeline:
                 on_progress(i, n, sigma)
 
         # === STAGE 1: half-resolution dual denoise ===
+        self._on_device("av_transformer_params")
         step_fn = make_av_denoise_step(
             self.av_transformer_params, self.tcfg, guidance, s1_shape,
             audio_frames, v_ctx, a_ctx, bias,
@@ -847,6 +911,7 @@ class LTXPipeline:
 
         # === UPSCALE video 2x (audio unchanged) + AdaIN toward stage 1 ===
         # (reference: LTXPipeline.swift:1692-1721)
+        self._on_device("upscaler_params")
         mean = self.vae_decoder_params["mean_of_means"]
         std = self.vae_decoder_params["std_of_means"]
         ucfg = self.upscaler_config or UpscalerConfig(
@@ -904,6 +969,7 @@ class LTXPipeline:
         # --- decode audio
         audio_latents = dit_av.unpack_audio_latents(
             audio_packed, channels=8, mel=mel_latent_bins)
+        self._on_device("audio_vae_params", "vocoder_params")
         waveform = audio_vae_mod.decode_audio(
             self.audio_vae_params, self.vocoder_params, audio_latents,
             self.audio_vae_config or audio_vae_mod.AudioVAEConfig(),
@@ -921,6 +987,7 @@ class LTXPipeline:
         reference: LTXPipeline.swift:1902-1932)."""
         if self.vae_encoder_params is None:
             raise ModelNotLoadedError("VAE encoder")
+        self._on_device("vae_encoder_params", "vae_decoder_params")
         latent = vae.encoder_forward(self.vae_encoder_params, pixels, self.vcfg)
         mean = self.vae_decoder_params["mean_of_means"].astype(jnp.float32)
         std = self.vae_decoder_params["std_of_means"].astype(jnp.float32)

@@ -59,6 +59,10 @@ def device_sync(array) -> None:
     the only dependable sync, so all pipeline timing uses this (same
     technique bench.py uses; one compiled reduce per shape).
     """
+    import numpy as np
+
+    if isinstance(array, np.ndarray):
+        return  # already on host: nothing to wait for
     float(jax.numpy.asarray(array).sum())
 
 

@@ -8,7 +8,10 @@ axis for lax.scan, and all linear weights use the (in, out) layout. So each
 loader = (string map) -> (group by layer) -> (stack + transpose).
 
 All functions take a flat {key: np.ndarray} dict (from safetensors) and
-return ready-to-use parameter pytrees.
+return ready-to-use parameter pytrees of HOST (numpy) arrays — real-scale
+weights (19B DiT bf16 = 38 GB) must never stage through device HBM during
+load; device placement (plain, or sharded over a mesh) happens explicitly in
+pipeline.loader / LTXPipeline per phase.
 """
 
 from __future__ import annotations
@@ -16,10 +19,12 @@ from __future__ import annotations
 import re
 from typing import Dict, Optional, Tuple
 
-import jax.numpy as jnp
+import ml_dtypes
 import numpy as np
 
 Tensors = Dict[str, np.ndarray]
+
+bfloat16 = ml_dtypes.bfloat16
 
 
 def _t(x):
@@ -33,10 +38,11 @@ def _conv3d_t(x):
 
 
 def _bf16(x):
-    """float32 -> bfloat16 at load (reference: ModelDownloader.swift:1005-1015)."""
-    arr = jnp.asarray(x)
-    if arr.dtype == jnp.float32:
-        return arr.astype(jnp.bfloat16)
+    """float32 -> bfloat16 at load (reference: ModelDownloader.swift:1005-1015).
+    Host-side (numpy + ml_dtypes) — no device staging during load."""
+    arr = np.asarray(x)
+    if arr.dtype == np.float32:
+        return arr.astype(bfloat16)
     return arr
 
 
@@ -128,8 +134,8 @@ def assemble_transformer_params(raw: Tensors, num_layers: int,
                 blk[attn][nrm] = {"w": _bf16(d.pop(f"{attn}.{nrm}.weight"))}
         linear(d, "ff.project_in.proj", blk["ff"], "project_in")
         linear(d, "ff.project_out", blk["ff"], "project_out")
-        blk["scale_shift_table"] = jnp.asarray(
-            d.pop("scale_shift_table"), jnp.float32
+        blk["scale_shift_table"] = np.asarray(
+            d.pop("scale_shift_table"), np.float32
         )
         if d:
             leftover = sorted(d)[:5]
@@ -138,7 +144,7 @@ def assemble_transformer_params(raw: Tensors, num_layers: int,
 
     import jax
 
-    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+    stacked = jax.tree.map(lambda *xs: np.stack(xs), *layers)
 
     params: dict = {"blocks": stacked}
     linear(top, "patchify_proj", params, "patchify_proj")
@@ -154,8 +160,8 @@ def assemble_transformer_params(raw: Tensors, num_layers: int,
     linear(top, "caption_projection.linear_2", params["caption_projection"],
            "linear_2")
     linear(top, "proj_out", params, "proj_out")
-    params["scale_shift_table"] = jnp.asarray(
-        top.pop("scale_shift_table"), jnp.float32
+    params["scale_shift_table"] = np.asarray(
+        top.pop("scale_shift_table"), np.float32
     )
     return params
 
@@ -230,7 +236,7 @@ def assemble_av_transformer_params(raw: Tensors, num_layers: int) -> dict:
         }
 
     def sst(d, key):
-        return jnp.asarray(d.pop(key), jnp.float32)
+        return np.asarray(d.pop(key), np.float32)
 
     layers = []
     for i, d in enumerate(per_layer):
@@ -272,7 +278,7 @@ def assemble_av_transformer_params(raw: Tensors, num_layers: int) -> dict:
         }
 
     params = {
-        "blocks": jax.tree.map(lambda *xs: jnp.stack(xs), *layers),
+        "blocks": jax.tree.map(lambda *xs: np.stack(xs), *layers),
         "patchify_proj": lin(top, "patchify_proj"),
         "adaln_single": adaln(top, "adaln_single"),
         "caption_projection": {
@@ -280,8 +286,8 @@ def assemble_av_transformer_params(raw: Tensors, num_layers: int) -> dict:
             "linear_2": lin(top, "caption_projection.linear_2"),
         },
         "proj_out": lin(top, "proj_out"),
-        "scale_shift_table": jnp.asarray(top.pop("scale_shift_table"),
-                                         jnp.float32),
+        "scale_shift_table": np.asarray(top.pop("scale_shift_table"),
+                                        np.float32),
         "audio_patchify_proj": lin(top, "audio_patchify_proj",
                                    alt="audio_proj_in"),
         "audio_adaln_single": adaln(top, "audio_adaln_single",
@@ -291,8 +297,8 @@ def assemble_av_transformer_params(raw: Tensors, num_layers: int) -> dict:
             "linear_2": lin(top, "audio_caption_projection.linear_2"),
         },
         "audio_proj_out": lin(top, "audio_proj_out"),
-        "audio_scale_shift_table": jnp.asarray(
-            top.pop("audio_scale_shift_table"), jnp.float32),
+        "audio_scale_shift_table": np.asarray(
+            top.pop("audio_scale_shift_table"), np.float32),
         "av_ca_video_scale_shift_adaln_single": adaln(
             top, "av_ca_video_scale_shift_adaln_single"),
         "av_ca_a2v_gate_adaln_single": adaln(
@@ -387,12 +393,12 @@ def _time_embedder(d: dict, prefix: str):
     out = {"timestep_embedder": {}}
     for lin in ("linear_1", "linear_2"):
         w = d.pop(f"{prefix}.timestep_embedder.{lin}.weight")
-        p = {"w": jnp.asarray(_t(w), jnp.float32)}
+        p = {"w": np.asarray(_t(w), np.float32)}
         b = d.pop(f"{prefix}.timestep_embedder.{lin}.bias", None)
         if b is not None:
-            p["b"] = jnp.asarray(b, jnp.float32)
+            p["b"] = np.asarray(b, np.float32)
         else:
-            p["b"] = jnp.zeros((p["w"].shape[1],), jnp.float32)
+            p["b"] = np.zeros((p["w"].shape[1],), np.float32)
         out["timestep_embedder"][lin] = p
     return out
 
@@ -415,9 +421,9 @@ def load_vae_decoder_params(tensors: Tensors) -> dict:
             blk = {
                 "conv1": _conv(raw, f"{prefix}.res_blocks.{j}.conv1"),
                 "conv2": _conv(raw, f"{prefix}.res_blocks.{j}.conv2"),
-                "scale_shift_table": jnp.asarray(
+                "scale_shift_table": np.asarray(
                     raw.pop(f"{prefix}.res_blocks.{j}.scale_shift_table"),
-                    jnp.float32,
+                    np.float32,
                 ),
             }
             blocks.append(blk)
@@ -431,14 +437,14 @@ def load_vae_decoder_params(tensors: Tensors) -> dict:
         params[f"up_blocks_{ui}"] = {"conv": _conv(raw, f"up_blocks_{ui}.conv")}
     if "last_time_embedder.timestep_embedder.linear_1.weight" in raw:
         params["last_time_embedder"] = _time_embedder(raw, "last_time_embedder")
-    params["last_scale_shift_table"] = jnp.asarray(
-        raw.pop("last_scale_shift_table"), jnp.float32
+    params["last_scale_shift_table"] = np.asarray(
+        raw.pop("last_scale_shift_table"), np.float32
     )
-    params["mean_of_means"] = jnp.asarray(
-        np.squeeze(raw.pop("mean_of_means")), jnp.float32
+    params["mean_of_means"] = np.asarray(
+        np.squeeze(raw.pop("mean_of_means")), np.float32
     )
-    params["std_of_means"] = jnp.asarray(
-        np.squeeze(raw.pop("std_of_means")), jnp.float32
+    params["std_of_means"] = np.asarray(
+        np.squeeze(raw.pop("std_of_means")), np.float32
     )
     raw.pop("timestep_scale_multiplier", None)  # config constant (1000)
     return params
@@ -634,9 +640,9 @@ def _repack_mlx_4bit(tensors: Tensors, key: str, bits: int = 4):
 
     qt = np.ascontiguousarray(q.T)  # (in, out)
     return {
-        "w_q4": jnp.asarray(pack_int4(qt)),
-        "scale": jnp.asarray(np.ascontiguousarray(scales.T), jnp.float32),
-        "bias": jnp.asarray(np.ascontiguousarray(biases.T), jnp.float32),
+        "w_q4": np.asarray(pack_int4(qt)),
+        "scale": np.asarray(np.ascontiguousarray(scales.T), np.float32),
+        "bias": np.asarray(np.ascontiguousarray(biases.T), np.float32),
     }
 
 
@@ -705,7 +711,7 @@ def load_gemma_params(tensors: Tensors, num_layers: int,
         emb = src["model.embed_tokens.weight"]
     return {
         "embed_tokens": {"w": _bf16(emb)},
-        "layers": jax.tree.map(lambda *xs: jnp.stack(xs), *layers),
+        "layers": jax.tree.map(lambda *xs: np.stack(xs), *layers),
         "norm": norm("model.norm"),
     }
 

@@ -135,3 +135,59 @@ def test_fuse_skips_unknown_layers():
         np.asarray(fused["blocks"]["attn1"]["to_q"]["w"]),
         np.asarray(params["blocks"]["attn1"]["to_q"]["w"]),
     )
+
+def test_fuse_host_tree_matches_device():
+    """Loaders now deliver HOST (numpy) trees; fusion must produce the same
+    weights as the device path, leave originals untouched (copy-on-write),
+    and keep the result on host."""
+    params = dit.init_params(jax.random.key(0), CFG, dtype=jnp.float32)
+    host_params = jax.tree.map(lambda x: np.asarray(x), params)
+    host_orig = jax.tree.map(lambda x: x.copy(), host_params)
+    d = CFG.inner_dim
+    t, down, up = _make_lora_tensors(d)
+    layers = fuse.parse_lora(t)
+
+    fused_dev = fuse.fuse_lora(params, layers, scale=1.0)
+    fused_host = fuse.fuse_lora(host_params, layers, scale=1.0)
+
+    w_dev = np.asarray(fused_dev["blocks"]["attn1"]["to_q"]["w"])
+    w_host = fused_host["blocks"]["attn1"]["to_q"]["w"]
+    assert isinstance(w_host, np.ndarray)
+    np.testing.assert_allclose(w_host, w_dev, atol=1e-6)
+    # copy-on-write: caller's host tree unmodified
+    np.testing.assert_array_equal(
+        host_params["blocks"]["attn1"]["to_q"]["w"],
+        host_orig["blocks"]["attn1"]["to_q"]["w"])
+
+
+def test_fuse_host_quantized_matches_device():
+    params = dit.init_params(jax.random.key(0), CFG, dtype=jnp.float32)
+    qparams = quantize_dit_params(params, bits=4)
+    host_q = jax.tree.map(lambda x: np.asarray(x), qparams)
+    d = CFG.inner_dim
+    rank = 4
+    rng = np.random.default_rng(1)
+    down = rng.standard_normal((rank, d)).astype(np.float32) * 0.05
+    up = rng.standard_normal((CFG.ffn_dim, rank)).astype(np.float32) * 0.05
+    t = {
+        "diffusion_model.transformer_blocks.0.ff.net.0.proj.lora_down.weight":
+            down,
+        "diffusion_model.transformer_blocks.0.ff.net.0.proj.lora_up.weight":
+            up,
+    }
+    layers = fuse.parse_lora(t)
+    fused_dev = fuse.fuse_lora(qparams, layers, scale=1.0)
+    fused_host = fuse.fuse_lora(host_q, layers, scale=1.0)
+    for k in ("w_q4", "scale", "bias"):
+        got = fused_host["blocks"]["ff"]["project_in"][k]
+        assert isinstance(got, np.ndarray), k
+        np.testing.assert_allclose(
+            got, np.asarray(fused_dev["blocks"]["ff"]["project_in"][k]),
+            atol=1e-6, err_msg=k)
+    # untouched layer 1 of the same leaf identical; untouched leaves alias
+    # the input (structure-only copy)
+    np.testing.assert_array_equal(
+        fused_host["blocks"]["ff"]["project_in"]["w_q4"][1],
+        host_q["blocks"]["ff"]["project_in"]["w_q4"][1])
+    assert fused_host["blocks"]["ff"]["project_out"]["w_q4"] is \
+        host_q["blocks"]["ff"]["project_out"]["w_q4"]

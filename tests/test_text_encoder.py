@@ -189,3 +189,31 @@ def test_generate_greedy_matches_forward(gparams):
     logits = np.asarray(hs[-1, 0, -1]) @ np.asarray(
         gparams["embed_tokens"]["w"]).T
     assert toks[0] == int(np.argmax(logits))
+
+def test_topp_sample_nucleus_semantics():
+    """top-p keeps the smallest descending prefix reaching top_p mass —
+    matching the reference's MLX sampler ("ascending cumsum > 1-top_p",
+    round-1 code had the predicate inverted). With probs [0.5, 0.3, 0.12,
+    0.05, 0.03] and top_p=0.75 only tokens {0, 1} are ever drawn (0.5+0.3
+    crosses 0.75; token 2's mass-before is 0.8 >= 0.75)."""
+    probs = np.array([0.5, 0.3, 0.12, 0.05, 0.03] + [1e-9] * 123, np.float64)
+    probs /= probs.sum()
+    logits = jnp.asarray(np.log(probs), jnp.float32)
+    seen = set()
+    for i in range(200):
+        tok = int(gemma3.topp_sample(logits, jax.random.key(i),
+                                     temperature=1.0, top_p=0.75, top_k=8))
+        seen.add(tok)
+    assert seen == {0, 1}, seen
+
+
+def test_topp_sample_flat_distribution_keeps_top():
+    """A flat distribution must still sample from the TOP tokens (the
+    inverted predicate dropped them)."""
+    logits = np.full((128,), 0.0, np.float32)
+    logits[:8] += 2.0  # 8 clearly-likelier tokens
+    lg = jnp.asarray(logits)
+    for i in range(50):
+        tok = int(gemma3.topp_sample(lg, jax.random.key(i),
+                                     temperature=0.7, top_p=0.5, top_k=16))
+        assert tok < 8, tok
