@@ -153,6 +153,24 @@ def cmd_generate(args) -> int:
             vae_tile_size=args.vae_tile_size,
             vae_tile_overlap=args.vae_tile_overlap,
         )
+
+    # HBM estimate + preset advice (reference: LatentUtils.swift:294-319)
+    from ltx_tpu.ops.latents import (
+        VideoLatentShape, estimate_memory_gb, recommended_memory_preset,
+    )
+
+    shape = VideoLatentShape.from_pixels(1, config.num_frames, config.height,
+                                         config.width)
+    bits = {"bf16": None, "qint8": 8, "int4": 4}[args.transformer_quant]
+    rows = 1 + (config.cfg_scale > 1.0) + (config.stg_scale > 0)
+    est = estimate_memory_gb(shape, rows, bits,
+                             vae_tile_size=memory.vae_tile_size)
+    if est > 15.5 and not args.mesh:
+        rec = recommended_memory_preset(shape, rows, bits)
+        log.warning(
+            "estimated peak HBM %.1f GB exceeds one chip's ~15.5 GB; "
+            "consider --memory %s%s", est, rec,
+            "" if bits else " or --transformer-quant int4 or --mesh 1,N (TP)")
     pipe = load_pipeline(
         model=_effective_model(args),
         models_dir=args.models_dir,

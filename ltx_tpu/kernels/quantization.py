@@ -245,6 +245,15 @@ def set_tensor_parallel(enabled: bool) -> None:
     _TENSOR_PARALLEL = bool(enabled)
 
 
+# Measured at decode shapes ((128, 3840)x(3840, 15360), v5e): the fused
+# kernel is VPU-dequant-bound at small m (129 us vs XLA dequant+dot 86 us),
+# while at 6144 rows it wins 7.3 ms vs 10.1 ms. Routing small-m matmuls to
+# the XLA path is NOT done despite the per-op win: the XLA dequant inside
+# the token-generation program (48-layer scan in a while_loop) reproducibly
+# crashes the axon TPU worker ("TPU worker process crashed or restarted"),
+# while the Pallas path is stable. Revisit if the backend gets fixed.
+
+
 def _use_pallas_int4(p, x) -> bool:
     if "w_q4" not in p or jax.default_backend() != "tpu":
         return False

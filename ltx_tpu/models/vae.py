@@ -407,18 +407,36 @@ def decode_video(params, latent, cfg: VAEConfig,
     tile_overlap = max(tile_overlap, 1)
     stride = tile_size - tile_overlap
     pixel_blend = 8 * (tile_overlap - 1)
-    out = None  # host (B, 3, 8(f-1)+1, H, W) float32, allocated on chunk 0
-    filled = 0
-    start = 0
-    idx = 0
-    while start < f:
-        end = min(start + tile_size, f)
+
+    starts = []
+    s = 0
+    while s < f:
+        starts.append(s)
+        if s + tile_size >= f:
+            break
+        s += stride
+
+    def launch(i):
+        st = starts[i]
         key_i = None
         if noise_key is not None:
-            key_i = jax.random.fold_in(noise_key, idx)
-        chunk = np.asarray(
-            decoder_forward(params, latent[:, :, start:end], cfg, timestep,
-                            key_i), np.float32)
+            key_i = jax.random.fold_in(noise_key, i)
+        return decoder_forward(params, latent[:, :, st: st + tile_size], cfg,
+                               timestep, key_i)
+
+    out = None  # host (B, 3, 8(f-1)+1, H, W) float32, allocated on chunk 0
+    filled = 0
+    pending = launch(0)
+    for idx in range(len(starts)):
+        # double-buffer: dispatch the NEXT tile's decode (async) before the
+        # device->host pull of this one, so transfer overlaps compute; pull
+        # in the decoder's native dtype (bf16 halves the PCIe/tunnel bytes)
+        # and widen on the host.
+        cur = pending
+        if idx + 1 < len(starts):
+            pending = launch(idx + 1)
+        chunk = np.asarray(cur).astype(np.float32)
+        del cur
         if idx == 0:
             b, _, _, hh, ww = chunk.shape
             out = np.empty((b, 3, 8 * (f - 1) + 1, hh, ww), np.float32)
@@ -437,10 +455,6 @@ def decode_video(params, latent, cfg: VAEConfig,
                 rest = nxt
             out[:, :, filled: filled + rest.shape[2]] = rest
             filled += rest.shape[2]
-        idx += 1
-        if end >= f:
-            break
-        start += stride
     assert filled == out.shape[2], (filled, out.shape)
     frames = np.clip((out + 1.0) / 2.0, 0.0, 1.0)
     # stays on host: the frames are headed to host-side export

@@ -131,3 +131,53 @@ def normalize_latent(latent, eps: float = 1e-6):
 def denormalize_latent(latent, mean, std):
     """latent * std + mean with (C,) stats (reference: LatentUtils.swift:242-252)."""
     return latent * std.reshape(1, -1, 1, 1, 1) + mean.reshape(1, -1, 1, 1, 1)
+
+
+# ---------------------------------------------------------------------------
+# Memory estimation (reference: LatentUtils.swift:294-319, TPU-translated)
+# ---------------------------------------------------------------------------
+
+# 19B video DiT parameter count and usable single-chip HBM (v5e, measured
+# by allocation probe: CLAUDE.md "Real usable HBM ~= 15.5 GB")
+_DIT_PARAMS = 12.9e9
+_USABLE_HBM_GB = 15.5
+
+
+def estimate_memory_gb(shape: VideoLatentShape, guidance_rows: int = 1,
+                       dit_bits=None, vae_tile_size: int = 0) -> float:
+    """Rough peak-HBM estimate (GB) for one denoise+decode generation.
+
+    The reference estimates unified-memory need to pick presets
+    (LatentUtils.swift:294-319); on TPU the budget is per-chip HBM and the
+    phases are staged, so the peak is max(denoise phase, decode phase).
+    Conservative by design — used for warnings, never hard limits.
+    """
+    bytes_per_param = {4: 0.625, 8: 1.125, None: 2.0}[dit_bits]
+    params_gb = _DIT_PARAMS * bytes_per_param / 1e9
+
+    # denoise working set: a handful of live (rows, tokens, dim|ffn) f32
+    # tensors (XLA fuses most; flash attention keeps attention linear)
+    tokens = shape.token_count
+    act_gb = guidance_rows * tokens * 16384 * 4 * 6 / 1e9
+    denoise_gb = params_gb + act_gb
+
+    # decode working set: decoder params (~1 GB bf16) + largest intermediate
+    # (tile frames at 1/16 spatial x 128 ch, a few copies) + one pixel tile
+    frames = shape.frames if vae_tile_size <= 0 else min(
+        shape.frames, vae_tile_size + 1)
+    px = 8 * (frames - 1) + 1
+    spatial = (shape.height * 8) * (shape.width * 8)  # quarter-res grid
+    decode_gb = 1.0 + px * spatial * 128 * 2 * 4 / 1e9
+    return round(max(denoise_gb, decode_gb), 2)
+
+
+def recommended_memory_preset(shape: VideoLatentShape,
+                              guidance_rows: int = 1,
+                              dit_bits=None) -> str:
+    """Pick the lightest MemoryConfig preset whose estimate fits one chip
+    (reference analog: MemoryOptimizationConfig.forAvailableRAM)."""
+    for preset, tile in (("light", 0), ("moderate", 8), ("aggressive", 6)):
+        if estimate_memory_gb(shape, guidance_rows, dit_bits,
+                              vae_tile_size=tile) <= _USABLE_HBM_GB:
+            return preset
+    return "aggressive"

@@ -259,16 +259,24 @@ def make_av_denoise_step(
         raise InvalidConfigurationError(
             "STG is not supported on the audio+video path")
     g = guidance.num_rows
-    ropes = dit_av.prepare_av_ropes(
-        tcfg, shape.frames, shape.height, shape.width, audio_frames, fps=fps
+    # RoPE tables are jit ARGUMENTS, not closures: closed-over arrays lower
+    # as program constants — at 19840 stage-2 tokens the tables are ~650 MB
+    # and the remote compile payload exceeds the backend's request limit
+    # (HTTP 413; same invariant as make_denoise_step's pe argument).
+    ropes = jax.tree.map(
+        jnp.asarray,
+        dit_av.prepare_av_ropes(
+            tcfg, shape.frames, shape.height, shape.width, audio_frames,
+            fps=fps,
+        ),
     )
 
     cond_mask = None
     if conditioning_mask is not None:
         cond_mask = jnp.asarray(conditioning_mask, jnp.float32)
 
-    @partial(jax.jit, donate_argnums=(4, 5))
-    def _step(params, v_ctx, a_ctx, bias, video_latent, audio_packed,
+    @partial(jax.jit, donate_argnums=(5, 6))
+    def _step(params, v_ctx, a_ctx, bias, ropes, video_latent, audio_packed,
               sigma, sigma_next, key):
         sigma = jnp.asarray(sigma, jnp.float32)
         sigma_next = jnp.asarray(sigma_next, jnp.float32)
@@ -329,7 +337,8 @@ def make_av_denoise_step(
 
     def step(video_latent, audio_packed, sigma, sigma_next, key):
         return _step(params, video_context, audio_context, context_bias,
-                     video_latent, audio_packed, sigma, sigma_next, key)
+                     ropes, video_latent, audio_packed, sigma, sigma_next,
+                     key)
 
     step._jit = _step
     return step

@@ -38,6 +38,7 @@ BASE = {  # reference M3 Max numbers (BASELINE.md)
     "dev_cfg_e2e_s": 799.0,
     "two_stage_e2e_s": 81.0,
     "dit_121f_s_per_step": 30.9,
+    "flagship_e2e_s": 1243.0,  # 241f@1024x640 two-stage + audio
 }
 
 
@@ -262,10 +263,225 @@ def phase_vae(results, latent):
     log(f"VAE decode 25f: {results['vae_decode_25f_s']} s")
 
 
+def build_av_params_int4(tcfg):
+    """Production-shape int4 dual AV transformer (models/dit_av.py layout),
+    host-built like bench.build_params. ~11.5 GB int4 on device."""
+    import bench as dit_bench
+    from ltx_tpu.models import dit_av  # noqa: F401 (layout reference)
+
+    dv, da = tcfg.inner_dim, tcfg.audio_inner_dim
+    nl = tcfg.num_layers
+
+    def q(i, o):
+        return dit_bench.build_quantized_linear(nl, i, o, bits=4)
+
+    def attn(qd, cd, inner):
+        return {
+            "to_q": q(qd, inner), "to_k": q(cd, inner), "to_v": q(cd, inner),
+            "to_out": q(inner, qd),
+            "q_norm": {"w": jnp.ones((nl, inner), jnp.bfloat16)},
+            "k_norm": {"w": jnp.ones((nl, inner), jnp.bfloat16)},
+        }
+
+    def norm(d):
+        return {"w": jnp.ones((nl, d), jnp.bfloat16)}
+
+    blocks = {
+        "norm1": norm(dv), "attn1": attn(dv, dv, dv),
+        "norm2": norm(dv),
+        "attn2": attn(dv, tcfg.cross_attention_dim, dv),
+        "norm3": norm(dv),
+        "ff": {"project_in": q(dv, tcfg.ffn_dim),
+               "project_out": q(tcfg.ffn_dim, dv)},
+        "scale_shift_table": jnp.zeros((nl, 6, dv), jnp.float32),
+        "audio_norm1": norm(da), "audio_attn1": attn(da, da, da),
+        "audio_norm2": norm(da),
+        "audio_attn2": attn(da, tcfg.audio_cross_attention_dim, da),
+        "audio_norm3": norm(da),
+        "audio_ff": {"project_in": q(da, 4 * da),
+                     "project_out": q(4 * da, da)},
+        "audio_scale_shift_table": jnp.zeros((nl, 6, da), jnp.float32),
+        "audio_to_video_norm": norm(dv),
+        "audio_to_video_attn": attn(dv, da, da),
+        "video_to_audio_norm": norm(da),
+        "video_to_audio_attn": attn(da, dv, da),
+        "scale_shift_table_a2v_ca_video": jnp.zeros((nl, 5, dv), jnp.float32),
+        "scale_shift_table_a2v_ca_audio": jnp.zeros((nl, 5, da), jnp.float32),
+    }
+
+    def dense(i, o):
+        return {"w": jnp.zeros((i, o), jnp.bfloat16),
+                "b": jnp.zeros((o,), jnp.bfloat16)}
+
+    def adaln(d, n):
+        return {"emb": {"linear_1": dense(256, d), "linear_2": dense(d, d)},
+                "linear": dense(d, n * d)}
+
+    return {
+        "blocks": blocks,
+        "patchify_proj": dense(tcfg.in_channels, dv),
+        "adaln_single": adaln(dv, 6),
+        "caption_projection": {
+            "linear_1": dense(tcfg.caption_channels, dv),
+            "linear_2": dense(dv, dv)},
+        "proj_out": dense(dv, tcfg.out_channels),
+        "scale_shift_table": jnp.zeros((2, dv), jnp.float32),
+        "audio_patchify_proj": dense(tcfg.audio_in_channels, da),
+        "audio_adaln_single": adaln(da, 6),
+        "audio_caption_projection": {
+            "linear_1": dense(tcfg.caption_channels, da),
+            "linear_2": dense(da, da)},
+        "audio_proj_out": dense(da, tcfg.audio_out_channels),
+        "audio_scale_shift_table": jnp.zeros((2, da), jnp.float32),
+        "av_ca_video_scale_shift_adaln_single": adaln(dv, 4),
+        "av_ca_a2v_gate_adaln_single": adaln(dv, 1),
+        "av_ca_audio_scale_shift_adaln_single": adaln(da, 4),
+        "av_ca_v2a_gate_adaln_single": adaln(da, 1),
+    }
+
+
+def phase_flagship(results, emb):
+    """The 241f@1024x640 two-stage + audio FLAGSHIP config
+    (reference: flying-car/README.md:13-14 — 1243-1289 s e2e on M3 Max).
+
+    Stage 1: dual AV denoise at 512x320 (4960 video tokens), 8 steps.
+    Upscale 2x + stage 2: 3-step dual refine at 1024x640 (19840 tokens).
+    Decode: temporally-tiled video decode of all 241 frames + audio
+    VAE/vocoder. Every phase at production shapes, int4 AV transformer.
+    """
+    from ltx_tpu.core.config import TransformerConfig
+    from ltx_tpu.models import audio_vae as av_mod
+    from ltx_tpu.models import dit_av, upscaler as up_mod, vae
+    from ltx_tpu.ops import schedule
+    from ltx_tpu.ops.latents import VideoLatentShape
+    from ltx_tpu.pipeline.denoise import (
+        GuidanceSpec, build_guidance_context, make_av_denoise_step,
+        run_av_denoise_loop,
+    )
+
+    tcfg = TransformerConfig()
+    frames, width, height, fps = 241, 1024, 640, 24.0
+    e2e = results["enhance_s"] + results["text_encode_s"]
+
+    params = build_av_params_int4(tcfg)
+    sync(params["scale_shift_table"])
+    emb = jnp.asarray(emb, jnp.bfloat16)
+    mask = jnp.ones(emb.shape[:2], jnp.float32)
+    g = GuidanceSpec(False, 1.0, 0.0, 0.0, (29,), 0.0, 1.0)
+    v_ctx, bias = build_guidance_context(g, emb, mask, None, None)
+    # the audio connector emits the same (1, S, 3840) caption width; the AV
+    # transformer's audio_caption_projection maps it to the audio stream
+    a_ctx, _ = build_guidance_context(g, emb, mask, None, None)
+
+    audio_frames = dit_av.audio_frame_count(frames / fps)
+    s1_shape = VideoLatentShape.from_pixels(1, frames, height // 2,
+                                            width // 2)
+    s1_sig = schedule.get_sigmas(8, distilled=True,
+                                 token_count=s1_shape.token_count)
+    key = jax.random.key(0)
+    vlat = jax.random.normal(key, s1_shape.shape) * float(s1_sig[0])
+    alat = (jax.random.normal(jax.random.key(1),
+                              (1, audio_frames, tcfg.audio_in_channels))
+            * float(s1_sig[0]))
+
+    step1 = make_av_denoise_step(params, tcfg, g, s1_shape, audio_frames,
+                                 v_ctx, a_ctx, bias)
+    t0 = time.time()
+    v1, a1 = step1(jnp.array(vlat), jnp.array(alat), float(s1_sig[0]),
+                   float(s1_sig[1]), jax.random.key(2))
+    sync(v1)
+    results["flagship_s1_compile_s"] = round(time.time() - t0, 1)
+    t0 = time.time()
+    vlat, alat = run_av_denoise_loop(step1, vlat, alat, s1_sig,
+                                     key=jax.random.key(3))
+    sync(vlat)
+    results["flagship_s1_denoise_s"] = round(time.time() - t0, 2)
+    e2e += results["flagship_s1_denoise_s"]
+    log(f"flagship stage-1 (4960 tok, 8 steps): "
+        f"{results['flagship_s1_denoise_s']} s")
+
+    # upscale 2x (bf16 upscaler)
+    ucfg = up_mod.UpscalerConfig()
+    uparams = up_mod.init_params(jax.random.key(4), ucfg, dtype=jnp.bfloat16)
+    mean = jnp.zeros((128,), jnp.float32)
+    std = jnp.ones((128,), jnp.float32)
+    up = jax.jit(lambda p, x: up_mod.upsample_latents(p, x, mean, std, ucfg))
+    _ = up(uparams, jnp.array(vlat)); sync(_)
+    t0 = time.time()
+    vlat2 = up(uparams, vlat)
+    sync(vlat2)
+    results["flagship_upscale_s"] = round(time.time() - t0, 2)
+    e2e += results["flagship_upscale_s"]
+    del uparams
+    gc.collect()
+
+    # stage 2: 19840 tokens, 3 steps
+    s2_shape = VideoLatentShape.from_pixels(1, frames, height, width)
+    s2_sig = schedule.STAGE_2_SIGMAS
+    vlat2 = (float(s2_sig[0]) * jax.random.normal(jax.random.key(5),
+                                                  s2_shape.shape)
+             + (1 - float(s2_sig[0])) * vlat2)
+    step2 = make_av_denoise_step(params, tcfg, g, s2_shape, audio_frames,
+                                 v_ctx, a_ctx, bias, video_euler="plain")
+    t0 = time.time()
+    v1, a1 = step2(jnp.array(vlat2), jnp.array(alat), float(s2_sig[0]),
+                   float(s2_sig[1]), jax.random.key(6))
+    sync(v1)
+    results["flagship_s2_compile_s"] = round(time.time() - t0, 1)
+    t0 = time.time()
+    vlat2, alat = run_av_denoise_loop(step2, vlat2, alat, s2_sig,
+                                      key=jax.random.key(7))
+    sync(vlat2)
+    results["flagship_s2_denoise_s"] = round(time.time() - t0, 2)
+    e2e += results["flagship_s2_denoise_s"]
+    log(f"flagship stage-2 (19840 tok, 3 steps): "
+        f"{results['flagship_s2_denoise_s']} s")
+    del params, step1, step2, v1, a1
+    gc.collect()
+
+    # tiled video decode of all 241 frames
+    vcfg = vae.VAEConfig()
+    vparams = vae.init_decoder_params(jax.random.key(8), vcfg,
+                                      dtype=jnp.bfloat16)
+    sync(vparams["conv_in"]["b"])
+    t0 = time.time()
+    frames_px = vae.decode_video(vparams, vlat2, vcfg, timestep=None,
+                                 tile_size=8, tile_overlap=1)
+    results["flagship_vae_decode_compile_incl_s"] = round(time.time() - t0, 1)
+    t0 = time.time()
+    frames_px = vae.decode_video(vparams, vlat2, vcfg, timestep=None,
+                                 tile_size=8, tile_overlap=1)
+    results["flagship_vae_decode_s"] = round(time.time() - t0, 2)
+    e2e += results["flagship_vae_decode_s"]
+    log(f"flagship VAE decode (241f tiled): "
+        f"{results['flagship_vae_decode_s']} s  shape={frames_px.shape}")
+    del vparams
+    gc.collect()
+
+    # audio decode (audio VAE + vocoder) at production shapes
+    avcfg = av_mod.AudioVAEConfig()
+    voccfg = av_mod.VocoderConfig()
+    avp = av_mod.init_audio_vae_params(jax.random.key(9), avcfg)
+    vocp = av_mod.init_vocoder_params(jax.random.key(10), voccfg)
+    lat = dit_av.unpack_audio_latents(alat, channels=8,
+                                      mel=tcfg.audio_in_channels // 8)
+    wav = av_mod.decode_audio(avp, vocp, lat, avcfg, voccfg)
+    sync(wav)
+    t0 = time.time()
+    wav = av_mod.decode_audio(avp, vocp, lat, avcfg, voccfg)
+    sync(wav)
+    results["flagship_audio_decode_s"] = round(time.time() - t0, 2)
+    e2e += results["flagship_audio_decode_s"]
+    results["flagship_e2e_s"] = round(e2e, 2)
+    log(f"flagship e2e: {e2e:.2f} s (ref 1243 s)")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--fast", action="store_true",
                     help="skip dev-CFG and 121f measurements")
+    ap.add_argument("--flagship", action="store_true",
+                    help="also run the 241f@1024x640 two-stage+audio config")
     args = ap.parse_args()
 
     results = {}
@@ -274,6 +490,8 @@ def main():
     lat25, stage1 = phase_dit(results, emb, args.fast)
     phase_upscaler(results, stage1)
     phase_vae(results, lat25)
+    if args.flagship:
+        phase_flagship(results, emb)
 
     enh = results["enhance_s"]
     te = results["text_encode_s"]

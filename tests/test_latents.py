@@ -125,3 +125,18 @@ def test_generate_noise_shape_dtype():
     s = latents.VideoLatentShape(1, 8, 2, 4, 4)
     n = latents.generate_noise(jax.random.key(0), s)
     assert n.shape == s.shape and n.dtype == jnp.float32
+
+
+def test_memory_estimate_and_preset():
+    """HBM estimator (reference: LatentUtils.swift:294-319, TPU-translated):
+    small int4 configs fit one chip light; bf16 19B never fits one chip."""
+    from ltx_tpu.ops.latents import (
+        estimate_memory_gb, recommended_memory_preset,
+    )
+
+    small = latents.VideoLatentShape.from_pixels(1, 25, 512, 768)
+    assert estimate_memory_gb(small, 1, 4) < 15.5
+    assert recommended_memory_preset(small, 1, 4) == "light"
+    assert estimate_memory_gb(small, 2, None) > 15.5  # bf16 19B
+    big = latents.VideoLatentShape.from_pixels(1, 241, 640, 1024)
+    assert estimate_memory_gb(big, 1, 4) > estimate_memory_gb(small, 1, 4)
