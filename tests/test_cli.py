@@ -138,3 +138,30 @@ def test_cmd_generate_i2v_two_stage_dispatch(tmp_path, monkeypatch):
     assert rc == 0
     assert out.exists() and out.stat().st_size > 0
     assert calls["include_upscaler"] is True
+
+
+def test_cmd_generate_audio_two_stage_dispatch(tmp_path, monkeypatch):
+    """`generate --audio --two-stage` must dispatch to the audio two-stage
+    entry point (round-1 CLI silently preferred --two-stage) and export an
+    MP4 plus a side WAV."""
+    from ltx_tpu.io import cli
+    from ltx_tpu.pipeline import loader
+    from ltx_tpu.pipeline.generate import LTXPipeline
+
+    calls = {}
+
+    def fake_load_pipeline(**kw):
+        calls.update(kw)
+        return LTXPipeline.random_tiny(seed=0, include_audio=True)
+
+    monkeypatch.setattr(loader, "load_pipeline", fake_load_pipeline)
+    out = tmp_path / "out.mp4"
+    rc = cli.main([
+        "generate", "a waterfall", "--audio", "--two-stage",
+        "-w", "128", "-H", "128", "-f", "9", "--seed", "5",
+        "-o", str(out),
+    ])
+    assert rc == 0
+    assert out.exists() and out.stat().st_size > 0
+    assert (tmp_path / "out.mp4.wav").exists()
+    assert calls["include_audio"] is True and calls["include_upscaler"] is True

@@ -12,6 +12,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ltx_tpu.core.config import GenerationConfig, MemoryConfig
 from ltx_tpu.pipeline.generate import LTXPipeline
@@ -148,3 +149,25 @@ def test_keymaps_produce_host_trees():
         type(x) for x in leaves if not isinstance(x, np.ndarray)][:3]
     # bf16 at load preserved through the numpy path
     assert params["patchify_proj"]["w"].dtype == jnp.bfloat16
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_staged_sharded_generation():
+    """The production path: loader-style HOST trees + phase_staging + mesh.
+    shard() defers placement for host trees; _on_device shards each phase's
+    component (TP for the DiT, replicate for the rest), and the release
+    restores the host original."""
+    from ltx_tpu.parallel.sharding import make_mesh
+
+    ref = LTXPipeline.random_tiny(seed=0)
+    ref.memory = dataclasses.replace(ref.memory, offload_text_encoder=False)
+    expected = ref.generate_video("a cat", _cfg())
+
+    pipe = _host_pipe(seed=0, phase_staging=True)
+    pipe.shard(make_mesh(data=2, model=4))
+    assert staging.is_host_tree(pipe.transformer_params)  # placement deferred
+    got = pipe.generate_video("a cat", _cfg())
+    np.testing.assert_allclose(
+        np.asarray(expected.frames, np.float32),
+        np.asarray(got.frames, np.float32), atol=3e-2, rtol=3e-2)
+    assert staging.is_host_tree(pipe.transformer_params)  # released again
