@@ -373,7 +373,10 @@ class LTXPipeline:
                 self.vae_decoder_params, latent, self.vcfg, timestep=ts,
                 noise_key=nkey,
                 tile_size=self.memory.vae_tile_size,
-                tile_overlap=self.memory.vae_tile_overlap)
+                tile_overlap=self.memory.vae_tile_overlap,
+                # tiled decodes pull each tile as uint8 (4x fewer
+                # device->host bytes; the MP4 encoder consumes uint8)
+                transfer_uint8=self.memory.vae_tile_size > 0)
         device_sync(frames)
         timings.vae_decode = time.time() - t0
         return frames

@@ -446,11 +446,13 @@ def phase_flagship(results, emb):
     sync(vparams["conv_in"]["b"])
     t0 = time.time()
     frames_px = vae.decode_video(vparams, vlat2, vcfg, timestep=None,
-                                 tile_size=8, tile_overlap=1)
+                                 tile_size=8, tile_overlap=1,
+                                 transfer_uint8=True)
     results["flagship_vae_decode_compile_incl_s"] = round(time.time() - t0, 1)
     t0 = time.time()
     frames_px = vae.decode_video(vparams, vlat2, vcfg, timestep=None,
-                                 tile_size=8, tile_overlap=1)
+                                 tile_size=8, tile_overlap=1,
+                                 transfer_uint8=True)
     results["flagship_vae_decode_s"] = round(time.time() - t0, 2)
     e2e += results["flagship_vae_decode_s"]
     log(f"flagship VAE decode (241f tiled): "

@@ -155,3 +155,28 @@ def test_encoder_single_frame(enc_params):
     pixels = jax.random.normal(jax.random.key(16), (1, 3, 1, 64, 64))
     out = vae.encoder_forward(enc_params, pixels, CFG)
     assert out.shape == (1, CFG.latent_channels, 1, 2, 2)
+
+
+def test_decode_video_tiling_uint8_transfer(dec_params):
+    """transfer_uint8 tiled decode matches the f32 tiled decode within the
+    uint8 grid (1/255) — the pipeline uses it to cut device->host bytes 4x.
+
+    overlap=1 has no seam blending, isolating pure quantization error.
+    (With blending, u8 clips each tile BEFORE the seam mix while f32 blends
+    pre-clip values; random test weights put many pixels out of range, so
+    seams differ — irrelevant at real weights where outputs are in-range.)"""
+    latent = jax.random.normal(jax.random.key(16),
+                               (1, CFG.latent_channels, 5, 2, 2))
+    f32 = vae.decode_video(dec_params, latent, CFG, timestep=None,
+                           tile_size=3, tile_overlap=1)
+    u8 = vae.decode_video(dec_params, latent, CFG, timestep=None,
+                          tile_size=3, tile_overlap=1, transfer_uint8=True)
+    assert u8.shape == f32.shape
+    np.testing.assert_allclose(np.asarray(u8), np.asarray(f32),
+                               atol=1.01 / 255)
+    # blended variant: shape + range sanity
+    u8b = vae.decode_video(dec_params, latent, CFG, timestep=None,
+                           tile_size=3, tile_overlap=2, transfer_uint8=True)
+    a = np.asarray(u8b)
+    assert a.shape == (33, 64, 64, 3)
+    assert np.isfinite(a).all() and a.min() >= 0.0 and a.max() <= 1.0
