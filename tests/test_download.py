@@ -1,0 +1,101 @@
+"""ModelDownloader layout + caching, network-free (hf_hub stubbed).
+
+The reference's per-component cache layout (ModelDownloader.swift:147-530):
+vlm-gemma/, ltx-{variant}/<unified>.safetensors, ltx-vae/, ltx-upscaler/,
+ltx-lora/, ltx-audio-vae/, ltx-vocoder/ — with skip-if-exists caching.
+"""
+
+import sys
+import types
+from pathlib import Path
+
+import pytest
+
+from ltx_tpu.core.config import LTXModel
+from ltx_tpu.core.errors import DownloadFailedError
+from ltx_tpu.weights import download as dl
+
+
+@pytest.fixture
+def fake_hub(monkeypatch):
+    """Stub huggingface_hub: record requests, create placeholder files."""
+    calls = {"files": [], "snapshots": []}
+
+    def hf_hub_download(repo_id, filename, token=None, local_dir=None):
+        calls["files"].append((repo_id, filename))
+        p = Path(local_dir) / Path(filename).name
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_bytes(b"fake")
+        return str(p)
+
+    def snapshot_download(repo_id, token=None, local_dir=None):
+        calls["snapshots"].append(repo_id)
+        base = Path(local_dir)
+        base.mkdir(parents=True, exist_ok=True)
+        (base / "model.safetensors").write_bytes(b"fake")
+        (base / "config.json").write_text("{}")
+        return str(base)
+
+    mod = types.ModuleType("huggingface_hub")
+    mod.hf_hub_download = hf_hub_download
+    mod.snapshot_download = snapshot_download
+    monkeypatch.setitem(sys.modules, "huggingface_hub", mod)
+    return calls
+
+
+def test_layout_and_repo_files(tmp_path, fake_hub):
+    paths = dl.download_all_components(
+        LTXModel.DISTILLED, models_dir=str(tmp_path), include_audio=True)
+
+    base = tmp_path
+    assert paths["gemma"] == base / "vlm-gemma"
+    assert paths["unified"] == (base / "ltx-distilled"
+                                / LTXModel.DISTILLED.unified_weights_filename)
+    assert paths["vae_config"].parent == base / "ltx-vae"
+    assert paths["upscaler"].parent == base / "ltx-upscaler"
+    assert paths["distilled_lora"].parent == base / "ltx-lora"
+    assert paths["audio_vae"].parent == base / "ltx-audio-vae"
+    assert paths["vocoder"].parent == base / "ltx-vocoder"
+    for p in paths.values():
+        assert p.exists(), p
+
+    assert fake_hub["snapshots"] == [dl.GEMMA_REPO]
+    repos = {r for r, _ in fake_hub["files"]}
+    assert repos == {dl.LTX_REPO}
+    files = {f for _, f in fake_hub["files"]}
+    assert LTXModel.DISTILLED.unified_weights_filename in files
+    assert dl.VAE_CONFIG in files and dl.DISTILLED_LORA_FILE in files
+    assert dl.AUDIO_VAE_FILE in files and dl.VOCODER_FILE in files
+
+
+def test_skip_if_exists_caching(tmp_path, fake_hub):
+    dl.download_all_components(LTXModel.DISTILLED, models_dir=str(tmp_path))
+    n = len(fake_hub["files"])
+    # second call: everything cached -> no new hub requests
+    dl.download_all_components(LTXModel.DISTILLED, models_dir=str(tmp_path))
+    assert len(fake_hub["files"]) == n
+    assert fake_hub["snapshots"] == [dl.GEMMA_REPO]
+    # force re-downloads
+    dl.download_all_components(LTXModel.DISTILLED, models_dir=str(tmp_path),
+                               force=True)
+    assert len(fake_hub["files"]) > n
+
+
+def test_download_error_is_typed(tmp_path, monkeypatch):
+    mod = types.ModuleType("huggingface_hub")
+
+    def boom(**kw):
+        raise OSError("no network")
+
+    mod.hf_hub_download = boom
+    mod.snapshot_download = boom
+    monkeypatch.setitem(sys.modules, "huggingface_hub", mod)
+    with pytest.raises(DownloadFailedError):
+        dl.download_gemma(models_dir=str(tmp_path))
+
+
+def test_dev_variant_unified_filename(tmp_path, fake_hub):
+    paths = dl.download_all_components(LTXModel.DEV, models_dir=str(tmp_path),
+                                       include_upscaler=False)
+    assert paths["unified"].name == LTXModel.DEV.unified_weights_filename
+    assert "upscaler" not in paths
