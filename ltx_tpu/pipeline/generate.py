@@ -48,6 +48,7 @@ log = logging.getLogger("ltx_tpu")
 class GenerationTimings:
     """Per-phase timings (reference: LTXVideo.swift:255-297)."""
 
+    enhancement: float = 0.0
     text_encoding: float = 0.0
     denoise_steps: list = dataclasses.field(default_factory=list)
     vae_decode: float = 0.0
@@ -55,6 +56,7 @@ class GenerationTimings:
 
     def report(self) -> str:
         lines = [
+            f"Prompt enhancement: {self.enhancement:.2f}s",
             f"Text encoding: {self.text_encoding:.2f}s",
             f"Denoise: {sum(self.denoise_steps):.2f}s "
             f"({len(self.denoise_steps)} steps, "
@@ -316,7 +318,7 @@ class LTXPipeline:
             self.text_encoder_params = None
 
     def _maybe_enhance(self, prompt: str, config: GenerationConfig,
-                       is_i2v: bool) -> str:
+                       is_i2v: bool, timings: GenerationTimings = None) -> str:
         """Prompt enhancement, applied on EVERY generation path like the
         reference (e.g. LTXPipeline.swift:1525-1531, :2466-2470)."""
         if not config.enhance_prompt:
@@ -328,12 +330,15 @@ class LTXPipeline:
         self._on_device("gemma_params", "vision_params")
         from ltx_tpu.pipeline.enhance import enhance_prompt
 
+        t0 = time.time()
         enhanced = enhance_prompt(
             self.gemma_params, self.gcfg, self.tokenizer, prompt,
             is_i2v=is_i2v, image_path=config.image_path,
             vision_params=self.vision_params,
             vision_config=self.vision_config,
         )
+        if timings is not None:
+            timings.enhancement = time.time() - t0
         log.info("Enhanced prompt: %s", enhanced)
         return enhanced
 
@@ -420,7 +425,8 @@ class LTXPipeline:
                 config.image_path, config.width, config.height)
 
         # --- prompt enhancement (reference: LTXPipeline.swift:2862-2971)
-        prompt = self._maybe_enhance(prompt, config, is_i2v=is_i2v)
+        prompt = self._maybe_enhance(prompt, config, is_i2v=is_i2v,
+                                     timings=timings)
 
         # --- text encoding phase
         t0 = time.time()
@@ -574,7 +580,8 @@ class LTXPipeline:
 
         # --- prompt enhancement (all paths enhance, like the reference:
         # LTXPipeline.swift:2466-2470)
-        prompt = self._maybe_enhance(prompt, config, is_i2v=is_i2v)
+        prompt = self._maybe_enhance(prompt, config, is_i2v=is_i2v,
+                                     timings=timings)
 
         # --- text encoding
         t0 = time.time()
@@ -707,7 +714,8 @@ class LTXPipeline:
                 config.image_path, config.width, config.height)
 
         # --- prompt enhancement (reference: LTXPipeline.swift:1525-1531)
-        prompt = self._maybe_enhance(prompt, config, is_i2v=is_i2v)
+        prompt = self._maybe_enhance(prompt, config, is_i2v=is_i2v,
+                                     timings=timings)
 
         # --- text encoding (video + audio connectors)
         t0 = time.time()
@@ -847,7 +855,8 @@ class LTXPipeline:
                 config.image_path, config.width // 2, config.height // 2)
 
         # --- prompt enhancement (reference: LTXPipeline.swift:1525-1531)
-        prompt = self._maybe_enhance(prompt, config, is_i2v=is_i2v)
+        prompt = self._maybe_enhance(prompt, config, is_i2v=is_i2v,
+                                     timings=timings)
 
         # --- text encoding (video + audio connectors)
         t0 = time.time()

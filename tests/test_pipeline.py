@@ -145,3 +145,28 @@ def test_tp_sharded_matches_single_device(pipe):
         np.asarray(base, np.float32), np.asarray(out, np.float32),
         atol=2e-2, rtol=2e-2,
     )
+
+def test_enhance_prompt_e2e_and_timing(pipe):
+    """enhance_prompt=True runs device-side Gemma generation on the T2V
+    path and records the phase in GenerationTimings (reference profiles
+    enhancement; LTXVideo.swift:255-297)."""
+    import types
+
+    class Tok:
+        def encode(self, text):
+            ids = [(b % 90) + 4 for b in text.encode()][:128]
+            return types.SimpleNamespace(ids=ids or [4])
+
+        def decode(self, ids):
+            return "a cinematic, richly detailed scene"
+
+    old_tok = pipe.tokenizer
+    pipe.tokenizer = Tok()
+    try:
+        cfg = _tiny_config(enhance_prompt=True)
+        r = pipe.generate_video("a cat", cfg)
+        assert r.frames.shape == (9, 64, 64, 3)
+        assert r.timings.enhancement > 0
+        assert "Prompt enhancement" in r.timings.report()
+    finally:
+        pipe.tokenizer = old_tok
