@@ -221,4 +221,19 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001
+        # remote compile occasionally flakes with transient INTERNAL /
+        # FAILED_PRECONDITION HTTP errors (CLAUDE.md gotchas): retry ONCE
+        # in a fresh process (clean device state), then fail for real.
+        if "--retried" in sys.argv:
+            raise
+        import os
+        import traceback
+
+        traceback.print_exc()
+        print(f"[bench] transient failure, retrying once: {e!r}",
+              file=sys.stderr, flush=True)
+        os.execv(sys.executable,
+                 [sys.executable, os.path.abspath(__file__), "--retried"])
