@@ -74,11 +74,19 @@ def sdpa(q, k, v, bias=None, scale: Optional[float] = None, impl: str = "auto"):
 
     if impl == "ring":
         mesh = _SP_CONTEXT["mesh"]
+        # ring only where it applies: self-attention (Tq == Tk, no bias)
+        # whose sequence divides the ring — the AV path's SHORT audio
+        # self-attention (e.g. 251 frames) falls back to XLA rather than
+        # failing the shard_map partition.
         if mesh is not None and q.shape[2] == k.shape[2] and bias is None:
-            from ltx_tpu.parallel.ring_attention import sequence_parallel_sdpa
+            n = mesh.shape[_SP_CONTEXT["axis"]]
+            if n > 1 and q.shape[2] % n == 0:
+                from ltx_tpu.parallel.ring_attention import (
+                    sequence_parallel_sdpa,
+                )
 
-            return sequence_parallel_sdpa(q, k, v, mesh, scale=scale,
-                                          seq_axis=_SP_CONTEXT["axis"])
+                return sequence_parallel_sdpa(q, k, v, mesh, scale=scale,
+                                              seq_axis=_SP_CONTEXT["axis"])
         return _xla_sdpa(q, k, v, bias=bias, scale=scale)
 
     if impl in ("pallas", "auto"):

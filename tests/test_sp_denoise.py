@@ -60,3 +60,45 @@ def test_ring_impl_without_mesh_falls_back():
     out, _ = step(latent, 0.9, 0.5, jnp.zeros_like(latent),
                   jnp.asarray(False), jax.random.key(1))
     assert np.isfinite(np.asarray(out)).all()
+
+def test_sp_av_denoise_matches_unsharded(sp_mesh):
+    """AV dual step with sdpa_impl="ring": VIDEO self-attention rings over
+    the mesh (token count divides 8); the SHORT audio self-attention (5
+    frames, not divisible) and all cross attentions fall back to XLA
+    instead of failing the shard_map partition."""
+    from ltx_tpu.pipeline.denoise import (
+        build_guidance_context, make_av_denoise_step,
+    )
+
+    pipe = LTXPipeline.random_tiny(seed=0, include_audio=True)
+    g = GuidanceSpec(False, 1.0, 0.0, 0.0, (29,), 0.0, 1.0)
+    # 2*4*4 = 32 video tokens -> divisible by the 8-ring; 5 audio frames not
+    shape = VideoLatentShape(1, pipe.tcfg.in_channels, 2, 4, 4)
+    ctx = jax.random.normal(jax.random.key(1),
+                            (1, 16, pipe.tcfg.caption_channels), jnp.bfloat16)
+    mask = jnp.ones((1, 16), jnp.int32)
+    v_ctx, _ = build_guidance_context(g, ctx, mask)
+    a_ctx, _ = build_guidance_context(g, ctx, mask)
+
+    vlat = jax.random.normal(jax.random.key(2), shape.shape)
+    alat = jax.random.normal(jax.random.key(3),
+                             (1, 5, pipe.tcfg.audio_in_channels))
+
+    step_ring = make_av_denoise_step(
+        pipe.av_transformer_params, pipe.tcfg, g, shape, 5, v_ctx, a_ctx,
+        None, sdpa_impl="ring")
+    vr, ar = step_ring(jnp.array(vlat), jnp.array(alat), 0.9, 0.5,
+                       jax.random.key(4))
+
+    step_base = make_av_denoise_step(
+        pipe.av_transformer_params, pipe.tcfg, g, shape, 5, v_ctx, a_ctx,
+        None, sdpa_impl="xla")
+    vb, ab = step_base(jnp.array(vlat), jnp.array(alat), 0.9, 0.5,
+                       jax.random.key(4))
+
+    np.testing.assert_allclose(np.asarray(vr, np.float32),
+                               np.asarray(vb, np.float32),
+                               atol=2e-2, rtol=2e-2)
+    np.testing.assert_allclose(np.asarray(ar, np.float32),
+                               np.asarray(ab, np.float32),
+                               atol=2e-2, rtol=2e-2)
