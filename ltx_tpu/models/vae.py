@@ -483,7 +483,8 @@ def decode_video(params, latent, cfg: VAEConfig,
 def decode_video_sharded(params, latent, cfg: VAEConfig, mesh,
                          timestep: Optional[float] = 0.05,
                          noise_key: Optional[jax.Array] = None,
-                         tile_overlap: int = 1, axis: str = "model"):
+                         tile_overlap: int = 1, axis: str = "model",
+                         transfer_uint8: bool = False):
     """Frame-axis SHARDED temporal-tiled decode (SURVEY.md §2.9 item 5).
 
     The sequential `decode_video` loop maps directly onto a shard_map over
@@ -559,6 +560,13 @@ def decode_video_sharded(params, latent, cfg: VAEConfig, mesh,
             blended = jnp.where(idx == 0, out[:, :, 1: 1 + pb], blended)
             out = jnp.concatenate(
                 [out[:, :, :1], blended, out[:, :, 1 + pb:]], axis=2)
+        if transfer_uint8:
+            # quantize ON DEVICE (after the seam blend — cleaner than the
+            # host loop, which must blend post-quantization): 4x fewer
+            # device->host bytes for the gather below
+            out = jnp.round(
+                jnp.clip((out.astype(jnp.float32) + 1.0) / 2.0, 0.0, 1.0)
+                * 255.0).astype(jnp.uint8)
         return out[None]  # (1, B, 3, own, H, W) -> stacked over devices
 
     spec_in = P(None, None, axis, None, None)
@@ -574,7 +582,10 @@ def decode_video_sharded(params, latent, cfg: VAEConfig, mesh,
     chunks = np.asarray(chunks)  # (n, B, 3, own, H, W)
     parts = [chunks[0]] + [chunks[i][:, :, 1:] for i in range(1, n)]
     full = np.concatenate(parts, axis=2)[:, :, : 8 * (f - 1) + 1]
-    frames = np.clip((full + 1.0) / 2.0, 0.0, 1.0)
+    if transfer_uint8:
+        frames = full.astype(np.float32) / 255.0
+    else:
+        frames = np.clip((full + 1.0) / 2.0, 0.0, 1.0)
     return jnp.asarray(frames[0].transpose(1, 2, 3, 0))
 
 

@@ -372,7 +372,8 @@ class LTXPipeline:
             frames = vae.decode_video_sharded(
                 self.vae_decoder_params, latent, self.vcfg, mesh,
                 timestep=ts, noise_key=nkey,
-                tile_overlap=max(self.memory.vae_tile_overlap, 1))
+                tile_overlap=max(self.memory.vae_tile_overlap, 1),
+                transfer_uint8=True)
         else:
             frames = vae.decode_video(
                 self.vae_decoder_params, latent, self.vcfg, timestep=ts,

@@ -95,3 +95,22 @@ def test_sharded_with_decode_noise_matches(params):
                                atol=2e-5, rtol=2e-5)
     f = np.asarray(shd)
     assert f.min() >= 0.0 and f.max() <= 1.0
+
+
+@needs_mesh
+def test_sharded_decode_uint8_transfer():
+    """uint8 device-side quantization after the seam blend matches the f32
+    sharded decode within the uint8 grid."""
+    params = vae.init_decoder_params(jax.random.key(0), CFG)
+    mesh = make_mesh(data=1, model=4)
+    latent = jax.random.normal(jax.random.key(5),
+                               (1, CFG.latent_channels, 8, 2, 2))
+    f32 = vae.decode_video_sharded(params, latent, CFG, mesh, timestep=None,
+                                   tile_overlap=2)
+    u8 = vae.decode_video_sharded(params, latent, CFG, mesh, timestep=None,
+                                  tile_overlap=2, transfer_uint8=True)
+    assert u8.shape == f32.shape
+    # the u8 path quantizes the SAME post-blend values -> pure grid error
+    # wherever f32 lands in [0,1]; clipped pixels are exact too
+    np.testing.assert_allclose(np.asarray(u8), np.asarray(f32),
+                               atol=1.01 / 255)
