@@ -128,6 +128,51 @@ def _generation_config(args):
     )
 
 
+def _resolve_memory(args, config):
+    """Map CLI flags -> MemoryConfig, auto-applying the recommended preset
+    when the HBM estimate exceeds one chip and the user made no explicit
+    memory choice (reference auto-picks its preset from available RAM,
+    MemoryOptimizationConfig.swift:69-121)."""
+    from ltx_tpu.core.config import MemoryConfig
+    from ltx_tpu.ops.latents import (
+        _USABLE_HBM_GB, VideoLatentShape, estimate_memory_gb,
+        recommended_memory_preset,
+    )
+
+    if args.memory:
+        memory = MemoryConfig.preset(args.memory)
+    else:
+        memory = MemoryConfig(
+            vae_tile_size=args.vae_tile_size,
+            vae_tile_overlap=args.vae_tile_overlap,
+        )
+
+    shape = VideoLatentShape.from_pixels(1, config.num_frames, config.height,
+                                         config.width)
+    bits = {"bf16": None, "qint8": 8, "int4": 4}[args.transformer_quant]
+    rows = 1 + (config.cfg_scale > 1.0) + (config.stg_scale > 0)
+    est = estimate_memory_gb(shape, rows, bits,
+                             vae_tile_size=memory.vae_tile_size,
+                             audio=args.audio)
+    if est > _USABLE_HBM_GB and not args.mesh:
+        rec = recommended_memory_preset(shape, rows, bits, audio=args.audio)
+        if args.memory is None and args.vae_tile_size == 0:
+            # no explicit memory choice from the user: apply the
+            # recommendation instead of just warning
+            memory = MemoryConfig.preset(rec)
+            log.info(
+                "estimated peak HBM %.1f GB exceeds one chip's ~%.1f GB; "
+                "auto-applying --memory %s (pass --memory light to disable)",
+                est, _USABLE_HBM_GB, rec)
+        else:
+            log.warning(
+                "estimated peak HBM %.1f GB exceeds one chip's ~%.1f GB; "
+                "consider --memory %s%s or --mesh 1,N (TP)",
+                est, _USABLE_HBM_GB, rec,
+                "" if bits else " or --transformer-quant int4")
+    return memory
+
+
 def cmd_generate(args) -> int:
     from ltx_tpu.core.errors import LTXError
 
@@ -146,31 +191,7 @@ def cmd_generate(args) -> int:
     from ltx_tpu.core.config import MemoryConfig, QuantizationConfig
     from ltx_tpu.pipeline.loader import load_pipeline
 
-    if args.memory:
-        memory = MemoryConfig.preset(args.memory)
-    else:
-        memory = MemoryConfig(
-            vae_tile_size=args.vae_tile_size,
-            vae_tile_overlap=args.vae_tile_overlap,
-        )
-
-    # HBM estimate + preset advice (reference: LatentUtils.swift:294-319)
-    from ltx_tpu.ops.latents import (
-        VideoLatentShape, estimate_memory_gb, recommended_memory_preset,
-    )
-
-    shape = VideoLatentShape.from_pixels(1, config.num_frames, config.height,
-                                         config.width)
-    bits = {"bf16": None, "qint8": 8, "int4": 4}[args.transformer_quant]
-    rows = 1 + (config.cfg_scale > 1.0) + (config.stg_scale > 0)
-    est = estimate_memory_gb(shape, rows, bits,
-                             vae_tile_size=memory.vae_tile_size)
-    if est > 15.5 and not args.mesh:
-        rec = recommended_memory_preset(shape, rows, bits)
-        log.warning(
-            "estimated peak HBM %.1f GB exceeds one chip's ~15.5 GB; "
-            "consider --memory %s%s", est, rec,
-            "" if bits else " or --transformer-quant int4 or --mesh 1,N (TP)")
+    memory = _resolve_memory(args, config)
     pipe = load_pipeline(
         model=_effective_model(args),
         models_dir=args.models_dir,

@@ -259,14 +259,6 @@ def _additive_causal_mask(attention_mask, seq_len: int, dtype):
     return jnp.where(combined, 0.0, min_val).astype(jnp.float32)
 
 
-def _sliding_causal_mask(seq_len: int, window: int):
-    """Causal with sliding window (for generation prefill)."""
-    i = np.arange(seq_len)[:, None]
-    j = np.arange(seq_len)[None, :]
-    ok = (j <= i) & (j > i - window)
-    return jnp.where(jnp.asarray(ok)[None, None], 0.0, -1e9).astype(jnp.float32)
-
-
 def forward_hidden_states(params, input_ids, attention_mask, cfg: Gemma3Config):
     """Token ids (B, T) + pad mask (B, T) -> (49, B, T, D) hidden states.
 
@@ -344,6 +336,7 @@ def generate_tokens(
     stop_tokens: Tuple[int, ...] = (1,),
     input_embeds=None,
     bucket: int = 128,
+    top_k: int = 0,
 ):
     """KV-cached autoregressive sampling, fully device-side.
 
@@ -351,8 +344,13 @@ def generate_tokens(
     embeddings already multiplied by sqrt(hidden); used by the VLM path to
     splice SigLIP image soft-tokens into the prompt). When given, input_ids
     must still hold the token ids of the same length (for bookkeeping).
+    top_k: candidate-set size for the top-p sampler; 0 picks 64 at
+    temperature <= 1 (where the nucleus virtually never extends past 64)
+    and 512 above (where it can) — see topp_sample for the cost tradeoff.
     Returns the generated token list (without the prompt).
     """
+    if top_k <= 0:
+        top_k = 64 if temperature <= 1.0 else 512
     input_ids = np.asarray(input_ids)
     if input_ids.ndim == 1:
         input_ids = input_ids[None]
@@ -384,7 +382,7 @@ def generate_tokens(
     fn = _build_generate_fn(
         cfg, t_pad, max_new_tokens, float(temperature), float(top_p),
         float(repetition_penalty), int(repetition_context),
-        with_embeds=embeds_padded is not None,
+        with_embeds=embeds_padded is not None, top_k=int(top_k),
     )
     out, n_gen = fn(params, jnp.asarray(ids_padded), embeds_padded,
                     jnp.asarray(pad, jnp.int32), stop_arr, tables, key)
@@ -397,7 +395,7 @@ def generate_tokens(
 def _build_generate_fn(cfg: Gemma3Config, t_pad: int, max_new_tokens: int,
                        temperature: float, top_p: float,
                        repetition_penalty: float, repetition_context: int,
-                       with_embeds: bool):
+                       with_embeds: bool, top_k: int = 64):
     """Compile-cached generation program for one (config, bucket) pair."""
     nl, nkv, hd = cfg.hidden_layers, cfg.kv_heads, cfg.head_dim
     vocab = cfg.vocab_size
@@ -487,7 +485,7 @@ def _build_generate_fn(cfg: Gemma3Config, t_pad: int, max_new_tokens: int,
         def sample(lg, key):
             if temperature <= 0:
                 return jnp.argmax(lg).astype(jnp.int32)
-            return topp_sample(lg, key, temperature, top_p)
+            return topp_sample(lg, key, temperature, top_p, top_k)
 
         def cond(state):
             _, _, _, _, _, n_gen, done = state

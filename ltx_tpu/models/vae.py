@@ -387,10 +387,12 @@ def decode_video(params, latent, cfg: VAEConfig,
     Every full tile has the same shape -> one decoder compilation (plus one
     for a ragged tail).
 
-    The stitched video assembles in a PREALLOCATED HOST buffer: only one
-    decoded tile is ever device-resident (the untiled 241f@1024x640 output
-    alone is ~1.9 GB f32 on top of decoder activations), and the frames are
-    headed to host-side MP4 export anyway.
+    The stitched video assembles in a PREALLOCATED HOST buffer: at most TWO
+    decoded tiles are device-resident at peak — the double-buffering below
+    dispatches tile i+1 before pulling tile i so transfer overlaps compute
+    (the untiled 241f@1024x640 output alone is ~1.9 GB f32 on top of
+    decoder activations; estimate_memory_gb accounts 2x tile residency).
+    The frames are headed to host-side MP4 export anyway.
 
     transfer_uint8: quantize each tile to uint8 ON DEVICE before the
     device->host pull (4x fewer bytes than f32; the MP4 encoder consumes
@@ -412,6 +414,12 @@ def decode_video(params, latent, cfg: VAEConfig,
         return finish(decoder_forward(params, latent, cfg, timestep, noise_key))
 
     tile_overlap = max(tile_overlap, 1)
+    if tile_overlap >= tile_size:
+        from ltx_tpu.core.errors import InvalidConfigurationError
+
+        raise InvalidConfigurationError(
+            f"vae_tile_overlap ({tile_overlap}) must be < vae_tile_size "
+            f"({tile_size}); stride would be <= 0")
     stride = tile_size - tile_overlap
     pixel_blend = 8 * (tile_overlap - 1)
 

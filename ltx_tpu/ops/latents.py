@@ -137,14 +137,19 @@ def denormalize_latent(latent, mean, std):
 # Memory estimation (reference: LatentUtils.swift:294-319, TPU-translated)
 # ---------------------------------------------------------------------------
 
-# 19B video DiT parameter count and usable single-chip HBM (v5e, measured
-# by allocation probe: CLAUDE.md "Real usable HBM ~= 15.5 GB")
-_DIT_PARAMS = 12.9e9
+# Parameter counts from the transcribed checkpoint inventories
+# (tests/weight_fixtures.py, asserted exactly in test_weight_contract.py):
+# video-only DiT 13.04e9; the dual audio+video DiT ("19B") 18.88e9.
+# Usable single-chip HBM (v5e, measured by allocation probe:
+# CLAUDE.md "Real usable HBM ~= 15.5 GB").
+_DIT_PARAMS = 13.04e9
+_AV_DIT_PARAMS = 18.88e9
 _USABLE_HBM_GB = 15.5
 
 
 def estimate_memory_gb(shape: VideoLatentShape, guidance_rows: int = 1,
-                       dit_bits=None, vae_tile_size: int = 0) -> float:
+                       dit_bits=None, vae_tile_size: int = 0,
+                       audio: bool = False) -> float:
     """Rough peak-HBM estimate (GB) for one denoise+decode generation.
 
     The reference estimates unified-memory need to pick presets
@@ -153,7 +158,8 @@ def estimate_memory_gb(shape: VideoLatentShape, guidance_rows: int = 1,
     Conservative by design — used for warnings, never hard limits.
     """
     bytes_per_param = {4: 0.625, 8: 1.125, None: 2.0}[dit_bits]
-    params_gb = _DIT_PARAMS * bytes_per_param / 1e9
+    n_params = _AV_DIT_PARAMS if audio else _DIT_PARAMS
+    params_gb = n_params * bytes_per_param / 1e9
 
     # denoise working set: a handful of live (rows, tokens, dim|ffn) f32
     # tensors (XLA fuses most; flash attention keeps attention linear)
@@ -162,22 +168,26 @@ def estimate_memory_gb(shape: VideoLatentShape, guidance_rows: int = 1,
     denoise_gb = params_gb + act_gb
 
     # decode working set: decoder params (~1 GB bf16) + largest intermediate
-    # (tile frames at 1/16 spatial x 128 ch, a few copies) + one pixel tile
-    frames = shape.frames if vae_tile_size <= 0 else min(
-        shape.frames, vae_tile_size + 1)
+    # (tile frames at 1/16 spatial x 128 ch, a few copies) + pixel tiles.
+    # Tiled decodes double-buffer (decode_video dispatches tile i+1 before
+    # pulling tile i), so TWO tiles are device-resident at peak.
+    tiled = vae_tile_size > 0 and shape.frames > vae_tile_size
+    frames = min(shape.frames, vae_tile_size + 1) if tiled else shape.frames
     px = 8 * (frames - 1) + 1
     spatial = (shape.height * 8) * (shape.width * 8)  # quarter-res grid
-    decode_gb = 1.0 + px * spatial * 128 * 2 * 4 / 1e9
+    tile_copies = 2 if tiled else 1
+    decode_gb = 1.0 + tile_copies * px * spatial * 128 * 2 * 4 / 1e9
     return round(max(denoise_gb, decode_gb), 2)
 
 
 def recommended_memory_preset(shape: VideoLatentShape,
                               guidance_rows: int = 1,
-                              dit_bits=None) -> str:
+                              dit_bits=None, audio: bool = False) -> str:
     """Pick the lightest MemoryConfig preset whose estimate fits one chip
     (reference analog: MemoryOptimizationConfig.forAvailableRAM)."""
     for preset, tile in (("light", 0), ("moderate", 8), ("aggressive", 6)):
         if estimate_memory_gb(shape, guidance_rows, dit_bits,
-                              vae_tile_size=tile) <= _USABLE_HBM_GB:
+                              vae_tile_size=tile,
+                              audio=audio) <= _USABLE_HBM_GB:
             return preset
     return "aggressive"

@@ -6,8 +6,9 @@ for AdaLN and an affine-free LayerNorm for the output head
 (reference: LTXTransformer.swift:97). Statistics accumulate in float32 and
 the result is cast back to the input dtype, matching MLX's fused kernels.
 
-XLA fuses these chains into the surrounding matmuls; a Pallas fused variant
-lives in ltx_tpu.kernels for cases profiling shows XLA missed the fusion.
+These are deliberately plain jnp: XLA fuses the normalize->scale->matmul
+chains on its own (profiled — no Pallas variant exists or is needed; if a
+future profile shows a missed fusion, add one in ltx_tpu.kernels then).
 """
 
 from __future__ import annotations

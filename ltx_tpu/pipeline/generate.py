@@ -274,16 +274,18 @@ class LTXPipeline:
     # ------------------------------------------------------------------
 
     def tokenize(self, prompt: str):
-        """Left-pad to max_length with pad_id 0
-        (reference: LTXPipeline.swift:3254-3278)."""
+        """Left-pad to max_length with pad_id 0; over-long prompts keep the
+        LAST max_length tokens — `encoded.suffix(maxLength)`
+        (reference: LTXPipeline.swift:3254-3278). BOS insertion is the
+        tokenizer.json post-processor's job (Gemma adds BOS=2)."""
         max_len = self.tecfg.max_length
         if self.tokenizer is not None:
             ids = self.tokenizer.encode(prompt).ids
         else:
             # test fallback: bytes as tokens
             ids = [(b % (self.gcfg.vocab_size - 2)) + 2
-                   for b in prompt.encode()][: max_len]
-        ids = ids[:max_len]
+                   for b in prompt.encode()]
+        ids = ids[-max_len:]
         pad = max_len - len(ids)
         input_ids = np.full((1, max_len), 0, np.int32)
         mask = np.zeros((1, max_len), np.int32)

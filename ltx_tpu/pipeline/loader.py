@@ -77,6 +77,19 @@ def load_pipeline(
     )
     del tensors
 
+    # Standalone-file fallbacks (reference downloads connector + VAE as
+    # separate files and its text-encoder key map supports both formats,
+    # ModelDownloader.swift:283-301, 912-967): if the unified split yielded
+    # no VAE / connector keys, read them from the standalone files.
+    if not any("conv_in" in k for k in vae_raw) and paths.get("vae"):
+        log.info("unified file has no VAE keys; loading standalone %s",
+                 paths["vae"])
+        vae_raw = load_safetensors(paths["vae"])
+    if not conn_raw and paths.get("connector"):
+        log.info("unified file has no connector keys; loading standalone %s",
+                 paths["connector"])
+        conn_raw = load_safetensors(paths["connector"])
+
     # --- transformer
     dit_params = keymaps.load_transformer_params(
         {k: v for k, v in tr_raw.items()}, tcfg.num_layers,
@@ -117,6 +130,13 @@ def load_pipeline(
     vae_enc = None
     if any(k.startswith("encoder.") for k in vae_raw):
         vae_enc = keymaps.load_vae_encoder_params(vae_raw)
+    elif paths.get("vae") and Path(paths["vae"]).exists():
+        # encoder weights ship ONLY in the standalone VAE file (the unified
+        # split keeps decoder keys; reference: ModelDownloader.swift:1196-1212)
+        standalone = load_safetensors(paths["vae"])
+        if any(k.startswith("encoder.") for k in standalone):
+            vae_enc = keymaps.load_vae_encoder_params(standalone)
+        del standalone
     del vae_raw
 
     # --- text encoder stack

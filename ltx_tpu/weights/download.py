@@ -12,16 +12,18 @@ from typing import Dict, Optional
 
 from ltx_tpu.core.config import LTXModel
 
-# Component files on the HF hub (reference: ModelDownloader.swift:147-530)
+# Component files on the HF hub (reference: ModelDownloader.swift:147-530;
+# filename constants pinned against the Swift source in
+# tests/test_download.py::test_hub_filenames_match_reference)
 LTX_REPO = "Lightricks/LTX-2"
-GEMMA_REPO = "mlx-community/gemma-3-12b-it-qat-4bit"
-CONNECTOR_FILE = "connectors/diffusion_pytorch_model.safetensors"
-VAE_FILE = "vae/diffusion_pytorch_model.safetensors"
-VAE_CONFIG = "vae/config.json"
-UPSCALER_FILE = "upscaler/diffusion_pytorch_model.safetensors"
-DISTILLED_LORA_FILE = "ltx-2-19b-distilled-lora-384.safetensors"
-AUDIO_VAE_FILE = "audio_vae/diffusion_pytorch_model.safetensors"
-VOCODER_FILE = "vocoder/diffusion_pytorch_model.safetensors"
+GEMMA_REPO = "mlx-community/gemma-3-12b-it-qat-4bit"   # :311
+CONNECTOR_FILE = "connectors/diffusion_pytorch_model.safetensors"   # :175
+VAE_FILE = "vae/diffusion_pytorch_model.safetensors"   # :204
+VAE_CONFIG = "vae/config.json"                         # :215
+UPSCALER_FILE = "latent_upsampler/diffusion_pytorch_model.safetensors"  # :473
+DISTILLED_LORA_FILE = "ltx-2-19b-distilled-lora-384.safetensors"        # :476
+AUDIO_VAE_FILE = "audio_vae/diffusion_pytorch_model.safetensors"        # :244
+VOCODER_FILE = "vocoder/diffusion_pytorch_model.safetensors"            # :270
 
 
 def default_models_dir() -> str:
@@ -84,6 +86,15 @@ def download_all_components(
     out: Dict[str, Path] = {}
 
     out["gemma"] = download_gemma(models_dir, hf_token, force)
+    # standalone connector + VAE files are downloaded IN ADDITION to the
+    # unified file (reference: ModelDownloader.swift:435-456) — the loader
+    # falls back to them when the unified split lacks those components
+    out["connector"] = _download_file(
+        LTX_REPO, CONNECTOR_FILE, base / "ltx-connector", hf_token, force
+    )
+    out["vae"] = _download_file(
+        LTX_REPO, VAE_FILE, base / "ltx-vae", hf_token, force
+    )
     out["unified"] = _download_file(
         LTX_REPO, model.unified_weights_filename, variant_dir, hf_token, force
     )

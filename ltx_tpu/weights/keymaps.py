@@ -32,6 +32,21 @@ def _t(x):
     return np.ascontiguousarray(np.transpose(x))
 
 
+def _check_consumed(leftover, what: str, strict: bool):
+    """Every loader ends with this: a non-empty leftover means the key table
+    drifted from the checkpoint (or vice versa) — fail loudly instead of
+    silently dropping weights (the reference merely logs unmatched keys,
+    ModelDownloader.swift:999-1003; we treat that as a load error unless
+    strict=False)."""
+    if strict and leftover:
+        from ltx_tpu.core.errors import WeightLoadingFailedError
+
+        sample = ", ".join(sorted(leftover)[:8])
+        raise WeightLoadingFailedError(
+            f"{len(leftover)} unconsumed {what} keys (table drift?): {sample}"
+        )
+
+
 def _conv3d_t(x):
     """(O, I, T, H, W) torch conv3d -> (T, H, W, I, O) for NDHWC."""
     return np.ascontiguousarray(np.transpose(x, (2, 3, 4, 1, 0)))
@@ -90,7 +105,8 @@ def _set_path(tree: dict, path: Tuple[str, ...], value):
 
 
 def assemble_transformer_params(raw: Tensors, num_layers: int,
-                                include_audio: bool = False) -> dict:
+                                include_audio: bool = False,
+                                strict: bool = True) -> dict:
     """Canonical-keyed tensors -> stacked DiT pytree (models/dit.py layout).
 
     Canonical keys look like:
@@ -163,11 +179,13 @@ def assemble_transformer_params(raw: Tensors, num_layers: int,
     params["scale_shift_table"] = np.asarray(
         top.pop("scale_shift_table"), np.float32
     )
+    _check_consumed(top, "top-level transformer", strict)
     return params
 
 
 def load_transformer_params(tensors: Tensors, num_layers: int,
-                            include_audio: bool = False) -> dict:
+                            include_audio: bool = False,
+                            strict: bool = True) -> dict:
     """Unified-file or pre-stripped tensors -> DiT pytree."""
     diffusion = "model.diffusion_model."
     raw: Tensors = {}
@@ -186,10 +204,12 @@ def load_transformer_params(tensors: Tensors, num_layers: int,
         mapped = map_transformer_key(k, include_audio)
         if mapped is not None:
             raw[mapped] = value
-    return assemble_transformer_params(raw, num_layers, include_audio)
+    return assemble_transformer_params(raw, num_layers, include_audio,
+                                       strict=strict)
 
 
-def assemble_av_transformer_params(raw: Tensors, num_layers: int) -> dict:
+def assemble_av_transformer_params(raw: Tensors, num_layers: int,
+                                   strict: bool = True) -> dict:
     """Canonical-keyed tensors -> dual AV DiT pytree (models/dit_av.py).
 
     Accepts both plausible checkpoint spellings for the audio top-level
@@ -308,10 +328,12 @@ def assemble_av_transformer_params(raw: Tensors, num_layers: int) -> dict:
         "av_ca_v2a_gate_adaln_single": adaln(
             top, "av_ca_v2a_gate_adaln_single"),
     }
+    _check_consumed(top, "top-level AV transformer", strict)
     return params
 
 
-def load_av_transformer_params(tensors: Tensors, num_layers: int) -> dict:
+def load_av_transformer_params(tensors: Tensors, num_layers: int,
+                               strict: bool = True) -> dict:
     """Unified-file tensors -> dual AV DiT pytree."""
     diffusion = "model.diffusion_model."
     raw: Tensors = {}
@@ -330,7 +352,7 @@ def load_av_transformer_params(tensors: Tensors, num_layers: int) -> dict:
         mapped = map_transformer_key(k, include_audio=True)
         if mapped is not None:
             raw[mapped] = value
-    return assemble_av_transformer_params(raw, num_layers)
+    return assemble_av_transformer_params(raw, num_layers, strict=strict)
 
 
 # ---------------------------------------------------------------------------
@@ -403,7 +425,7 @@ def _time_embedder(d: dict, prefix: str):
     return out
 
 
-def load_vae_decoder_params(tensors: Tensors) -> dict:
+def load_vae_decoder_params(tensors: Tensors, strict: bool = True) -> dict:
     raw: Tensors = {}
     for key, value in tensors.items():
         mapped = map_vae_decoder_key(key)
@@ -447,6 +469,7 @@ def load_vae_decoder_params(tensors: Tensors) -> dict:
         np.squeeze(raw.pop("std_of_means")), np.float32
     )
     raw.pop("timestep_scale_multiplier", None)  # config constant (1000)
+    _check_consumed(raw, "VAE decoder", strict)
     return params
 
 
@@ -455,7 +478,7 @@ def load_vae_decoder_params(tensors: Tensors) -> dict:
 # ---------------------------------------------------------------------------
 
 
-def load_vae_encoder_params(tensors: Tensors) -> dict:
+def load_vae_encoder_params(tensors: Tensors, strict: bool = True) -> dict:
     """encoder.* keys -> models/vae.py encoder pytree
     (reference: ModelDownloader.swift:1222-1330)."""
     raw: Tensors = {}
@@ -496,6 +519,7 @@ def load_vae_encoder_params(tensors: Tensors) -> dict:
         })
         j += 1
     params["mid_block"] = {"resnets": mid}
+    _check_consumed(raw, "VAE encoder", strict)
     return params
 
 
@@ -567,7 +591,7 @@ def _assemble_connector(raw: Tensors, prefix: str) -> Optional[dict]:
     }
 
 
-def load_text_encoder_params(tensors: Tensors) -> dict:
+def load_text_encoder_params(tensors: Tensors, strict: bool = True) -> dict:
     raw: Tensors = {}
     for key, value in tensors.items():
         mapped = map_text_encoder_key(key)
@@ -590,6 +614,7 @@ def load_text_encoder_params(tensors: Tensors) -> dict:
     audio = _assemble_connector(raw, "audio_embeddings_connector")
     if audio is not None:
         params["audio_embeddings_connector"] = audio
+    _check_consumed(raw, "text encoder", strict)
     return params
 
 
@@ -602,10 +627,11 @@ def _maybe_dequant_mlx_4bit(tensors: Tensors, key: str,
                             group_size: int = 64, bits: int = 4):
     """MLX-quantized weights ship as {key}.weight (packed uint32),
     {key}.scales, {key}.biases; w[o, i] = q * scale + bias with 32/bits
-    nibbles per uint32, little-endian (matches mlx.core.quantize)."""
-    packed = tensors[f"{key}.weight"]
-    scales = tensors[f"{key}.scales"].astype(np.float32)
-    biases = tensors[f"{key}.biases"].astype(np.float32)
+    nibbles per uint32, little-endian (matches mlx.core.quantize).
+    Consumes (pops) the three source keys."""
+    packed = tensors.pop(f"{key}.weight")
+    scales = tensors.pop(f"{key}.scales").astype(np.float32)
+    biases = tensors.pop(f"{key}.biases").astype(np.float32)
     per_word = 32 // bits
     o, iw = packed.shape
     q = np.zeros((o, iw * per_word), np.float32)
@@ -627,9 +653,9 @@ def _repack_mlx_4bit(tensors: Tensors, key: str, bits: int = 4):
     little-endian in uint32. Ours: w[i,o] = q * scale[i//g, o] + bias[i//g, o],
     two nibbles per uint8 along the input axis.
     """
-    packed = tensors[f"{key}.weight"].astype(np.uint32)
-    scales = tensors[f"{key}.scales"]
-    biases = tensors[f"{key}.biases"]
+    packed = tensors.pop(f"{key}.weight").astype(np.uint32)
+    scales = tensors.pop(f"{key}.scales")
+    biases = tensors.pop(f"{key}.biases")
     per_word = 32 // bits
     o, iw = packed.shape
     q = np.zeros((o, iw * per_word), np.uint8)
@@ -648,7 +674,8 @@ def _repack_mlx_4bit(tensors: Tensors, key: str, bits: int = 4):
 
 def load_gemma_params(tensors: Tensors, num_layers: int,
                       quant_group_size: int = 64, quant_bits: int = 4,
-                      keep_quantized: bool = True) -> dict:
+                      keep_quantized: bool = True,
+                      strict: bool = True) -> dict:
     """HF/MLX Gemma-3 weights -> models/gemma3.py stacked pytree.
 
     Sanitize rules (reference: Gemma3Model.swift:347-370): strip
@@ -677,11 +704,11 @@ def load_gemma_params(tensors: Tensors, num_layers: int,
             w = _maybe_dequant_mlx_4bit(src, prefix, quant_group_size,
                                         quant_bits)
         else:
-            w = src[f"{prefix}.weight"]
+            w = src.pop(f"{prefix}.weight")
         return {"w": _bf16(_t(w))}
 
     def norm(prefix: str):
-        return {"w": _bf16(src[f"{prefix}.weight"])}
+        return {"w": _bf16(src.pop(f"{prefix}.weight"))}
 
     layers = []
     for i in range(num_layers):
@@ -708,12 +735,14 @@ def load_gemma_params(tensors: Tensors, num_layers: int,
         emb = _maybe_dequant_mlx_4bit(src, "model.embed_tokens",
                                       quant_group_size, quant_bits)
     else:
-        emb = src["model.embed_tokens.weight"]
-    return {
+        emb = src.pop("model.embed_tokens.weight")
+    params = {
         "embed_tokens": {"w": _bf16(emb)},
         "layers": jax.tree.map(lambda *xs: np.stack(xs), *layers),
         "norm": norm("model.norm"),
     }
+    _check_consumed(src, "Gemma", strict)
+    return params
 
 
 # ---------------------------------------------------------------------------

@@ -100,6 +100,37 @@ def test_memory_preset_flag():
     assert args.memory == "aggressive"
 
 
+def test_memory_auto_applied_when_over_budget():
+    """With no explicit --memory, a config whose HBM estimate exceeds one
+    chip silently gets a staged preset (reference auto-selects by RAM,
+    MemoryOptimizationConfig.swift:69-121)."""
+    from ltx_tpu.io.cli import _resolve_memory
+
+    # flagship-scale 241f @ 1216x704 int4: does not fit untiled on 15.5 GB
+    args = parse(["generate", "x", "-w", "1216", "-H", "704", "-f", "241",
+                  "--transformer-quant", "int4"])
+    mem = _resolve_memory(args, _generation_config(args))
+    assert mem.phase_staging and mem.vae_tile_size > 0
+
+    # an explicit user choice is respected (warn only, never overridden)
+    args = parse(["generate", "x", "-w", "1216", "-H", "704", "-f", "241",
+                  "--transformer-quant", "int4", "--memory", "light"])
+    mem = _resolve_memory(args, _generation_config(args))
+    assert not mem.phase_staging and mem.vae_tile_size == 0
+
+    # small runs stay unstaged
+    args = parse(["generate", "x", "-w", "512", "-H", "512", "-f", "25",
+                  "--transformer-quant", "int4"])
+    mem = _resolve_memory(args, _generation_config(args))
+    assert not mem.phase_staging and mem.vae_tile_size == 0
+
+    # a mesh suppresses single-chip auto-staging
+    args = parse(["generate", "x", "-w", "1216", "-H", "704", "-f", "241",
+                  "--transformer-quant", "int4", "--mesh", "1,8"])
+    mem = _resolve_memory(args, _generation_config(args))
+    assert not mem.phase_staging
+
+
 def test_download_and_info_subcommands():
     d = parse(["download", "-m", "dev", "--force", "--audio"])
     assert d.model == "dev" and d.force and d.audio

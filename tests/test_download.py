@@ -51,6 +51,10 @@ def test_layout_and_repo_files(tmp_path, fake_hub):
     assert paths["gemma"] == base / "vlm-gemma"
     assert paths["unified"] == (base / "ltx-distilled"
                                 / LTXModel.DISTILLED.unified_weights_filename)
+    # standalone connector + VAE downloaded in addition to the unified file
+    # (reference: ModelDownloader.swift:435-456)
+    assert paths["connector"].parent == base / "ltx-connector"
+    assert paths["vae"].parent == base / "ltx-vae"
     assert paths["vae_config"].parent == base / "ltx-vae"
     assert paths["upscaler"].parent == base / "ltx-upscaler"
     assert paths["distilled_lora"].parent == base / "ltx-lora"
@@ -66,6 +70,30 @@ def test_layout_and_repo_files(tmp_path, fake_hub):
     assert LTXModel.DISTILLED.unified_weights_filename in files
     assert dl.VAE_CONFIG in files and dl.DISTILLED_LORA_FILE in files
     assert dl.AUDIO_VAE_FILE in files and dl.VOCODER_FILE in files
+    assert dl.CONNECTOR_FILE in files and dl.VAE_FILE in files
+    assert dl.UPSCALER_FILE in files
+
+
+_REF_DOWNLOADER = Path("/root/reference/Sources/LTXVideo/Utils/"
+                       "ModelDownloader.swift")
+
+
+@pytest.mark.skipif(not _REF_DOWNLOADER.exists(),
+                    reason="reference checkout not available")
+def test_hub_filenames_match_reference():
+    """Pin every hub filename constant against the literal strings in the
+    reference's download table (a typo'd path would otherwise only surface
+    at first real download)."""
+    src = _REF_DOWNLOADER.read_text()
+    for const in (dl.CONNECTOR_FILE, dl.VAE_FILE, dl.VAE_CONFIG,
+                  dl.UPSCALER_FILE, dl.DISTILLED_LORA_FILE,
+                  dl.AUDIO_VAE_FILE, dl.VOCODER_FILE, dl.GEMMA_REPO,
+                  dl.LTX_REPO):
+        assert f'"{const}"' in src, const
+    cfg_src = Path("/root/reference/Sources/LTXVideo/Configuration/"
+                   "LTXConfig.swift").read_text()
+    for m in (LTXModel.DEV, LTXModel.DISTILLED):
+        assert f'"{m.unified_weights_filename}"' in cfg_src
 
 
 def test_skip_if_exists_caching(tmp_path, fake_hub):

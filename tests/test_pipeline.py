@@ -41,6 +41,58 @@ def test_t2v_end_to_end(pipe):
     assert result.seed == 42
 
 
+def test_tokenize_truncation_keeps_last_tokens(pipe):
+    """Over-long prompts keep the LAST max_length tokens — the reference
+    uses `encoded.suffix(maxLength)` (LTXPipeline.swift:3260-3262); enhanced
+    prompts routinely exceed 1024 tokens so head-vs-tail truncation changes
+    the embeddings."""
+    import types
+
+    max_len = pipe.tecfg.max_length
+    n = max_len + 7
+
+    class Tok:
+        def encode(self, text):
+            return types.SimpleNamespace(ids=list(range(100, 100 + n)))
+
+    old_tok = pipe.tokenizer
+    pipe.tokenizer = Tok()
+    try:
+        ids, mask = pipe.tokenize("x" * n)
+    finally:
+        pipe.tokenizer = old_tok
+    assert ids.shape == (1, max_len) and np.asarray(mask).all()
+    np.testing.assert_array_equal(
+        np.asarray(ids)[0], np.arange(100 + 7, 100 + n))
+
+
+def test_tokenize_bos_via_post_processor(pipe):
+    """BOS comes from the tokenizer.json post-processor (Gemma's template
+    adds BOS=2, LTXPipeline.swift:3259) and must land at the first unpadded
+    slot after left-padding. Built with a real `tokenizers` pipeline
+    mirroring the Gemma schema (offline stand-in for the real file)."""
+    from tokenizers import Tokenizer, models, pre_tokenizers, processors
+
+    vocab = {"<pad>": 0, "<eos>": 1, "<bos>": 2, "a": 4, "cat": 5, "sat": 6}
+    tok = Tokenizer(models.WordLevel(vocab, unk_token="<eos>"))
+    tok.pre_tokenizer = pre_tokenizers.Whitespace()
+    tok.post_processor = processors.TemplateProcessing(
+        single="<bos> $A", special_tokens=[("<bos>", 2)])
+
+    old_tok = pipe.tokenizer
+    pipe.tokenizer = tok
+    try:
+        ids, mask = pipe.tokenize("a cat sat")
+    finally:
+        pipe.tokenizer = old_tok
+    max_len = pipe.tecfg.max_length
+    ids, mask = np.asarray(ids)[0], np.asarray(mask)[0]
+    pad = max_len - 4
+    assert (ids[:pad] == 0).all() and (mask[:pad] == 0).all()
+    np.testing.assert_array_equal(ids[pad:], [2, 4, 5, 6])  # BOS first
+    assert mask[pad:].all()
+
+
 def test_t2v_deterministic_by_seed(pipe):
     cfg = _tiny_config()
     r1 = pipe.generate_video("a dog", cfg)
