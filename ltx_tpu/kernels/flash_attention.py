@@ -80,6 +80,28 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref,
         o_ref[0] = (acc_ref[:] / safe_l[:, None]).astype(o_ref.dtype)
 
 
+def _stats_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, mo_ref, lo_ref,
+                  m_ref, l_ref, acc_ref, *, sm_scale, num_k_blocks):
+    """Flash kernel that additionally emits the per-row softmax statistics
+    (running max m, normalizer l) — the carry ring attention needs to merge
+    partial attentions across K/V shards."""
+    _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, m_ref, l_ref, acc_ref,
+                  sm_scale=sm_scale, num_k_blocks=num_k_blocks)
+    ik = pl.program_id(2)
+
+    @pl.when(ik == num_k_blocks - 1)
+    def _write_stats():
+        mo_ref[0] = m_ref[:, 0]
+        lo_ref[0] = l_ref[:, 0]
+
+
+def _stats_kernel_bias_free(q_ref, k_ref, v_ref, o_ref, mo_ref, lo_ref,
+                            m_ref, l_ref, acc_ref, *, sm_scale, num_k_blocks):
+    _stats_kernel(q_ref, k_ref, v_ref, None, o_ref, mo_ref, lo_ref,
+                  m_ref, l_ref, acc_ref, sm_scale=sm_scale,
+                  num_k_blocks=num_k_blocks)
+
+
 def _pad_to(x, axis, multiple, value=0.0):
     size = x.shape[axis]
     pad = (-size) % multiple
@@ -91,7 +113,8 @@ def _pad_to(x, axis, multiple, value=0.0):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret")
+    jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret",
+                              "return_stats")
 )
 def flash_attention(
     q, k, v,
@@ -100,12 +123,17 @@ def flash_attention(
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
     interpret: bool = False,
+    return_stats: bool = False,
 ):
     """q: (B, H, Tq, D); k, v: (B, H, Tk, D); bias: None, (B, Tk) additive
     key bias, or (B, 1, 1, Tk) (squeezed automatically). Returns (B, H, Tq, D).
 
     interpret=True runs the kernel in the Pallas interpreter (CPU) so the
     CPU test suite exercises the REAL kernel logic, not the XLA fallback.
+
+    return_stats=True additionally returns the f32 softmax statistics
+    (m, l) of shape (B, H, Tq) — out is still NORMALIZED (acc / l); a caller
+    merging partial attentions (ring attention) un-normalizes with l.
     """
     b, h, tq, d = q.shape
     tk = k.shape[2]
@@ -161,22 +189,28 @@ def flash_attention(
                          lambda bh_i, iq, ik: (bh_i // h, 0, ik))
         )
         inputs.append(bias[:, None, :])
-        kernel = functools.partial(
-            _flash_kernel, sm_scale=scale, num_k_blocks=num_k
-        )
+        base_kernel = _stats_kernel if return_stats else _flash_kernel
     else:
-        kernel = functools.partial(
-            _bias_free_kernel, sm_scale=scale, num_k_blocks=num_k
-        )
+        base_kernel = (_stats_kernel_bias_free if return_stats
+                       else _bias_free_kernel)
+    kernel = functools.partial(base_kernel, sm_scale=scale, num_k_blocks=num_k)
+
+    o_spec = pl.BlockSpec((1, block_q, d), lambda bh_i, iq, ik: (bh_i, iq, 0))
+    o_shape = jax.ShapeDtypeStruct((bh, tq_p, d), q.dtype)
+    if return_stats:
+        stat_spec = pl.BlockSpec((1, block_q), lambda bh_i, iq, ik: (bh_i, iq))
+        stat_shape = jax.ShapeDtypeStruct((bh, tq_p), jnp.float32)
+        out_specs = [o_spec, stat_spec, stat_spec]
+        out_shape = [o_shape, stat_shape, stat_shape]
+    else:
+        out_specs, out_shape = o_spec, o_shape
 
     out = pl.pallas_call(
         kernel,
         grid=(bh, num_q, num_k),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (1, block_q, d), lambda bh_i, iq, ik: (bh_i, iq, 0)
-        ),
-        out_shape=jax.ShapeDtypeStruct((bh, tq_p, d), q.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((block_q, 128), jnp.float32),  # running max
             pltpu.VMEM((block_q, 128), jnp.float32),  # running sum
@@ -188,6 +222,11 @@ def flash_attention(
         interpret=interpret,
     )(*inputs)
 
+    if return_stats:
+        o, m, l = out
+        return (o.reshape(b, h, tq_p, d)[:, :, :tq],
+                m.reshape(b, h, tq_p)[:, :, :tq],
+                l.reshape(b, h, tq_p)[:, :, :tq])
     return out.reshape(b, h, tq_p, d)[:, :, :tq]
 
 

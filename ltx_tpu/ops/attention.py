@@ -74,19 +74,43 @@ def sdpa(q, k, v, bias=None, scale: Optional[float] = None, impl: str = "auto"):
 
     if impl == "ring":
         mesh = _SP_CONTEXT["mesh"]
-        # ring only where it applies: self-attention (Tq == Tk, no bias)
-        # whose sequence divides the ring — the AV path's SHORT audio
-        # self-attention (e.g. 251 frames) falls back to XLA rather than
-        # failing the shard_map partition.
-        if mesh is not None and q.shape[2] == k.shape[2] and bias is None:
+        # ring applies to self-attention (Tq == Tk) with no bias or a KEY
+        # bias (which rotates with k/v around the ring). Non-divisible
+        # sequences pad to the ring (-1e30 bias on pad keys; padded q rows
+        # are sliced off). Full (Tq, Tk) biases can't ring -> XLA.
+        if mesh is not None and q.shape[2] == k.shape[2]:
             n = mesh.shape[_SP_CONTEXT["axis"]]
-            if n > 1 and q.shape[2] % n == 0:
+            key_bias = None
+            ringable = n > 1
+            if bias is not None:
+                if bias.ndim == 4 and bias.shape[1] == 1 and bias.shape[2] == 1:
+                    key_bias = bias[:, 0, 0].astype(jnp.float32)
+                elif bias.ndim == 2:
+                    key_bias = bias.astype(jnp.float32)
+                else:
+                    ringable = False
+            if ringable:
                 from ltx_tpu.parallel.ring_attention import (
                     sequence_parallel_sdpa,
                 )
 
-                return sequence_parallel_sdpa(q, k, v, mesh, scale=scale,
-                                              seq_axis=_SP_CONTEXT["axis"])
+                t = q.shape[2]
+                pad = (-t) % n
+                if pad:
+                    widths = [(0, 0), (0, 0), (0, pad), (0, 0)]
+                    q_p = jnp.pad(q, widths)
+                    k_p = jnp.pad(k, widths)
+                    v_p = jnp.pad(v, widths)
+                    if key_bias is None:
+                        key_bias = jnp.zeros((q.shape[0], t), jnp.float32)
+                    key_bias = jnp.pad(key_bias, [(0, 0), (0, pad)],
+                                       constant_values=-1e30)
+                else:
+                    q_p, k_p, v_p = q, k, v
+                out = sequence_parallel_sdpa(
+                    q_p, k_p, v_p, mesh, bias=key_bias, scale=scale,
+                    seq_axis=_SP_CONTEXT["axis"])
+                return out[:, :, :t] if pad else out
         return _xla_sdpa(q, k, v, bias=bias, scale=scale)
 
     if impl in ("pallas", "auto"):

@@ -29,17 +29,31 @@ from jax import lax
 
 
 def ring_attention(q, k, v, axis_name: str, bias=None,
-                   scale: Optional[float] = None):
+                   scale: Optional[float] = None,
+                   use_flash: Optional[bool] = None,
+                   interpret: bool = False):
     """Full (non-causal) attention with sequence-sharded q/k/v.
 
     q: (B, H, Tq_local, D); k, v: (B, H, Tk_local, D) — the LOCAL shards.
     bias: optional (B, Tk_local) additive key bias shard (rotates with k/v).
     Returns (B, H, Tq_local, D) in q.dtype.
+
+    use_flash (default: auto — True on TPU) runs the Pallas flash kernel
+    for each ring step's partial attention, so per-device attention memory
+    is O(Tq_local x block_k), never the O(Tq_local x Tk_local) logits the
+    einsum fallback materializes: at the flagship stage-2 shape (19,840
+    tokens / 8 devices, 32 heads) that is ~5 MB of VMEM scratch vs ~0.8 GB
+    of f32 logits per ring step. The flash kernel returns normalized
+    partial outputs + (m, l) stats; the (m, l, acc) carry below merges them
+    identically in either backend. interpret=True runs the flash kernel in
+    the Pallas interpreter (CPU tests).
     """
     n = lax.psum(1, axis_name)
     d = q.shape[-1]
     if scale is None:
         scale = d**-0.5
+    if use_flash is None:
+        use_flash = jax.default_backend() == "tpu"
 
     qf = q.astype(jnp.float32) * jnp.float32(scale)
     b, h, tq, _ = q.shape
@@ -48,6 +62,15 @@ def ring_attention(q, k, v, axis_name: str, bias=None,
 
     def partial_attn(kv_bias):
         k_blk, v_blk, bias_blk = kv_bias
+        if use_flash:
+            from ltx_tpu.kernels.flash_attention import flash_attention
+
+            out_i, m_cur, l_cur = flash_attention(
+                q, k_blk, v_blk, bias=bias_blk, scale=scale,
+                interpret=interpret, return_stats=True)
+            # un-normalize: the carry accumulates acc = sum(p @ v)
+            pv = out_i.astype(jnp.float32) * l_cur[..., None]
+            return m_cur, l_cur, pv
         s = jnp.einsum("bhqd,bhkd->bhqk", qf, k_blk.astype(jnp.float32),
                        preferred_element_type=jnp.float32)
         if bias_blk is not None:
@@ -89,14 +112,19 @@ def ring_attention(q, k, v, axis_name: str, bias=None,
 
 def sequence_parallel_sdpa(q, k, v, mesh, bias=None,
                            scale: Optional[float] = None,
-                           seq_axis: str = "model"):
+                           seq_axis: str = "model",
+                           use_flash: Optional[bool] = None,
+                           interpret: bool = False):
     """Convenience wrapper: shard (B, H, T, D) q/k/v over `seq_axis` of the
     mesh and run ring attention via shard_map. Intended for the 10k-20k token
     stage-2 / 241-frame configs where one chip's attention working set is the
-    bottleneck.
+    bottleneck. bias, if given, is a (B, T) additive KEY bias sharded and
+    rotated with k/v. T must divide the ring — sdpa(impl='ring') pads
+    non-divisible sequences before calling here.
     """
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+
+    shard_map = jax.shard_map
 
     qkv_spec = P(None, None, seq_axis, None)
     specs_in = (qkv_spec, qkv_spec, qkv_spec)
@@ -105,10 +133,15 @@ def sequence_parallel_sdpa(q, k, v, mesh, bias=None,
         specs_in = specs_in + (P(None, seq_axis),)
         args = args + (bias,)
         fn = lambda q_, k_, v_, b_: ring_attention(
-            q_, k_, v_, axis_name=seq_axis, bias=b_, scale=scale)
+            q_, k_, v_, axis_name=seq_axis, bias=b_, scale=scale,
+            use_flash=use_flash, interpret=interpret)
     else:
         fn = lambda q_, k_, v_: ring_attention(
-            q_, k_, v_, axis_name=seq_axis, scale=scale)
+            q_, k_, v_, axis_name=seq_axis, scale=scale,
+            use_flash=use_flash, interpret=interpret)
 
-    return shard_map(fn, mesh=mesh, in_specs=specs_in, out_specs=qkv_spec)(
-        *args)
+    # check_vma=False: the Pallas flash kernel's ShapeDtypeStruct outputs
+    # carry no varying-mesh-axes annotation, which the default vma check
+    # rejects inside shard_map.
+    return shard_map(fn, mesh=mesh, in_specs=specs_in, out_specs=qkv_spec,
+                     check_vma=False)(*args)

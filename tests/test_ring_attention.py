@@ -44,6 +44,81 @@ def test_ring_with_key_bias(mesh):
                                atol=2e-5, rtol=1e-4)
 
 
+def test_ring_flash_matches_sdpa(mesh):
+    """The Pallas flash kernel runs INSIDE the shard_map ring body
+    (interpret mode on CPU) and matches plain SDPA — with and without a
+    rotating key bias."""
+    q, k, v = _qkv(jax.random.key(3), t=256)
+    ref = _xla_sdpa(q, k, v)
+    out = sequence_parallel_sdpa(q, k, v, mesh, use_flash=True,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+    t = q.shape[2]
+    bias = jnp.where(jnp.arange(t)[None] < t - 48, 0.0, -1e9
+                     ).astype(jnp.float32)
+    ref_b = _xla_sdpa(q, k, v, bias=bias[:, None, None, :])
+    out_b = sequence_parallel_sdpa(q, k, v, mesh, bias=bias, use_flash=True,
+                                   interpret=True)
+    np.testing.assert_allclose(np.asarray(out_b), np.asarray(ref_b),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_ring_dispatch_pads_non_divisible(mesh):
+    """sdpa(impl='ring') pads a non-ring-divisible sequence (and its key
+    bias) instead of silently falling back to quadratic XLA SDPA."""
+    from ltx_tpu.ops import attention
+
+    q, k, v = _qkv(jax.random.key(4), t=250)  # 250 % 8 != 0
+    bias = jnp.where(jnp.arange(250)[None] < 200, 0.0, -1e9
+                     ).astype(jnp.float32)
+    ref = _xla_sdpa(q, k, v, bias=bias[:, None, None, :])
+    attention.set_sequence_parallel(mesh)
+    try:
+        out = attention.sdpa(q, k, v, bias=bias[:, None, None, :],
+                             impl="ring")
+    finally:
+        attention.set_sequence_parallel(None)
+    assert out.shape == q.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_ring_dispatch_biased_self_attention(mesh):
+    """A (B,1,1,T) additive key mask no longer falls back to XLA — the
+    flagship stage-2 config with a text mask must actually ring."""
+    from ltx_tpu.ops import attention
+
+    q, k, v = _qkv(jax.random.key(5), t=256)
+    mask = (jnp.arange(256)[None] < 240).astype(jnp.int32)
+    bias4 = attention.prepare_additive_mask(mask)
+    ref = _xla_sdpa(q, k, v, bias=bias4)
+    attention.set_sequence_parallel(mesh)
+    try:
+        out = attention.sdpa(q, k, v, bias=bias4, impl="ring")
+    finally:
+        attention.set_sequence_parallel(None)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_ring_flagship_shape_runs(mesh):
+    """The 19,840-token flagship stage-2 shape rings on the 8-device mesh
+    with a key bias (einsum backend: per-device logits 2480^2 f32 ~ 25 MB;
+    the flash backend replaces even that with O(block) VMEM on TPU)."""
+    b, h, t, d = 1, 2, 19840, 64
+    ks = jax.random.split(jax.random.key(6), 3)
+    q = jax.random.normal(ks[0], (b, h, t, d), jnp.bfloat16)
+    k = jax.random.normal(ks[1], (b, h, t, d), jnp.bfloat16)
+    v = jax.random.normal(ks[2], (b, h, t, d), jnp.bfloat16)
+    bias = jnp.where(jnp.arange(t)[None] < t - 1000, 0.0, -1e9
+                     ).astype(jnp.float32)
+    out = sequence_parallel_sdpa(q, k, v, mesh, bias=bias)
+    assert out.shape == (b, h, t, d)
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
 def test_ring_output_stays_sequence_sharded(mesh):
     from jax.sharding import NamedSharding, PartitionSpec as P
 
