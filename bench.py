@@ -13,7 +13,10 @@ e2e = prompt enhancement (Gemma generate, 512 new tokens)
     + VAE decode (25 frames)
 
 Compile time is excluded (reported to stderr): a served pipeline compiles
-once per shape and the executable cache persists across runs.
+once per shape and the executable cache persists across runs; on a cold
+start the pipeline additionally overlaps the DiT-step compile with the
+enhancement window (measured concurrent on this backend —
+docs/BENCH_NOTES.md §1).
 
 Prints ONE JSON line. Detailed per-config numbers (dev CFG, two-stage,
 121f): scripts/contract_bench.py -> BENCH_CONTRACT_r02.json.

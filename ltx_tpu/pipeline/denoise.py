@@ -220,6 +220,7 @@ def make_denoise_step(
                      latent, sigma, sigma_next, prev_velocity, has_prev, key)
 
     step._jit = _step  # expose for cache introspection in tests
+    step._pe = pe      # expose for AOT warm-compile (generate._start_warm_compile)
     return step
 
 

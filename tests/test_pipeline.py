@@ -93,6 +93,61 @@ def test_tokenize_bos_via_post_processor(pipe):
     assert mask[pad:].all()
 
 
+def test_warm_compile_lowering_matches_real_step(pipe):
+    """The abstract-input lowering used by the enhancement-overlapped warm
+    compile must be IDENTICAL to what the real denoise phase traces —
+    otherwise the warm-up compiles a program that is never hit."""
+    from ltx_tpu.pipeline.denoise import (
+        GuidanceSpec, build_guidance_context, make_denoise_step,
+    )
+
+    cfg = _tiny_config()
+    guidance = GuidanceSpec.from_config(cfg)
+    warm_text = pipe._warm_lowering(cfg, guidance).as_text()
+
+    # real path: encode -> context -> step -> lower with concrete inputs
+    pos = pipe.encode_prompt("a cat")
+    context, bias = build_guidance_context(guidance, pos["video"],
+                                           pos["mask"])
+    shape = VideoLatentShape.from_pixels(1, cfg.num_frames, cfg.height,
+                                         cfg.width,
+                                         channels=pipe.tcfg.in_channels)
+    step = make_denoise_step(pipe.transformer_params, pipe.tcfg, guidance,
+                             shape, context, bias, fps=cfg.fps,
+                             sdpa_impl=pipe.sdpa_impl)
+    latent = jnp.zeros(shape.shape, jnp.float32)
+    real_text = step._jit.lower(
+        pipe.transformer_params, context, bias, step._pe,
+        latent, 0.9, 0.5, jnp.zeros_like(latent), jnp.asarray(False),
+        jax.random.key(0),
+    ).as_text()
+    assert warm_text == real_text
+
+
+def test_warm_compile_thread_runs(pipe):
+    """End-to-end: enhancement-overlapped warm compile records its timing
+    and generation still produces frames."""
+    import types
+
+    class Tok:
+        def encode(self, text):
+            ids = [(b % 90) + 4 for b in text.encode()][:64]
+            return types.SimpleNamespace(ids=ids or [4])
+
+        def decode(self, ids):
+            return "an enhanced prompt"
+
+    old_tok = pipe.tokenizer
+    pipe.tokenizer = Tok()
+    try:
+        r = pipe.generate_video("a cat", _tiny_config(enhance_prompt=True))
+    finally:
+        pipe.tokenizer = old_tok
+    assert r.frames.shape == (9, 64, 64, 3)
+    assert r.timings.warm_compile > 0
+    assert "overlapped" in r.timings.report()
+
+
 def test_t2v_deterministic_by_seed(pipe):
     cfg = _tiny_config()
     r1 = pipe.generate_video("a dog", cfg)
