@@ -128,10 +128,13 @@ def main():
 
     e2e = 0.0
 
-    # === Phase 1: Gemma int4 — enhancement + text encoding ===
+    # === Phase 1: Gemma W8A8 — enhancement + text encoding ===
+    # (per-channel int8 weights on the MXU int8 path: ~0.24 ms/layer decode
+    # vs 0.69 ms for the fused-int4 kernel, docs/BENCH_NOTES.md §4 — the
+    # production default, pipeline/loader.py gemma_quant="w8a8")
     gcfg = gemma3.Gemma3Config()
     tecfg = text_encoder.TextEncoderConfig()
-    gparams = build_gemma_int4(gcfg)
+    gparams = build_gemma_int4(gcfg, mode="w8a8")
     teparams = text_encoder.init_params(jax.random.key(0), tecfg,
                                         jnp.bfloat16)
     sync(gparams["norm"]["w"])

@@ -127,6 +127,9 @@ class GenerationConfig:
     image_path: Optional[str] = None
     image_cond_noise_scale: float = 0.0
     fps: float = 24.0
+    # custom sigma table (Turbo-style LoRA scheduler overrides,
+    # lora.fuse.LoRASchedulerOverrides.apply_to); None = model schedule
+    sigmas_override: Optional[Tuple[float, ...]] = None
 
     def validate(self) -> None:
         """Reference: LTXConfig.swift:310-353; raises the typed taxonomy

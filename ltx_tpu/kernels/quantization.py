@@ -125,7 +125,89 @@ def dequantize_weight_np(qp):
 
 
 def is_quantized(p) -> bool:
-    return isinstance(p, dict) and ("w_q" in p or "w_q4" in p)
+    return isinstance(p, dict) and ("w_q" in p or "w_q4" in p or "w8" in p)
+
+
+# ---------------------------------------------------------------------------
+# W8A8: per-channel int8 weights, dynamic per-row int8 activations.
+#
+# Built for the Gemma DECODE loop: the fused int4 path dequantizes every
+# weight element on the VPU (~0.69 ms/layer measured — the dominant cost of
+# the 40 ms/token enhancement decode), while an int8 weight feeds the MXU
+# int8 systolic path DIRECTLY with no unpack at all. Measured on v5e: the
+# 7-matvec decode chain drops from 0.686 ms/layer (int4 Pallas) to ~0.1
+# ms/layer (docs/BENCH_NOTES.md §4). Costs 2x the HBM of int4 (int8 Gemma
+# ~11.5 GB — fits one chip with the bf16 embedding table under staging).
+# ---------------------------------------------------------------------------
+
+
+def requant_int8_channel_np(qp_or_w):
+    """int4-group-quantized leaf (or raw (in, out) weight) -> per-output-
+    channel int8 {"w8": (in, out) int8, "sw": (out,) f32}, host-side numpy.
+
+    Requantizing the int4-QAT values adds at most one int8 step of noise per
+    element (the int4 grid is not a subgrid of the per-channel int8 grid),
+    bounded by max|w_channel|/127 — far below the int4 group step itself.
+    """
+    import numpy as np
+
+    if isinstance(qp_or_w, dict) and ("w_q4" in qp_or_w or "w_q" in qp_or_w):
+        w = dequantize_weight_np(qp_or_w)
+    else:
+        w = np.asarray(qp_or_w, np.float32)
+    w = np.asarray(w, np.float32)
+    sw = np.abs(w).max(axis=0) / 127.0
+    sw = np.where(sw == 0, 1.0, sw).astype(np.float32)
+    w8 = np.clip(np.rint(w / sw), -127, 127).astype(np.int8)
+    return {"w8": w8, "sw": sw}
+
+
+def quantize_act_int8(x):
+    """Per-row dynamic activation quant: (..., K) -> (int8 same shape,
+    f32 scale (..., 1))."""
+    xf = x.astype(jnp.float32)
+    sx = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+    sx = jnp.where(sx == 0, 1.0, sx)
+    x8 = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    return x8, sx
+
+
+def _int8_dot(p, x8, sx, out_dtype):
+    acc = jax.lax.dot_general(
+        x8, p["w8"], (((x8.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return (acc.astype(jnp.float32) * (sx * p["sw"])).astype(out_dtype)
+
+
+def int8_matmul(p, x):
+    """x (..., K) bf16 @ {"w8" (K, N), "sw" (N,)} -> (..., N) in x.dtype.
+
+    Activations quantize dynamically per ROW (absmax/127) so the int8 MXU
+    dot needs no unpack and no barrier; the result rescales by sx * sw. Pure
+    XLA — stable inside scan/while (unlike the XLA int4-dequant path, which
+    crashes the TPU worker there)."""
+    x8, sx = quantize_act_int8(x)
+    return _int8_dot(p, x8, sx, x.dtype)
+
+
+def linear_many(ps, x):
+    """Apply several linears that SHARE the input x (qkv; gate/up).
+
+    When all are W8A8 the activation quantizes ONCE — in the T=1 decode
+    chain each extra quantize is a serialized VPU dependency (~tens of us),
+    so sharing it trims per-layer latency. Falls back to per-leaf
+    linear_any otherwise."""
+    if all(isinstance(p, dict) and "w8" in p for p in ps):
+        x8, sx = quantize_act_int8(x)
+        outs = []
+        for p in ps:
+            out = _int8_dot(p, x8, sx, x.dtype)
+            if "b" in p:
+                out = out + p["b"].astype(x.dtype)
+            outs.append(out)
+        return tuple(outs)
+    return tuple(linear_any(p, x) for p in ps)
 
 
 # ---------------------------------------------------------------------------
@@ -274,6 +356,11 @@ def linear_any(p, x):
     sees the per-layer slice, so shapes here are always 2D.
     """
     if is_quantized(p):
+        if "w8" in p:
+            out = int8_matmul(p, x)
+            if "b" in p:
+                out = out + p["b"].astype(x.dtype)
+            return out
         if _use_pallas_int4(p, x):
             out = int4_matmul(p, x).astype(x.dtype)
             if "b" in p:

@@ -265,3 +265,47 @@ def fuse_lora_file(params: dict, path, scale: float = 1.0,
 
     tensors = load_safetensors(path)
     return fuse_lora(params, parse_lora(tensors), scale, num_layers)
+
+
+@dataclasses.dataclass(frozen=True)
+class LoRASchedulerOverrides:
+    """Scheduler overrides for specialized (Turbo-style) LoRAs
+    (reference: LoRAConfig.swift:43-62 — declared there but never populated;
+    here `apply_to` actually wires them into a GenerationConfig)."""
+
+    num_steps: Optional[int] = None
+    guidance_scale: Optional[float] = None
+    sigmas: Optional[Tuple[float, ...]] = None
+
+    def apply_to(self, config):
+        """GenerationConfig -> GenerationConfig with overrides applied."""
+        updates = {}
+        if self.num_steps is not None:
+            updates["num_steps"] = self.num_steps
+        if self.guidance_scale is not None:
+            updates["cfg_scale"] = self.guidance_scale
+        if self.sigmas is not None:
+            updates["sigmas_override"] = tuple(float(s) for s in self.sigmas)
+        return dataclasses.replace(config, **updates) if updates else config
+
+
+@dataclasses.dataclass(frozen=True)
+class LoRAConfig:
+    """One LoRA to load (reference: LoRAConfig.swift:9-38)."""
+
+    weights_path: str
+    scale: float = 1.0
+    fused: bool = True   # only fused inference exists (like the reference)
+    name: Optional[str] = None
+    scheduler_overrides: Optional[LoRASchedulerOverrides] = None
+
+
+def fuse_lora_configs(params: dict, configs, num_layers=None) -> dict:
+    """Fuse a sequence of LoRAConfig (multi-LoRA, reference:
+    LoRAAdapter.swift:186-259) in order."""
+    for cfg in configs:
+        log.info("Fusing LoRA %s (scale %.2f)", cfg.name or cfg.weights_path,
+                 cfg.scale)
+        params = fuse_lora_file(params, cfg.weights_path, cfg.scale,
+                                num_layers)
+    return params

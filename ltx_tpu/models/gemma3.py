@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from ltx_tpu.kernels.quantization import linear_any
+from ltx_tpu.kernels.quantization import linear_any, linear_many
 from ltx_tpu.ops.attention import sdpa
 
 
@@ -194,9 +194,7 @@ def _attention(p, x, bias, cos, sin, cfg: Gemma3Config, kv_cache=None,
     b, t, _ = x.shape
     nh, nkv, hd = cfg.attention_heads, cfg.kv_heads, cfg.head_dim
 
-    q = linear_any(p["q_proj"], x)
-    k = linear_any(p["k_proj"], x)
-    v = linear_any(p["v_proj"], x)
+    q, k, v = linear_many((p["q_proj"], p["k_proj"], p["v_proj"]), x)
 
     q = q.reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
     k = k.reshape(b, t, nkv, hd).transpose(0, 2, 1, 3)
@@ -225,8 +223,7 @@ def _attention(p, x, bias, cos, sin, cfg: Gemma3Config, kv_cache=None,
 
 def _mlp(p, x):
     """down(gelu_tanh(gate) * up) (reference: Gemma3Model.swift:115-130)."""
-    gate = linear_any(p["gate_proj"], x)
-    up = linear_any(p["up_proj"], x)
+    gate, up = linear_many((p["gate_proj"], p["up_proj"]), x)
     h = jax.nn.gelu(gate, approximate=True) * up
     return linear_any(p["down_proj"], h)
 
@@ -545,6 +542,14 @@ def _embed_lookup(params, ids):
 
 
 def _lm_head(params, h):
-    """Tied embeddings as lm_head (reference: Gemma3Model.swift:434)."""
+    """Tied embeddings as lm_head (reference: Gemma3Model.swift:434).
+
+    With an int8 "lm_head8" leaf (mode="w8a8" loads), the 2 GB bf16
+    embedding matmul (2.4 ms of pure HBM traffic per decode step) runs as a
+    1 GB int8 MXU dot instead."""
+    if "lm_head8" in params:
+        from ltx_tpu.kernels.quantization import int8_matmul
+
+        return int8_matmul(params["lm_head8"], h).astype(jnp.float32)
     return jnp.dot(h, params["embed_tokens"]["w"].T,
                    preferred_element_type=jnp.float32)

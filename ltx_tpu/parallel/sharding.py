@@ -37,7 +37,7 @@ COLUMN_PARALLEL = frozenset({
 ROW_PARALLEL = frozenset({
     "to_out", "project_out", "o_proj", "down_proj",
 })
-_WEIGHT_KEYS = ("w", "w_q", "w_q4", "scale", "bias")
+_WEIGHT_KEYS = ("w", "w_q", "w_q4", "w8", "scale", "bias")
 
 
 def make_mesh(data: int = 1, model: Optional[int] = None,

@@ -546,10 +546,7 @@ class LTXPipeline:
         )
         key = jax.random.key(seed)
         key, nkey = jax.random.split(key)
-        sigmas = schedule.get_sigmas(
-            config.num_steps, distilled=self.is_distilled,
-            token_count=shape.token_count,
-        )
+        sigmas = self._sigmas(config, shape)
         if initial_noise is not None:
             latent = jnp.asarray(initial_noise, jnp.float32) * float(sigmas[0])
         else:
@@ -620,6 +617,20 @@ class LTXPipeline:
         on_step.t0 = time.time()
         return run_denoise_loop(step_fn, latent, sigmas, key=key,
                                 on_step=on_step)
+
+    def _sigmas(self, config: GenerationConfig, shape) -> np.ndarray:
+        """Sigma schedule for a single-stage run; honors a Turbo-LoRA
+        sigma override (config.sigmas_override,
+        lora.fuse.LoRASchedulerOverrides) with a terminal 0.0 appended."""
+        if config.sigmas_override is not None:
+            s = np.asarray(config.sigmas_override, np.float32)
+            if s[-1] != 0.0:
+                s = np.concatenate([s, [0.0]]).astype(np.float32)
+            return s
+        return schedule.get_sigmas(
+            config.num_steps, distilled=self.is_distilled,
+            token_count=shape.token_count,
+        )
 
     def _conditioning_mask(self, shape) -> np.ndarray:
         tokens_per_frame = shape.height * shape.width
@@ -831,9 +842,7 @@ class LTXPipeline:
         duration = config.num_frames / config.fps
         audio_frames = dit_av.audio_frame_count(duration)
 
-        sigmas = schedule.get_sigmas(
-            config.num_steps, distilled=self.is_distilled,
-            token_count=shape.token_count)
+        sigmas = self._sigmas(config, shape)
 
         key, vkey, akey, dkey = jax.random.split(key, 4)
         video_latent = generate_noise(vkey, shape) * float(sigmas[0])

@@ -59,6 +59,7 @@ def load_pipeline(
     distilled_lora: bool = False,
     include_audio: bool = False,
     include_upscaler: bool = False,
+    gemma_quant: str = "w8a8",
 ) -> LTXPipeline:
     """Download (if needed), load and assemble all components."""
     tcfg = TransformerConfig()
@@ -146,7 +147,11 @@ def load_pipeline(
     with open(gcfg_path) as f:
         gcfg = gemma3.Gemma3Config.from_hf_dict(json.load(f))
     gemma_tensors = load_safetensors_dir(gemma_dir)
-    gemma_params = keymaps.load_gemma_params(gemma_tensors, gcfg.hidden_layers)
+    # w8a8 (per-channel int8, MXU dot) is the default: ~6x faster decode
+    # than the fused-int4 path for prompt enhancement, ~11.5 GB resident
+    # during the text phases (freed before the DiT under phase staging)
+    gemma_params = keymaps.load_gemma_params(
+        gemma_tensors, gcfg.hidden_layers, mode=gemma_quant)
 
     # SigLIP vision tower for I2V prompt enhancement (present in the VLM
     # export the reference uses; None for text-only checkpoints)

@@ -675,7 +675,7 @@ def _repack_mlx_4bit(tensors: Tensors, key: str, bits: int = 4):
 def load_gemma_params(tensors: Tensors, num_layers: int,
                       quant_group_size: int = 64, quant_bits: int = 4,
                       keep_quantized: bool = True,
-                      strict: bool = True) -> dict:
+                      strict: bool = True, mode: str = "int4") -> dict:
     """HF/MLX Gemma-3 weights -> models/gemma3.py stacked pytree.
 
     Sanitize rules (reference: Gemma3Model.swift:347-370): strip
@@ -685,7 +685,16 @@ def load_gemma_params(tensors: Tensors, num_layers: int,
     model must stay quantized at runtime (the reference likewise runs it
     4-bit, LTXPipeline.swift:246). Embeddings dequantize to bf16 (gather
     needs a dense table; ~2 GB).
+
+    mode="w8a8": linears requantize to per-output-channel int8 (W8A8) for
+    the fast MXU decode path — ~6x faster per decode layer than the fused
+    int4 kernel (docs/BENCH_NOTES.md §4) at 2x the HBM (~11.5 GB). Numerics:
+    the int4-QAT values plus at most one int8 step of per-channel noise.
+    mode="bf16" dequantizes fully (multi-chip TP only). keep_quantized=False
+    is the legacy spelling of mode="bf16".
     """
+    if not keep_quantized and mode == "int4":
+        mode = "bf16"
     src: Tensors = {}
     has_lm_prefix = any(k.startswith("language_model.") for k in tensors)
     for k, v in tensors.items():
@@ -699,12 +708,16 @@ def load_gemma_params(tensors: Tensors, num_layers: int,
 
     def dense(prefix: str):
         if f"{prefix}.scales" in src:
-            if keep_quantized:
+            if mode == "int4":
                 return _repack_mlx_4bit(src, prefix, quant_bits)
             w = _maybe_dequant_mlx_4bit(src, prefix, quant_group_size,
                                         quant_bits)
         else:
             w = src.pop(f"{prefix}.weight")
+        if mode == "w8a8":
+            from ltx_tpu.kernels.quantization import requant_int8_channel_np
+
+            return requant_int8_channel_np(_t(w))
         return {"w": _bf16(_t(w))}
 
     def norm(prefix: str):
@@ -741,6 +754,13 @@ def load_gemma_params(tensors: Tensors, num_layers: int,
         "layers": jax.tree.map(lambda *xs: np.stack(xs), *layers),
         "norm": norm("model.norm"),
     }
+    if mode == "w8a8":
+        # int8 tied lm_head (models/gemma3.py::_lm_head): the per-decode-step
+        # full-vocab matmul halves its HBM traffic
+        from ltx_tpu.kernels.quantization import requant_int8_channel_np
+
+        params["lm_head8"] = requant_int8_channel_np(
+            np.ascontiguousarray(np.asarray(emb, np.float32).T))
     _check_consumed(src, "Gemma", strict)
     return params
 

@@ -30,14 +30,21 @@ def sync(x):
     return float(jnp.asarray(x).sum())  # readback = only reliable axon sync
 
 
-def build_gemma_int4(cfg):
-    def qlin(layers, i, o):
+def build_gemma_int4(cfg, mode="int4"):
+    def qlin4(layers, i, o):
         host = np.empty((layers, i // 2, o), np.uint8)
         host[:] = 137
         return {"w_q4": jnp.asarray(host),
                 "scale": jnp.full((layers, i // 64, o), 2e-3, jnp.float32),
                 "bias": jnp.full((layers, i // 64, o), -0.25, jnp.float32)}
 
+    def qlin8(layers, i, o):
+        host = np.empty((layers, i, o), np.int8)
+        host[:] = 53
+        return {"w8": jnp.asarray(host),
+                "sw": jnp.full((layers, o), 1e-3, jnp.float32)}
+
+    qlin = qlin4 if mode == "int4" else qlin8
     nl, d, hd = cfg.hidden_layers, cfg.hidden_size, cfg.head_dim
     layers = {
         "q_proj": qlin(nl, d, cfg.attention_heads * hd),
@@ -53,11 +60,18 @@ def build_gemma_int4(cfg):
     for nrm in ("input_layernorm", "post_attention_layernorm",
                 "pre_feedforward_layernorm", "post_feedforward_layernorm"):
         layers[nrm] = {"w": jnp.zeros((nl, d), jnp.bfloat16)}
-    return {
+    params = {
         "embed_tokens": {"w": jnp.zeros((cfg.vocab_size, d), jnp.bfloat16)},
         "layers": layers,
         "norm": {"w": jnp.zeros((d,), jnp.bfloat16)},
     }
+    if mode == "w8a8":
+        h8 = np.empty((d, cfg.vocab_size), np.int8)
+        h8[:] = 53
+        params["lm_head8"] = {"w8": jnp.asarray(h8),
+                              "sw": jnp.full((cfg.vocab_size,), 1e-3,
+                                             jnp.float32)}
+    return params
 
 
 def main():

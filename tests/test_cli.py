@@ -100,6 +100,13 @@ def test_memory_preset_flag():
     assert args.memory == "aggressive"
 
 
+def test_gemma_quant_flag():
+    args = parse(["generate", "x"])
+    assert args.gemma_quant == "w8a8"   # fast-decode default
+    args = parse(["generate", "x", "--gemma-quant", "int4"])
+    assert args.gemma_quant == "int4"
+
+
 def test_memory_auto_applied_when_over_budget():
     """With no explicit --memory, a config whose HBM estimate exceeds one
     chip silently gets a staged preset (reference auto-selects by RAM,

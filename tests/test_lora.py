@@ -191,3 +191,32 @@ def test_fuse_host_quantized_matches_device():
         host_q["blocks"]["ff"]["project_in"]["w_q4"][1])
     assert fused_host["blocks"]["ff"]["project_out"]["w_q4"] is \
         host_q["blocks"]["ff"]["project_out"]["w_q4"]
+
+
+def test_lora_config_scheduler_overrides():
+    """LoRAConfig + scheduler overrides (reference declares these,
+    LoRAConfig.swift:43-62; here apply_to actually wires them in) — a
+    Turbo-style sigma table drives the denoise loop."""
+    import dataclasses
+
+    import numpy as np
+
+    from ltx_tpu.core.config import GenerationConfig
+    from ltx_tpu.lora.fuse import LoRAConfig, LoRASchedulerOverrides
+    from ltx_tpu.pipeline.generate import LTXPipeline
+
+    ov = LoRASchedulerOverrides(num_steps=4, guidance_scale=1.0,
+                                sigmas=(1.0, 0.6, 0.3))
+    lc = LoRAConfig(weights_path="/tmp/x.safetensors", scale=0.8,
+                    name="turbo", scheduler_overrides=ov)
+    cfg = ov.apply_to(GenerationConfig(width=64, height=64, num_frames=9,
+                                       num_steps=40, cfg_scale=4.0))
+    assert cfg.num_steps == 4 and cfg.cfg_scale == 1.0
+    assert cfg.sigmas_override == (1.0, 0.6, 0.3)
+    assert lc.fused and lc.scale == 0.8
+
+    pipe = LTXPipeline.random_tiny(seed=0)
+    r = pipe.generate_video("a cat", dataclasses.replace(cfg, seed=1))
+    # 3 sigma values + appended terminal 0.0 -> 3 Euler steps
+    assert len(r.timings.denoise_steps) == 3
+    assert np.isfinite(np.asarray(r.frames)).all()
