@@ -77,8 +77,12 @@ def _linear_leaf_specs(name: str, leaf: dict):
             out[k] = _shard_axis(v, 0)
     else:  # row parallel
         for k, v in leaf.items():
-            if k == "b":
-                out[k] = P()  # bias adds after the all-reduce
+            if k in ("b", "sw"):
+                # bias adds after the all-reduce; the W8A8 per-output-
+                # channel scale follows the (unsharded) output dim — the
+                # second-to-last rule would wrongly shard its leading
+                # LAYER axis on stacked (L, N) leaves
+                out[k] = P()
             else:
                 # input dim: second-to-last axis (w, w_q, w_q4 packed rows,
                 # per-group scale/bias all follow the input dim)

@@ -161,6 +161,43 @@ def test_gemma_tp_matches_single_device():
                                atol=2e-2, rtol=2e-2)
 
 
+def test_gemma_w8a8_tp_matches_single_device():
+    """W8A8 leaves ({"w8","sw"}) shard over the model axis like any other
+    quantized linear: w8 column/row by leaf name, sw with the output dim."""
+    from ltx_tpu.kernels.quantization import requant_int8_channel_np
+    from ltx_tpu.models import gemma3
+
+    gcfg = gemma3.Gemma3Config().tiny()
+    params = gemma3.init_params(jax.random.key(7), gcfg, jnp.float32)
+    ql = dict(params["layers"])
+    for nm in ("q_proj", "k_proj", "v_proj", "o_proj", "gate_proj",
+               "up_proj", "down_proj"):
+        w = np.asarray(params["layers"][nm]["w"], np.float32)
+        per = [requant_int8_channel_np(w[i])
+               for i in range(gcfg.hidden_layers)]
+        ql[nm] = jax.tree.map(
+            lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *per)
+    p8 = {**params, "layers": ql}
+
+    specs = transformer_param_specs(p8)
+    # column-parallel: w8 and sw shard on the output (last) axis
+    assert specs["layers"]["q_proj"]["w8"][-1] == "model"
+    assert specs["layers"]["q_proj"]["sw"][-1] == "model"
+    # row-parallel: w8 shards the input axis, sw replicates
+    assert specs["layers"]["o_proj"]["w8"][-2] == "model"
+    assert len([a for a in specs["layers"]["o_proj"]["sw"] if a]) == 0
+
+    ids = jnp.asarray(np.arange(1, 9)[None], jnp.int32)
+    mask = jnp.ones((1, 8), jnp.int32)
+    base = gemma3.forward_hidden_states(p8, ids, mask, gcfg)
+    mesh = make_mesh(data=1, model=2)
+    sharded = shard_transformer_params(p8, mesh)
+    out = gemma3.forward_hidden_states(sharded, ids, mask, gcfg)
+    np.testing.assert_allclose(np.asarray(base, np.float32),
+                               np.asarray(out, np.float32),
+                               atol=2e-2, rtol=2e-2)
+
+
 @needs_mesh
 def test_pipeline_shard_end_to_end():
     """pipe.shard(mesh) then a full tiny generation."""
