@@ -50,8 +50,12 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--stg-scale", type=float, default=0.0)
     g.add_argument("--stg-blocks", default="29",
                    help="Comma-separated block indices")
-    g.add_argument("--transformer-quant", choices=["bf16", "qint8", "int4"],
-                   default="bf16")
+    g.add_argument("--transformer-quant",
+                   choices=["bf16", "qint8", "int4", "w8a8"],
+                   default="bf16",
+                   help="w8a8 = per-channel int8 weights + int8 MXU "
+                        "activations (~1.4x faster denoise steps, 1 B/param;"
+                        " activation quant is a numerics change — opt-in)")
     g.add_argument("--gemma-quant", choices=["int4", "w8a8", "bf16"],
                    default="w8a8",
                    help="Gemma runtime format: w8a8 = per-channel int8 "
@@ -154,7 +158,9 @@ def _resolve_memory(args, config):
 
     shape = VideoLatentShape.from_pixels(1, config.num_frames, config.height,
                                          config.width)
-    bits = {"bf16": None, "qint8": 8, "int4": 4}[args.transformer_quant]
+    from ltx_tpu.core.config import QuantizationConfig
+
+    bits = QuantizationConfig(mode=args.transformer_quant).bits
     rows = 1 + (config.cfg_scale > 1.0) + (config.stg_scale > 0)
     est = estimate_memory_gb(shape, rows, bits,
                              vae_tile_size=memory.vae_tile_size,

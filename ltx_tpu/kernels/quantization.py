@@ -427,7 +427,8 @@ def _quantize_weight_np(w, bits: int, group_size: int):
     return out
 
 
-def quantize_transformer_params(params, bits: int, group_size: int = 64):
+def quantize_transformer_params(params, bits: int, group_size: int = 64,
+                                w8a8: bool = False):
     """Quantize every large linear under `params["blocks"]` (any transformer
     pytree: video DiT, dual AV transformer).
 
@@ -436,11 +437,26 @@ def quantize_transformer_params(params, bits: int, group_size: int = 64):
     small layers stay in bf16 (the reference likewise only quantizes Linear
     modules above a size threshold). Host (numpy) inputs quantize layer-by-
     layer on the host and stay there — see _quantize_weight_np.
+
+    w8a8=True emits per-channel int8 leaves instead ({"w8","sw"}): the int8
+    MXU dot runs the 6144-token denoise matmuls at 2.28 ms vs 4.6 ms for
+    bf16/int4 (measured; docs/BENCH_NOTES.md §5) at 1 byte/weight and
+    dynamically int8-quantized activations.
     """
     import numpy as np
 
     def quant_stacked(p):
-        if isinstance(p["w"], np.ndarray):
+        if w8a8:
+            if isinstance(p["w"], np.ndarray):
+                per_layer = [requant_int8_channel_np(w) for w in p["w"]]
+                out = {k: np.stack([pl[k] for pl in per_layer])
+                       for k in per_layer[0]}
+            else:
+                per_layer = [requant_int8_channel_np(np.asarray(w))
+                             for w in np.asarray(p["w"])]
+                out = {k: jnp.stack([jnp.asarray(pl[k]) for pl in per_layer])
+                       for k in per_layer[0]}
+        elif isinstance(p["w"], np.ndarray):
             per_layer = [_quantize_weight_np(w, bits, group_size)
                          for w in p["w"]]
             out = {k: np.stack([pl[k] for pl in per_layer])

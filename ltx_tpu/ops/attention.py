@@ -56,6 +56,37 @@ def _xla_sdpa(q, k, v, bias=None, scale=None):
     return out.astype(q.dtype)
 
 
+def _gqa_sdpa(q, k, v, bias=None, scale=None):
+    """Grouped-query attention WITHOUT materializing repeated K/V.
+
+    q: (B, H, Tq, D); k, v: (B, Hkv, Tk, D), H = G * Hkv. jnp.repeat of the
+    KV tensors costs two (B, H, Tk, D) copies per call — ~25 MB/layer in the
+    Gemma decode loop — where a grouped einsum reads the (B, Hkv, Tk, D)
+    cache directly. bias broadcasts over heads ((B, 1, Tq, Tk) or
+    (B, 1, 1, Tk))."""
+    b, h, tq, d = q.shape
+    hkv = k.shape[1]
+    g = h // hkv
+    if scale is None:
+        scale = 1.0 / (d**0.5)
+    qg = q.reshape(b, hkv, g, tq, d)
+    logits = jnp.einsum(
+        "bkgqd,bksd->bkgqs", qg, k, preferred_element_type=jnp.float32
+    ) * jnp.float32(scale)
+    if bias is not None:
+        if bias.shape[1] not in (1, h):
+            raise ValueError(f"bias heads {bias.shape[1]} != 1 or {h}")
+        bias5 = (bias.reshape(b, hkv, g, *bias.shape[2:])
+                 if bias.shape[1] == h else bias[:, :, None])
+        logits = logits + bias5.astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum(
+        "bkgqs,bksd->bkgqd", probs.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(b, h, tq, d).astype(q.dtype)
+
+
 def sdpa(q, k, v, bias=None, scale: Optional[float] = None, impl: str = "auto"):
     """Scaled dot-product attention.
 
@@ -65,6 +96,10 @@ def sdpa(q, k, v, bias=None, scale: Optional[float] = None, impl: str = "auto"):
     already additive.
     """
     if k.shape[1] != q.shape[1]:
+        # GQA: the XLA path computes grouped attention directly from the
+        # (B, Hkv, Tk, D) cache; pallas/ring paths still expand KV.
+        if impl in ("xla", "auto"):
+            return _gqa_sdpa(q, k, v, bias=bias, scale=scale)
         rep = q.shape[1] // k.shape[1]
         k = jnp.repeat(k, rep, axis=1)
         v = jnp.repeat(v, rep, axis=1)

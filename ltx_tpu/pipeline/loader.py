@@ -114,7 +114,8 @@ def load_pipeline(
         log.info("Quantizing transformer to int%d (group %d)",
                  quantization.bits, quantization.group_size)
         dit_params = quantize_dit_params(
-            dit_params, quantization.bits, quantization.group_size
+            dit_params, quantization.bits, quantization.group_size,
+            w8a8=quantization.mode == "w8a8",
         )
 
     # --- VAE decoder (+ config flag)
@@ -201,7 +202,8 @@ def load_pipeline(
             log.info("Quantizing AV transformer to int%d (group %d)",
                      quantization.bits, quantization.group_size)
             av_params = quantize_transformer_params(
-                av_params, quantization.bits, quantization.group_size)
+                av_params, quantization.bits, quantization.group_size,
+                w8a8=quantization.mode == "w8a8")
         extras["av_transformer_params"] = av_params
 
     return LTXPipeline(

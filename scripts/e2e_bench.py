@@ -30,18 +30,30 @@ def sync(x):
     return float(jnp.asarray(x).sum())  # readback = only reliable axon sync
 
 
+def _tile_layers(host_2d, layers):
+    """Upload ONE layer's weight and tile on DEVICE: tunnel uploads run
+    10-30 MB/s (and occasionally wedge), so shipping a 6-13 GB stacked
+    fixture host-side is the benchmark's biggest wall-clock risk; a
+    (1/layers) upload + on-device broadcast is timing-identical (the scan
+    still streams every layer slice from HBM)."""
+    one = jnp.asarray(host_2d)
+    return jax.jit(
+        lambda a: jnp.tile(a[None], (layers,) + (1,) * a.ndim)
+    )(one)
+
+
 def build_gemma_int4(cfg, mode="int4"):
     def qlin4(layers, i, o):
-        host = np.empty((layers, i // 2, o), np.uint8)
+        host = np.empty((i // 2, o), np.uint8)
         host[:] = 137
-        return {"w_q4": jnp.asarray(host),
+        return {"w_q4": _tile_layers(host, layers),
                 "scale": jnp.full((layers, i // 64, o), 2e-3, jnp.float32),
                 "bias": jnp.full((layers, i // 64, o), -0.25, jnp.float32)}
 
     def qlin8(layers, i, o):
-        host = np.empty((layers, i, o), np.int8)
+        host = np.empty((i, o), np.int8)
         host[:] = 53
-        return {"w8": jnp.asarray(host),
+        return {"w8": _tile_layers(host, layers),
                 "sw": jnp.full((layers, o), 1e-3, jnp.float32)}
 
     qlin = qlin4 if mode == "int4" else qlin8

@@ -115,3 +115,41 @@ def test_int4_matmul_interpret_exact_roundtrip():
     x = jnp.eye(k, dtype=jnp.bfloat16)[:128]  # selector rows
     out = np.asarray(int4_matmul(qp, x, interpret=True), np.float32)
     np.testing.assert_array_equal(out, q8[:128].astype(np.float32))
+
+
+def test_gqa_sdpa_matches_repeated_kv():
+    """Grouped-query attention (no KV repeat) == repeat-then-SDPA, with
+    1-head and full (B,1,Tq,Tk) biases."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ltx_tpu.ops.attention import _gqa_sdpa, _xla_sdpa, sdpa
+
+    b, h, hkv, tq, tk, d = 2, 8, 2, 16, 48, 32
+    ks = jax.random.split(jax.random.key(0), 3)
+    q = jax.random.normal(ks[0], (b, h, tq, d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, hkv, tk, d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, hkv, tk, d), jnp.float32)
+    bias = jnp.where(jnp.arange(tk)[None, None, None] < 40, 0.0, -1e9)
+
+    kr = jnp.repeat(k, h // hkv, axis=1)
+    vr = jnp.repeat(v, h // hkv, axis=1)
+    ref = _xla_sdpa(q, kr, vr, bias=bias)
+    out = _gqa_sdpa(q, k, v, bias=bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+    # full (B, 1, Tq, Tk) causal-style bias
+    causal = jnp.where(
+        jnp.arange(tq)[:, None] * 3 >= jnp.arange(tk)[None], 0.0, -1e9
+    )[None, None]
+    ref2 = _xla_sdpa(q, kr, vr, bias=causal)
+    out2 = _gqa_sdpa(q, k, v, bias=causal)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2),
+                               atol=2e-5, rtol=1e-4)
+
+    # dispatch: sdpa() routes GQA through the grouped path on xla/auto
+    out3 = sdpa(q, k, v, bias=causal, impl="auto")
+    np.testing.assert_allclose(np.asarray(out3), np.asarray(ref2),
+                               atol=2e-5, rtol=1e-4)

@@ -79,3 +79,48 @@ def test_quantized_dit_forward():
     diff = np.abs(np.asarray(out) - np.asarray(base)).mean()
     assert np.isfinite(np.asarray(out)).all()
     assert diff < 0.1, f"quantized output diverged: {diff}"
+
+def test_transformer_w8a8_walker_and_forward():
+    """w8a8=True emits per-channel int8 leaves for the big block linears and
+    the quantized DiT forward tracks bf16."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ltx_tpu.core.config import TransformerConfig
+    from ltx_tpu.kernels.quantization import quantize_transformer_params
+    from ltx_tpu.models import dit
+    from ltx_tpu.ops import rope as rope_ops
+
+    # dims large enough to pass the _MIN_QUANT_SIZE threshold (inner 256)
+    cfg = dataclasses.replace(TransformerConfig().tiny(), in_channels=32,
+                              out_channels=32, num_heads=4, head_dim=64,
+                              cross_attention_dim=256)
+    params = dit.init_params(jax.random.key(0), cfg, jnp.float32)
+    q = quantize_transformer_params(params, bits=8, w8a8=True)
+    blk = q["blocks"]
+    assert blk["attn1"]["to_q"]["w8"].dtype == jnp.int8
+    assert blk["attn1"]["to_q"]["w8"].shape == (
+        cfg.num_layers, cfg.inner_dim, cfg.inner_dim)
+    assert blk["ff"]["project_in"]["sw"].shape == (
+        cfg.num_layers, cfg.ffn_dim)
+    # small leaves stay bf16 ("w")
+    assert "w" in q["patchify_proj"]
+
+    cos, sin = rope_ops.video_rope(2, 2, 2, cfg.inner_dim, cfg.num_heads)
+    pe = (jnp.asarray(cos), jnp.asarray(sin))
+    x = jax.random.normal(jax.random.key(1), (1, 8, cfg.in_channels),
+                          jnp.float32) * 0.5
+    ctx = jax.random.normal(jax.random.key(2),
+                            (1, 4, cfg.caption_channels), jnp.float32) * 0.5
+    ts = jnp.full((1,), 0.5)
+    base = dit.dit_forward(params, x.astype(jnp.bfloat16),
+                           ctx.astype(jnp.bfloat16), ts, pe, cfg)
+    out = dit.dit_forward(q, x.astype(jnp.bfloat16),
+                          ctx.astype(jnp.bfloat16), ts, pe, cfg)
+    corr = np.corrcoef(np.asarray(base, np.float32).ravel(),
+                       np.asarray(out, np.float32).ravel())[0, 1]
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+    assert corr > 0.99, f"w8a8 DiT diverged: corr={corr}"
