@@ -544,12 +544,7 @@ def _embed_lookup(params, ids):
 def _lm_head(params, h):
     """Tied embeddings as lm_head (reference: Gemma3Model.swift:434).
 
-    With an int8 "lm_head8" leaf (mode="w8a8" loads), the 2 GB bf16
-    embedding matmul (2.4 ms of pure HBM traffic per decode step) runs as a
-    1 GB int8 MXU dot instead."""
-    if "lm_head8" in params:
-        from ltx_tpu.kernels.quantization import int8_matmul
-
-        return int8_matmul(params["lm_head8"], h).astype(jnp.float32)
+    Stays bf16 even under w8a8: an int8 tied head was measured NEUTRAL on
+    decode rate while costing +1 GB HBM (see weights/keymaps.py note)."""
     return jnp.dot(h, params["embed_tokens"]["w"].T,
                    preferred_element_type=jnp.float32)

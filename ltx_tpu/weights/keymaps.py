@@ -754,13 +754,10 @@ def load_gemma_params(tensors: Tensors, num_layers: int,
         "layers": jax.tree.map(lambda *xs: np.stack(xs), *layers),
         "norm": norm("model.norm"),
     }
-    if mode == "w8a8":
-        # int8 tied lm_head (models/gemma3.py::_lm_head): the per-decode-step
-        # full-vocab matmul halves its HBM traffic
-        from ltx_tpu.kernels.quantization import requant_int8_channel_np
-
-        params["lm_head8"] = requant_int8_channel_np(
-            np.ascontiguousarray(np.asarray(emb, np.float32).T))
+    # NOTE an int8 tied lm_head ("lm_head8", models/gemma3.py::_lm_head)
+    # was measured NEUTRAL on decode rate while costing 1 GB HBM on top of
+    # w8a8's ~12.8 GB (which OOM'd the text phases at 15.5 GB/chip) — so
+    # w8a8 keeps the bf16 embedding matmul.
     _check_consumed(src, "Gemma", strict)
     return params
 

@@ -77,12 +77,6 @@ def build_gemma_int4(cfg, mode="int4"):
         "layers": layers,
         "norm": {"w": jnp.zeros((d,), jnp.bfloat16)},
     }
-    if mode == "w8a8":
-        h8 = np.empty((d, cfg.vocab_size), np.int8)
-        h8[:] = 53
-        params["lm_head8"] = {"w8": jnp.asarray(h8),
-                              "sw": jnp.full((cfg.vocab_size,), 1e-3,
-                                             jnp.float32)}
     return params
 
 

@@ -133,8 +133,7 @@ def test_gemma_forward_w8a8():
     pb = keymaps.load_gemma_params(dict(t), cfg.hidden_layers, mode="bf16")
     assert p8["layers"]["q_proj"]["w8"].dtype == np.int8
     assert "w" in p8["embed_tokens"]  # embeddings stay dense
-    # int8 tied lm_head derived from the embedding table
-    assert p8["lm_head8"]["w8"].shape == (cfg.hidden_size, cfg.vocab_size)
+    assert "lm_head8" not in p8  # measured neutral; not worth 1 GB HBM
 
     ids = jnp.asarray([[3, 5, 7, 9]])
     mask = jnp.ones((1, 4), jnp.int32)
