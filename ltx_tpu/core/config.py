@@ -124,6 +124,11 @@ class GenerationConfig:
     stg_blocks: Tuple[int, ...] = (29,)
     two_stage: bool = False
     enhance_prompt: bool = False
+    # prompt-lookup speculative decoding for enhancement (drafts per
+    # verify step; 0 = sequential). Distribution-preserving — see
+    # models/gemma3.py module comment; TPU-only addition (no reference
+    # analog: the Swift decode loop is eager per-token).
+    enhancement_spec_k: int = 8
     image_path: Optional[str] = None
     image_cond_noise_scale: float = 0.0
     fps: float = 24.0

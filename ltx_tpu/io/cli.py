@@ -32,8 +32,11 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("-g", "--guidance", type=float, default=None,
                    help="CFG scale (1.0 = no CFG)")
     g.add_argument("--seed", type=int, default=None)
-    g.add_argument("-m", "--model", choices=["distilled", "dev"],
-                   default="distilled")
+    g.add_argument("-m", "--model", choices=["distilled", "dev", "auto"],
+                   default="distilled",
+                   help="auto = pick by hardware (weights/registry.py: dev "
+                        "bf16 when the mesh's pooled HBM fits 19B bf16, "
+                        "else distilled int4)")
     g.add_argument("--lora", default=None, help="Path to LoRA safetensors")
     g.add_argument("--lora-scale", type=float, default=1.0)
     g.add_argument("--hf-token", default=None)
@@ -64,6 +67,10 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--two-stage", action="store_true")
     g.add_argument("--distilled-lora", action="store_true")
     g.add_argument("--enhance-prompt", action="store_true")
+    g.add_argument("--spec-k", type=int, default=8, metavar="K",
+                   help="Prompt-lookup speculative decoding for enhancement"
+                        " (K drafts per verify step, 0 = sequential; exact:"
+                        " the sampler distribution is unchanged)")
     g.add_argument("--audio", action="store_true")
     g.add_argument("--audio-gain", type=float, default=1.0)
     g.add_argument("--fps", type=float, default=24.0)
@@ -96,9 +103,20 @@ def build_parser() -> argparse.ArgumentParser:
 
 def _effective_model(args):
     """--distilled-lora forces the dev model (the LoRA fuses into dev
-    weights; reference: LTXVideoCLI.swift:186-187)."""
+    weights; reference: LTXVideoCLI.swift:186-187). --model auto applies
+    the registry's hardware recommendation (reference:
+    LTXModelRegistry.recommendedModel picks by system RAM)."""
     from ltx_tpu.core.config import LTXModel
 
+    if args.model == "auto" and not args.distilled_lora:
+        from ltx_tpu.weights.registry import recommended_model
+
+        model, quant = recommended_model()
+        if quant is not None and args.transformer_quant == "bf16":
+            args.transformer_quant = quant
+        log.info("--model auto: %s (transformer_quant=%s)",
+                 model.value, args.transformer_quant)
+        return model
     return LTXModel("dev" if args.distilled_lora else args.model)
 
 
@@ -131,6 +149,7 @@ def _generation_config(args):
         stg_blocks=stg_blocks,
         two_stage=args.two_stage,
         enhance_prompt=args.enhance_prompt,
+        enhancement_spec_k=args.spec_k,
         image_path=args.image,
         image_cond_noise_scale=args.image_cond_noise if args.image else 0.0,
         fps=args.fps,
@@ -298,32 +317,29 @@ def cmd_info(args) -> int:
     base = Path(args.models_dir or default_models_dir())
     print(f"models dir: {base}")
 
-    # cached components (reference: ModelDownloader layout)
-    components = {
-        "gemma (text encoder)": base / "vlm-gemma",
-        "ltx-distilled unified": base / "ltx-distilled"
-        / LTXModel.DISTILLED.unified_weights_filename,
-        "ltx-dev unified": base / "ltx-dev"
-        / LTXModel.DEV.unified_weights_filename,
-        "standalone connector": base / "ltx-connector",
-        "standalone VAE": base / "ltx-vae",
-        "upscaler": base / "ltx-upscaler",
-        "distilled LoRA": base / "ltx-lora",
-        "audio VAE": base / "ltx-audio-vae",
-        "vocoder": base / "ltx-vocoder",
-    }
-    for name, path in components.items():
-        status = "cached" if path.exists() else "not downloaded"
-        print(f"  {name}: {status}")
+    # cached-component status via the registry (reference:
+    # LTXModelRegistry.isDownloaded/missingFiles)
+    from ltx_tpu.weights.registry import (
+        component_inventory, missing_files, recommended_model,
+    )
 
-    # model recommendation by device memory (reference: LTXModelRegistry
-    # recommends by RAM; on TPU the analog is HBM per chip)
-    n = len(jax.devices())
-    if n >= 2:
-        print("recommended: dev or distilled bf16 with TP over the mesh")
-    else:
-        print("recommended: distilled with --transformer-quant int4 "
-              "(19B bf16 exceeds one chip's HBM)")
+    for m in (LTXModel.DISTILLED, LTXModel.DEV):
+        for comp in component_inventory(m):
+            if comp == "unified":
+                name = f"ltx-{m.value} unified"
+            elif m is not LTXModel.DISTILLED:
+                continue  # model-independent components print once
+            else:
+                name = comp
+            miss = missing_files(comp, str(base), m)
+            status = "cached" if not miss else \
+                f"not downloaded (missing: {', '.join(miss)})"
+            print(f"  {name}: {status}")
+
+    model, quant = recommended_model()
+    extra = f" --transformer-quant {quant}" if quant else \
+        " bf16 with TP over the mesh"
+    print(f"recommended: {model.value}{extra}")
     return 0
 
 

@@ -314,6 +314,19 @@ def forward_hidden_states(params, input_ids, attention_mask, cfg: Gemma3Config):
 #   * repetition penalty over the last `repetition_context` GENERATED
 #     tokens only (positive logits divided, negative multiplied);
 #   * top-p: keep tokens where descending cumulative prob > 1 - top_p.
+#
+# Speculative decoding (spec_k > 0): decode is DEPENDENT-CHAIN LATENCY
+# bound (docs/BENCH_NOTES.md §3-4: sequential weight DMAs, not FLOPs), so
+# a (spec_k+1)-token verify forward costs nearly the same as a 1-token
+# step. Drafts come from PROMPT LOOKUP (most recent earlier occurrence of
+# the trailing `spec_ngram` tokens in prompt+output — no draft model);
+# acceptance is exact rejection sampling for a deterministic draft
+# (accept d w.p. p(d), else sample from p with d removed), so the output
+# DISTRIBUTION equals the sequential sampler's, and at temperature<=0 the
+# output SEQUENCE is identical to the non-speculative greedy loop. The KV
+# cache carries spec_k+1 slack slots so bundle writes never clamp into
+# valid history; slots past a rejection hold stale K/V that the row-wise
+# causal bias makes unreachable until the next bundle overwrites them.
 
 
 def _round_up(n: int, m: int) -> int:
@@ -334,6 +347,8 @@ def generate_tokens(
     input_embeds=None,
     bucket: int = 128,
     top_k: int = 0,
+    spec_k: int = 0,
+    spec_ngram: int = 3,
 ):
     """KV-cached autoregressive sampling, fully device-side.
 
@@ -344,6 +359,10 @@ def generate_tokens(
     top_k: candidate-set size for the top-p sampler; 0 picks 64 at
     temperature <= 1 (where the nucleus virtually never extends past 64)
     and 512 above (where it can) — see topp_sample for the cost tradeoff.
+    spec_k: prompt-lookup speculative decoding with spec_k drafts per
+    verify step (0 = off). Distribution-preserving (see module comment);
+    worst case (no n-gram ever matches) decodes 1 token/step at the same
+    per-step latency. spec_ngram: lookup pattern length.
     Returns the generated token list (without the prompt).
     """
     if top_k <= 0:
@@ -370,8 +389,16 @@ def generate_tokens(
         embeds_padded = jnp.zeros((1, t_pad, d), input_embeds.dtype)
         embeds_padded = embeds_padded.at[:, pad:].set(input_embeds)
 
-    cos_g, sin_g = rope_tables(max_len, cfg.head_dim, cfg.rope_theta)
-    cos_l, sin_l = rope_tables(max_len, cfg.head_dim, cfg.rope_local_base_freq)
+    if spec_k > 0 and (t < spec_ngram + 1 or max_new_tokens < 2):
+        spec_k = 0  # too short to look up / nothing to speculate on
+
+    # spec bundles may write KV up to spec_k+1 slots past the last
+    # committed position; slack keeps dynamic_update_slice from clamping
+    # into (and corrupting) valid history.
+    cache_len = max_len + (spec_k + 1 if spec_k > 0 else 0)
+    cos_g, sin_g = rope_tables(cache_len, cfg.head_dim, cfg.rope_theta)
+    cos_l, sin_l = rope_tables(cache_len, cfg.head_dim,
+                               cfg.rope_local_base_freq)
     tables = tuple(jnp.asarray(a) for a in (cos_g, sin_g, cos_l, sin_l))
     stop_arr = (jnp.asarray(list(stop_tokens), jnp.int32)
                 if stop_tokens else jnp.zeros((0,), jnp.int32))
@@ -380,6 +407,7 @@ def generate_tokens(
         cfg, t_pad, max_new_tokens, float(temperature), float(top_p),
         float(repetition_penalty), int(repetition_context),
         with_embeds=embeds_padded is not None, top_k=int(top_k),
+        spec_k=int(spec_k), spec_ngram=int(spec_ngram),
     )
     out, n_gen = fn(params, jnp.asarray(ids_padded), embeds_padded,
                     jnp.asarray(pad, jnp.int32), stop_arr, tables, key)
@@ -392,11 +420,13 @@ def generate_tokens(
 def _build_generate_fn(cfg: Gemma3Config, t_pad: int, max_new_tokens: int,
                        temperature: float, top_p: float,
                        repetition_penalty: float, repetition_context: int,
-                       with_embeds: bool, top_k: int = 64):
+                       with_embeds: bool, top_k: int = 64,
+                       spec_k: int = 0, spec_ngram: int = 3):
     """Compile-cached generation program for one (config, bucket) pair."""
     nl, nkv, hd = cfg.hidden_layers, cfg.kv_heads, cfg.head_dim
     vocab = cfg.vocab_size
     max_len = t_pad + max_new_tokens
+    cache_len = max_len + (spec_k + 1 if spec_k > 0 else 0)
     scale_emb = float(np.sqrt(cfg.hidden_size))
     is_global = jnp.asarray(
         [cfg.is_global_layer(i) for i in range(nl)])
@@ -411,9 +441,9 @@ def _build_generate_fn(cfg: Gemma3Config, t_pad: int, max_new_tokens: int,
         else:
             h = _embed_lookup(params, ids) * jnp.asarray(scale_emb, dtype)
 
-        # --- prefill biases: (1, 1, t_pad, max_len)
+        # --- prefill biases: (1, 1, t_pad, cache_len)
         row = jnp.arange(t_pad)[:, None]
-        col = jnp.arange(max_len)[None, :]
+        col = jnp.arange(cache_len)[None, :]
         valid = (col <= row) & (col >= pad)
         bias_g = jnp.where(valid, 0.0, -1e9)[None, None].astype(jnp.float32)
         valid_s = valid & (col > row - cfg.sliding_window)
@@ -424,8 +454,8 @@ def _build_generate_fn(cfg: Gemma3Config, t_pad: int, max_new_tokens: int,
         pcos_g, psin_g = cos_g[pos_ids], sin_g[pos_ids]
         pcos_l, psin_l = cos_l[pos_ids], sin_l[pos_ids]
 
-        ck0 = jnp.zeros((nl, 1, nkv, max_len, hd), dtype)
-        cv0 = jnp.zeros((nl, 1, nkv, max_len, hd), dtype)
+        ck0 = jnp.zeros((nl, 1, nkv, cache_len, hd), dtype)
+        cv0 = jnp.zeros((nl, 1, nkv, cache_len, hd), dtype)
 
         def prefill_layer(carry, scanned):
             h = carry
@@ -442,20 +472,25 @@ def _build_generate_fn(cfg: Gemma3Config, t_pad: int, max_new_tokens: int,
         h = gemma_rms_norm(h, params["norm"]["w"], cfg.rms_norm_eps)
         logits0 = _lm_head(params, h[:, -1])  # (1, vocab) f32
 
-        def decode(carry_caches, token, pos):
-            """One token through all layers; pos = cache slot to write."""
+        def decode(carry_caches, toks, pos):
+            """(m,) tokens through all layers; cache slots pos..pos+m-1.
+
+            Row i's bias admits slots [pad, pos+i] only — within-bundle
+            causality AND a firewall against stale slots past the bundle."""
+            m = toks.shape[0]
             cks, cvs = carry_caches
-            h = (_embed_lookup(params, token[None, None])
+            h = (_embed_lookup(params, toks[None])
                  * jnp.asarray(scale_emb, dtype))
-            idx = jnp.arange(max_len)[None, None, None, :]
+            idx = jnp.arange(cache_len)[None, None, None, :]
+            rows = jnp.arange(m)[None, None, :, None]
             # reference decode mask is .none: attend to every written slot
-            ok = (idx >= pad) & (idx <= pos)
+            ok = (idx >= pad) & (idx <= pos + rows)
             bias = jnp.where(ok, 0.0, -1e9).astype(jnp.float32)
             rp = pos - pad
-            dcos_g = lax.dynamic_slice_in_dim(cos_g, rp, 1)
-            dsin_g = lax.dynamic_slice_in_dim(sin_g, rp, 1)
-            dcos_l = lax.dynamic_slice_in_dim(cos_l, rp, 1)
-            dsin_l = lax.dynamic_slice_in_dim(sin_l, rp, 1)
+            dcos_g = lax.dynamic_slice_in_dim(cos_g, rp, m)
+            dsin_g = lax.dynamic_slice_in_dim(sin_g, rp, m)
+            dcos_l = lax.dynamic_slice_in_dim(cos_l, rp, m)
+            dsin_l = lax.dynamic_slice_in_dim(sin_l, rp, m)
 
             def layer(carry, scanned):
                 h = carry
@@ -469,7 +504,7 @@ def _build_generate_fn(cfg: Gemma3Config, t_pad: int, max_new_tokens: int,
             h, (cks, cvs) = lax.scan(
                 layer, h, (params["layers"], is_global, cks, cvs))
             h = gemma_rms_norm(h, params["norm"]["w"], cfg.rms_norm_eps)
-            return (cks, cvs), _lm_head(params, h[:, -1])
+            return (cks, cvs), _lm_head(params, h[0])  # (m, vocab) f32
 
         def penalize(lg, ring):
             if repetition_penalty == 1.0:
@@ -481,8 +516,23 @@ def _build_generate_fn(cfg: Gemma3Config, t_pad: int, max_new_tokens: int,
 
         def sample(lg, key):
             if temperature <= 0:
-                return jnp.argmax(lg).astype(jnp.int32)
+                # top_k(1), not argmax: XLA's argmax lowering on a 262k f32
+                # row measured ~9 ms on TPU where top_k is sub-ms
+                return lax.top_k(lg, 1)[1][0].astype(jnp.int32)
             return topp_sample(lg, key, temperature, top_p, top_k)
+
+        def is_stop(tok):
+            return jnp.any(tok == stop_arr) if stop_arr.shape[0] else \
+                jnp.asarray(False)
+
+        if spec_k > 0:
+            return _spec_loop(
+                params, ids, pad, stop_arr, key, (cks, cvs), logits0,
+                decode, penalize, sample, is_stop,
+                t_pad=t_pad, max_new_tokens=max_new_tokens,
+                cache_len=cache_len, ctx=ctx, vocab=vocab,
+                temperature=temperature, top_p=top_p, top_k=top_k,
+                spec_k=spec_k, spec_ngram=spec_ngram)
 
         def cond(state):
             _, _, _, _, _, n_gen, done = state
@@ -493,12 +543,11 @@ def _build_generate_fn(cfg: Gemma3Config, t_pad: int, max_new_tokens: int,
             key, sub = jax.random.split(key)
             lg = penalize(logits[0], ring)
             nxt = sample(lg, sub)
-            stop_hit = jnp.any(nxt == stop_arr) if stop_arr.shape[0] else \
-                jnp.asarray(False)
+            stop_hit = is_stop(nxt)
             out = jnp.where(stop_hit, out, out.at[n_gen].set(nxt))
             ring = jnp.where(stop_hit, ring, ring.at[n_gen % ctx].set(nxt))
             pos = t_pad + n_gen
-            caches, logits = decode(caches, nxt, pos)
+            caches, logits = decode(caches, nxt[None], pos)
             n_gen = n_gen + jnp.where(stop_hit, 0, 1)
             return caches, logits, key, out, ring, n_gen, stop_hit
 
@@ -513,9 +562,8 @@ def _build_generate_fn(cfg: Gemma3Config, t_pad: int, max_new_tokens: int,
     return jax.jit(run)
 
 
-def topp_sample(lg, key, temperature: float, top_p: float,
-                top_k: int = 64):
-    """Nucleus (top-p) sampling over a (vocab,) logit row.
+def _topp_filtered(lg, temperature: float, top_p: float, top_k: int):
+    """(vocab,) logits -> (top_k candidate ids, nucleus-filtered probs).
 
     Keeps the smallest descending-probability prefix whose mass reaches
     top_p (the reference's MLX sampler expresses the same set as
@@ -532,9 +580,155 @@ def topp_sample(lg, key, temperature: float, top_p: float,
     kprobs = jnp.exp(kvals - lse)
     mass_before = jnp.cumsum(kprobs) - kprobs
     keep = mass_before < top_p               # token 0 always kept
-    filt = jnp.where(keep, kprobs, 0.0)
+    return kidx, jnp.where(keep, kprobs, 0.0)
+
+
+def topp_sample(lg, key, temperature: float, top_p: float,
+                top_k: int = 64):
+    """Nucleus (top-p) sampling over a (vocab,) logit row
+    (see _topp_filtered for the candidate-set semantics)."""
+    kidx, filt = _topp_filtered(lg, temperature, top_p, top_k)
     choice = jax.random.categorical(key, jnp.log(filt + 1e-12))
     return kidx[choice].astype(jnp.int32)
+
+
+def spec_accept(lg, draft, key, temperature: float, top_p: float,
+                top_k: int = 64):
+    """Rejection-sample one draft candidate against the target row.
+
+    For a DETERMINISTIC draft q = delta(draft): accept with probability
+    p(draft); on rejection sample from the residual — p with the draft's
+    mass removed, renormalized. The committed token is then distributed
+    exactly as a direct topp_sample from p (speculative sampling
+    specialized to a point-mass proposal). At temperature<=0 this reduces
+    to "accept iff the draft IS the argmax, else emit the argmax", so
+    speculative greedy output is token-identical to the sequential loop.
+    Returns (token, accepted).
+    """
+    if temperature <= 0:
+        tgt = lax.top_k(lg, 1)[1][0].astype(jnp.int32)  # argmax, fast path
+        acc = tgt == draft
+        return jnp.where(acc, draft, tgt).astype(jnp.int32), acc
+    kidx, filt = _topp_filtered(lg, temperature, top_p, top_k)
+    d_slot = kidx == draft
+    p_d = jnp.sum(jnp.where(d_slot, filt, 0.0)) / jnp.sum(filt)
+    ku, kc = jax.random.split(key)
+    acc = jax.random.uniform(ku) < p_d
+    resid = jnp.where(d_slot, 0.0, filt)
+    alt = kidx[jax.random.categorical(kc, jnp.log(resid + 1e-12))]
+    return jnp.where(acc, draft, alt).astype(jnp.int32), acc
+
+
+def _ngram_draft(ctx_buf, cursor, pad, ngram: int, k: int):
+    """Prompt-lookup draft over the token history.
+
+    Finds a position s (pad <= s, s + ngram < cursor) where
+    ctx_buf[s:s+ngram] equals the trailing ngram ending at `cursor`, and
+    proposes the k tokens that followed it. Among matches it prefers the
+    MOST RECENT one with a full k followers before the cursor, else the
+    EARLIEST match (max followers): the naive most-recent rule degenerates
+    on self-repetitive output — the match hugs the cursor and leaves ~1
+    usable follower, capping commits at ~2/bundle (measured, probe v1).
+    Unwritten slots hold -1 (never a token id) so they can't match; -1
+    marks no-match/out-of-range draft slots (verification rejects them).
+    """
+    n = ctx_buf.shape[0]
+    pat = lax.dynamic_slice_in_dim(ctx_buf, cursor - ngram, ngram)
+    win = jnp.stack([ctx_buf[j:n - ngram + j] for j in range(ngram)], 1)
+    starts = jnp.arange(n - ngram)
+    match = jnp.all(win == pat[None], axis=1)
+    match &= (starts >= pad) & (starts + ngram < cursor)
+    full = match & (starts + ngram + k <= cursor)
+    s_full = jnp.max(jnp.where(full, starts, -1))
+    s_any = jnp.min(jnp.where(match, starts, n))
+    s = jnp.where(s_full >= 0, s_full,
+                  jnp.where(jnp.any(match), s_any, -1))
+    src = jnp.maximum(s, 0) + ngram
+    draft = lax.dynamic_slice_in_dim(ctx_buf, src, k)
+    # beyond-cursor slots are unwritten; a clamped slice (src+k > n) is
+    # misaligned but still verified, costing only acceptance rate
+    ok = (s >= 0) & (jnp.arange(k) + src < cursor)
+    return jnp.where(ok, draft, -1)
+
+
+def _spec_loop(params, ids, pad, stop_arr, key, caches, logits0,
+               decode, penalize, sample, is_stop, *, t_pad, max_new_tokens,
+               cache_len, ctx, vocab, temperature, top_p, top_k,
+               spec_k, spec_ngram):
+    """Prompt-lookup speculative decode loop (module comment has the
+    design). Traced inside _build_generate_fn's `run`; commits 1 to
+    spec_k+1 tokens per (spec_k+1)-wide verify forward."""
+    out0 = jnp.full((max_new_tokens,), -1, jnp.int32)
+    ring0 = jnp.full((ctx,), vocab, jnp.int32)  # out-of-range slot
+    ctx_buf0 = jnp.concatenate([
+        jnp.where(jnp.arange(t_pad) >= pad, ids[0].astype(jnp.int32), -1),
+        jnp.full((cache_len - t_pad,), -1, jnp.int32)])
+
+    # the first token comes straight from the prefill logits
+    key, k0 = jax.random.split(key)
+    tok0 = sample(penalize(logits0[0], ring0), k0)
+    stop0 = is_stop(tok0)
+    out = jnp.where(stop0, out0, out0.at[0].set(tok0))
+    ring = jnp.where(stop0, ring0, ring0.at[0].set(tok0))
+    ctx_buf = jnp.where(stop0, ctx_buf0, ctx_buf0.at[t_pad].set(tok0))
+    n_gen = jnp.where(stop0, 0, 1).astype(jnp.int32)
+
+    def commit(tok, live, out, ring, ctx_buf, n_gen, done, last):
+        """Bookkeeping for one committed candidate (mirrors the
+        sequential body: a stop token terminates without being written)."""
+        hit = is_stop(tok)
+        write = live & ~hit
+        out = jnp.where(write, out.at[n_gen].set(tok), out)
+        ring = jnp.where(write, ring.at[n_gen % ctx].set(tok), ring)
+        ctx_buf = jnp.where(write, ctx_buf.at[t_pad + n_gen].set(tok),
+                            ctx_buf)
+        n_gen = n_gen + write.astype(jnp.int32)
+        done = done | (live & hit)
+        last = jnp.where(write, tok, last)
+        return write, out, ring, ctx_buf, n_gen, done, last
+
+    def cond(state):
+        _, _, _, _, _, _, n_gen, done = state
+        return (~done) & (n_gen < max_new_tokens)
+
+    def body(state):
+        caches, cur, key, out, ring, ctx_buf, n_gen, done = state
+        pos = t_pad + n_gen - 1          # cache slot for cur
+        cursor = t_pad + n_gen           # ctx_buf write cursor
+        draft = _ngram_draft(ctx_buf, cursor, pad, spec_ngram, spec_k)
+        toks = jnp.concatenate([cur[None], jnp.maximum(draft, 0)])
+        caches, logits = decode(caches, toks, pos)  # (spec_k+1, vocab)
+
+        keys = jax.random.split(key, spec_k + 2)
+
+        def acc_step(carry, xs):
+            out, ring, ctx_buf, n_gen, accepting, done, last = carry
+            d, row, kk = xs
+            tok, acc = spec_accept(penalize(row, ring), d, kk,
+                                   temperature, top_p, top_k)
+            live = accepting & ~done & (n_gen < max_new_tokens)
+            write, out, ring, ctx_buf, n_gen, done, last = commit(
+                tok, live, out, ring, ctx_buf, n_gen, done, last)
+            accepting = write & acc  # a rejection commits the correction
+            return (out, ring, ctx_buf, n_gen, accepting, done, last), None
+
+        carry, _ = lax.scan(
+            acc_step,
+            (out, ring, ctx_buf, n_gen, jnp.asarray(True), done, cur),
+            (draft, logits[:-1], keys[2:]))
+        out, ring, ctx_buf, n_gen, accepting, done, last = carry
+
+        # bonus token from the last row when the whole draft was accepted
+        tokb = sample(penalize(logits[-1], ring), keys[1])
+        live = accepting & ~done & (n_gen < max_new_tokens)
+        _, out, ring, ctx_buf, n_gen, done, last = commit(
+            tokb, live, out, ring, ctx_buf, n_gen, done, last)
+        return caches, last, keys[0], out, ring, ctx_buf, n_gen, done
+
+    state = (caches, tok0, key, out, ring, ctx_buf, n_gen, stop0)
+    state = lax.while_loop(cond, body, state)
+    _, _, _, out, _, _, n_gen, _ = state
+    return out, n_gen
 
 
 def _embed_lookup(params, ids):

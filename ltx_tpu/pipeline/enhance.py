@@ -121,6 +121,8 @@ def enhance_prompt(
     image_path: Optional[str] = None,
     vision_params=None,
     vision_config=None,
+    spec_k: int = 8,
+    spec_ngram: int = 3,
 ) -> str:
     """Enhance a prompt with the Gemma text model. Returns the original
     prompt unchanged if anything fails (enhancement is best-effort).
@@ -175,11 +177,17 @@ def enhance_prompt(
             if len(enc) == 1:
                 stop_ids.add(enc[0])
         stop_ids.add(1)  # Gemma <eos>
+        # spec_k: prompt-lookup speculative decoding — enhancement output
+        # reuses long spans of the user prompt and its own phrasing, and
+        # the verify bundle rides the same latency-bound weight-DMA chain
+        # as a single-token step (docs/BENCH_NOTES.md §6), so drafts are
+        # nearly free and the sampler distribution is preserved exactly.
         tokens = gemma3.generate_tokens(
             gemma_params, [ids], gemma_config, jax.random.key(seed),
             max_new_tokens=max_tokens, temperature=temperature,
             top_p=0.95, repetition_penalty=1.1,
             stop_tokens=tuple(stop_ids), input_embeds=input_embeds,
+            spec_k=spec_k, spec_ngram=spec_ngram,
         )
         text = tokenizer.decode(tokens)
         cleaned = clean_enhanced_prompt(text)

@@ -342,6 +342,7 @@ class LTXPipeline:
             is_i2v=is_i2v, image_path=config.image_path,
             vision_params=self.vision_params,
             vision_config=self.vision_config,
+            spec_k=config.enhancement_spec_k,
         )
         if timings is not None:
             timings.enhancement = time.time() - t0

@@ -203,3 +203,34 @@ def test_cmd_generate_audio_two_stage_dispatch(tmp_path, monkeypatch):
     assert out.exists() and out.stat().st_size > 0
     assert (tmp_path / "out.mp4.wav").exists()
     assert calls["include_audio"] is True and calls["include_upscaler"] is True
+
+
+def test_model_auto_applies_registry_recommendation(monkeypatch):
+    """--model auto resolves via weights/registry.py (reference:
+    LTXModelRegistry.recommendedModel) and upgrades the default quant."""
+    from ltx_tpu.core.config import LTXModel
+    from ltx_tpu.io.cli import _effective_model
+
+    monkeypatch.setattr("jax.devices", lambda *a: [object()])  # one chip
+    args = parse(["generate", "x", "--model", "auto"])
+    assert _effective_model(args) is LTXModel.DISTILLED
+    assert args.transformer_quant == "int4"
+
+    monkeypatch.setattr("jax.devices", lambda *a: [object()] * 8)
+    args = parse(["generate", "x", "--model", "auto"])
+    assert _effective_model(args) is LTXModel.DEV
+    assert args.transformer_quant == "bf16"
+
+    # an explicit quant choice is never overridden
+    monkeypatch.setattr("jax.devices", lambda *a: [object()])
+    args = parse(["generate", "x", "--model", "auto",
+                  "--transformer-quant", "w8a8"])
+    _effective_model(args)
+    assert args.transformer_quant == "w8a8"
+
+
+def test_spec_k_flag_maps_to_config():
+    cfg = _generation_config(parse(["generate", "x"]))
+    assert cfg.enhancement_spec_k == 8
+    cfg = _generation_config(parse(["generate", "x", "--spec-k", "0"]))
+    assert cfg.enhancement_spec_k == 0

@@ -127,3 +127,49 @@ def test_dev_variant_unified_filename(tmp_path, fake_hub):
                                        include_upscaler=False)
     assert paths["unified"].name == LTXModel.DEV.unified_weights_filename
     assert "upscaler" not in paths
+
+
+# --- registry (reference: LTXModelRegistry.swift) ---------------------------
+
+def test_registry_status_tracks_downloads(tmp_path, fake_hub):
+    from ltx_tpu.weights import registry as reg
+
+    assert not reg.is_downloaded("unified", str(tmp_path))
+    assert reg.missing_files("vae", str(tmp_path)) == [
+        "diffusion_pytorch_model.safetensors", "config.json"]
+
+    dl.download_all_components(LTXModel.DISTILLED, models_dir=str(tmp_path),
+                               include_audio=True)
+    for comp in ("unified", "connector", "vae", "upscaler",
+                 "distilled_lora", "audio_vae", "vocoder"):
+        assert reg.is_downloaded(comp, str(tmp_path)), comp
+    # the fake snapshot lacks tokenizer.json -> gemma stays incomplete
+    assert reg.missing_files("gemma", str(tmp_path)) == ["tokenizer.json"]
+    (tmp_path / "vlm-gemma" / "tokenizer.json").write_text("{}")
+    assert reg.is_downloaded("gemma", str(tmp_path))
+    # dev unified is a separate artifact
+    assert not reg.is_downloaded("unified", str(tmp_path), LTXModel.DEV)
+
+
+def test_registry_inventory_matches_download_layout(tmp_path, fake_hub):
+    """Every inventory (subdir, file) pair is exactly where
+    download_all_components puts it — the two tables cannot drift."""
+    from ltx_tpu.weights import registry as reg
+
+    dl.download_all_components(LTXModel.DEV, models_dir=str(tmp_path),
+                               include_audio=True)
+    inv = reg.component_inventory(LTXModel.DEV)
+    for comp, (subdir, files) in inv.items():
+        if comp == "gemma":
+            continue  # snapshot contents are repo-defined
+        for f in files:
+            assert (tmp_path / subdir / f).exists(), (comp, subdir, f)
+
+
+def test_recommended_model_by_mesh_hbm():
+    from ltx_tpu.weights import registry as reg
+
+    model, quant = reg.recommended_model(n_devices=1)
+    assert model is LTXModel.DISTILLED and quant == "int4"
+    model, quant = reg.recommended_model(n_devices=8)
+    assert model is LTXModel.DEV and quant is None
