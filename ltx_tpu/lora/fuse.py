@@ -300,6 +300,41 @@ class LoRAConfig:
     scheduler_overrides: Optional[LoRASchedulerOverrides] = None
 
 
+@dataclasses.dataclass(frozen=True)
+class LoRAInfo:
+    """Metadata about a loaded LoRA (reference: LoRAConfig.swift:95-116)."""
+
+    name: str
+    path: str
+    layer_count: int
+    rank: int
+    target_modules: Tuple[str, ...]
+    has_scheduler_overrides: bool
+    file_size_bytes: Optional[int]
+
+
+def lora_info(path, name: Optional[str] = None,
+              scheduler_overrides=None) -> LoRAInfo:
+    """Inspect a LoRA safetensors file without fusing it."""
+    import os
+
+    from ltx_tpu.weights.download import load_safetensors
+
+    layers = parse_lora(load_safetensors(path))
+    modules = sorted({layer.original_key.rsplit(".", 1)[-1]
+                      for layer in layers})
+    return LoRAInfo(
+        name=name or os.path.basename(str(path)),
+        path=str(path),
+        layer_count=len(layers),
+        rank=max((l.rank for l in layers), default=0),
+        target_modules=tuple(modules),
+        has_scheduler_overrides=scheduler_overrides is not None,
+        file_size_bytes=(os.path.getsize(path)
+                         if os.path.exists(str(path)) else None),
+    )
+
+
 def fuse_lora_configs(params: dict, configs, num_layers=None) -> dict:
     """Fuse a sequence of LoRAConfig (multi-LoRA, reference:
     LoRAAdapter.swift:186-259) in order."""

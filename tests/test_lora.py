@@ -220,3 +220,25 @@ def test_lora_config_scheduler_overrides():
     # 3 sigma values + appended terminal 0.0 -> 3 Euler steps
     assert len(r.timings.denoise_steps) == 3
     assert np.isfinite(np.asarray(r.frames)).all()
+
+
+def test_lora_info_metadata(tmp_path):
+    """lora_info mirrors the reference's LoRAInfo fields
+    (LoRAConfig.swift:95-116) from a safetensors file, without fusing."""
+    from safetensors.numpy import save_file
+
+    d, rank = 16, 4
+    tensors = {}
+    for mod in ("to_q", "to_k"):
+        key = f"diffusion_model.transformer_blocks.0.attn1.{mod}"
+        tensors[f"{key}.lora_down.weight"] = np.zeros((rank, d), np.float32)
+        tensors[f"{key}.lora_up.weight"] = np.zeros((d, rank), np.float32)
+    p = tmp_path / "l.safetensors"
+    save_file(tensors, str(p))
+
+    info = fuse.lora_info(p)
+    assert info.name == "l.safetensors"
+    assert info.layer_count == 2 and info.rank == rank
+    assert info.target_modules == ("to_k", "to_q")
+    assert not info.has_scheduler_overrides
+    assert info.file_size_bytes == p.stat().st_size
