@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import logging
 import re
-from typing import Optional
+from typing import List, Optional
 
 import jax
 
@@ -195,3 +195,44 @@ def enhance_prompt(
     except Exception as e:  # enhancement must never break generation
         log.warning("prompt enhancement failed (%s); using raw prompt", e)
         return prompt
+
+
+def enhance_prompts(
+    gemma_params,
+    gemma_config: gemma3.Gemma3Config,
+    tokenizer,
+    prompts: List[str],
+    is_i2v: bool = False,
+    max_tokens: int = 512,
+    temperature: float = 0.7,
+    seed: int = 42,
+) -> List[str]:
+    """Batched (text-only) enhancement for serving front-ends.
+
+    All prompts run through ONE compiled program
+    (gemma3.generate_tokens_batched): decode is latency-bound, so B prompts
+    cost close to one — ~B× enhancement throughput. Per-prompt semantics
+    match enhance_prompt's text path (same system prompt / sampler /
+    stops); best-effort — any failure returns the raw prompts.
+    """
+    system = I2V_SYSTEM_PROMPT if is_i2v else T2V_SYSTEM_PROMPT
+    try:
+        ids = [tokenizer.encode(build_chat_prompt(system, p)).ids
+               for p in prompts]
+        stop_ids = {1}
+        for tok in ("<end_of_turn>", "<eos>"):
+            enc = tokenizer.encode(tok).ids
+            if len(enc) == 1:
+                stop_ids.add(enc[0])
+        outs = gemma3.generate_tokens_batched(
+            gemma_params, ids, gemma_config, jax.random.key(seed),
+            max_new_tokens=max_tokens, temperature=temperature,
+            top_p=0.95, repetition_penalty=1.1,
+            stop_tokens=tuple(stop_ids),
+        )
+        return [clean_enhanced_prompt(tokenizer.decode(t)) or p
+                for t, p in zip(outs, prompts)]
+    except Exception as e:  # enhancement must never break generation
+        log.warning("batched prompt enhancement failed (%s); using raw "
+                    "prompts", e)
+        return list(prompts)

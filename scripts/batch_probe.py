@@ -1,0 +1,73 @@
+"""Batched Gemma decode throughput at the real 12B shapes on one chip.
+
+Decode is dependent-chain latency bound (docs/BENCH_NOTES.md §3-4): each
+token streams the full weight set from HBM whether 1 or B rows ride the
+matvecs. generate_tokens_batched therefore multiplies serving throughput
+~B× at near-constant latency — this probe measures the actual scaling
+(marginal ms/step by max_new n-scaling, then tokens/s = B / step).
+
+HBM bound: w8a8 weights ~12.7 GB + KV cache ~0.4 GB/row at the 1024-slot
+enhancement shape -> B<=6 fits one v5e chip; int4 (6 GB) fits B=16+.
+
+Run: python scripts/batch_probe.py [--mode w8a8] [--batches 1 2 4]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", choices=("w8a8", "int4"), default="w8a8")
+    ap.add_argument("--batches", type=int, nargs="+", default=[1, 2, 4])
+    ap.add_argument("--n1", type=int, default=32)
+    ap.add_argument("--n2", type=int, default=160)
+    args = ap.parse_args()
+
+    from e2e_bench import build_gemma_int4, sync
+    from ltx_tpu.models import gemma3
+
+    cfg = gemma3.Gemma3Config()
+    params = build_gemma_int4(cfg, mode=args.mode)
+    sync(params["norm"]["w"])
+    base = np.full((500,), 7, np.int32)  # t_pad 512, the bench prompt size
+
+    results = {}
+    for b in args.batches:
+        # vary lengths so per-row pads/positions are exercised
+        prompts = [base[: 500 - 13 * i] for i in range(b)]
+        ts = {}
+        for n in (args.n1, args.n2):
+            kw = dict(max_new_tokens=n, temperature=0.7, stop_tokens=())
+            t0 = time.time()
+            out = gemma3.generate_tokens_batched(
+                params, prompts, cfg, jax.random.key(0), **kw)
+            compile_s = time.time() - t0
+            assert all(len(r) == n for r in out), (b, n)
+            t0 = time.time()
+            gemma3.generate_tokens_batched(
+                params, prompts, cfg, jax.random.key(1), **kw)
+            ts[n] = time.time() - t0
+            print(f"  [B={b}] n={n}: {ts[n]:.2f} s "
+                  f"(compile+run {compile_s:.1f} s)", flush=True)
+        ms = (ts[args.n2] - ts[args.n1]) / (args.n2 - args.n1) * 1e3
+        results[b] = ms
+        print(f"  [B={b}] marginal: {ms:.1f} ms/step "
+              f"= {b / ms * 1e3:.0f} tokens/s", flush=True)
+
+    base_ms = results[args.batches[0]]
+    print(f"\nmode={args.mode}: " + " | ".join(
+        f"B={b}: {ms:.1f} ms/step, {b / ms * 1e3:.0f} tok/s "
+        f"({b * base_ms / ms / args.batches[0]:.2f}x throughput)"
+        for b, ms in results.items()))
+
+
+if __name__ == "__main__":
+    main()

@@ -51,13 +51,19 @@ def log(msg):
 
 
 def phase_gemma(results):
-    """Enhancement + text encoding with int4 Gemma-12B at true shapes."""
+    """Enhancement + text encoding with Gemma-12B at true shapes.
+
+    W8A8 (per-channel int8, int8 MXU dots) — the production default since
+    round 3 (pipeline/loader.py gemma_quant="w8a8", BENCH_NOTES §4).
+    Sequential decode: random weights are adversarial zero-accept for the
+    spec-decode default, so the speculative path is measured separately
+    (scripts/spec_probe.py, BENCH_NOTES §6)."""
     from ltx_tpu.models import gemma3, text_encoder
     from scripts.e2e_bench import build_gemma_int4
 
     gcfg = gemma3.Gemma3Config()
     tecfg = text_encoder.TextEncoderConfig()
-    gparams = build_gemma_int4(gcfg)
+    gparams = build_gemma_int4(gcfg, mode="w8a8")
     teparams = text_encoder.init_params(jax.random.key(0), tecfg, jnp.bfloat16)
     sync(gparams["norm"]["w"])
 

@@ -176,3 +176,87 @@ def test_spec_with_w8a8_leaves():
                                   max_new_tokens=20, temperature=0.0,
                                   stop_tokens=(), bucket=8, spec_k=4)
     assert spec == seq
+
+
+# --- batched generation (serving path; no reference analog) ----------------
+
+
+def test_batched_greedy_matches_single_rows(tiny):
+    """Each batch row's greedy output == its own single-prompt greedy run,
+    across different prompt lengths (per-row left pads / positions)."""
+    cfg, params = tiny
+    prompts = [
+        np.asarray([5, 9, 11, 5, 9, 11, 5, 9], np.int32),
+        np.asarray([3, 7], np.int32),
+        np.asarray([12, 1, 4, 6, 2, 8, 10, 13, 3, 5], np.int32),
+    ]
+    got = gemma3.generate_tokens_batched(
+        params, prompts, cfg, jax.random.key(1), max_new_tokens=12,
+        temperature=0.0, stop_tokens=(), bucket=8)
+    for i, p in enumerate(prompts):
+        want = gemma3.generate_tokens(params, p, cfg, jax.random.key(1),
+                                      max_new_tokens=12, temperature=0.0,
+                                      stop_tokens=(), bucket=8)
+        assert got[i] == want, i
+
+
+def test_batched_per_row_stop(tiny):
+    """A stopped row freezes while others continue to max_new_tokens."""
+    cfg, params = tiny
+    seq = gemma3.generate_tokens(params, PROMPT, cfg, jax.random.key(1),
+                                 max_new_tokens=16, temperature=0.0,
+                                 stop_tokens=(), bucket=8)
+    stop = seq[5]
+    want = seq[:seq.index(stop)]
+    other = np.asarray([3, 7, 2, 9], np.int32)
+    want_other = gemma3.generate_tokens(params, other, cfg,
+                                        jax.random.key(1),
+                                        max_new_tokens=16, temperature=0.0,
+                                        stop_tokens=(stop,), bucket=8)
+    got = gemma3.generate_tokens_batched(
+        params, [PROMPT, other], cfg, jax.random.key(1), max_new_tokens=16,
+        temperature=0.0, stop_tokens=(stop,), bucket=8)
+    assert got[0] == want
+    assert got[1] == want_other
+    # all rows stopping ends the loop early (no hang, valid outputs)
+    zp = jax.tree.map(lambda a: jnp.zeros_like(a), params)
+    got = gemma3.generate_tokens_batched(
+        zp, [PROMPT, other], cfg, jax.random.key(2), max_new_tokens=16,
+        temperature=0.0, stop_tokens=(0,), bucket=8)
+    assert got == [[], []]
+
+
+def test_batched_sampled_rows_valid(tiny):
+    cfg, params = tiny
+    got = gemma3.generate_tokens_batched(
+        params, [PROMPT, PROMPT[:4]], cfg, jax.random.key(3),
+        max_new_tokens=10, temperature=0.7, stop_tokens=(), bucket=8)
+    assert len(got) == 2
+    for row in got:
+        assert len(row) == 10
+        assert all(0 <= t < cfg.vocab_size for t in row)
+
+
+def test_enhance_prompts_batched_roundtrip(tiny):
+    """Pipeline-level batched enhancement drives tokenize->generate->clean."""
+    from ltx_tpu.pipeline import enhance
+
+    cfg, params = tiny
+
+    class FakeTok:
+        class _E:
+            def __init__(self, ids):
+                self.ids = ids
+
+        def encode(self, text):
+            if text in ("<end_of_turn>", "<eos>"):
+                return self._E([1])
+            return self._E([(ord(c) % 29) + 2 for c in text[:40]])
+
+        def decode(self, toks):
+            return "enhanced " + " ".join(str(t) for t in toks)
+
+    out = enhance.enhance_prompts(params, cfg, FakeTok(),
+                                  ["a cat", "a dog on a hill"],
+                                  max_tokens=6, temperature=0.0)
+    assert len(out) == 2 and all(isinstance(s, str) and s for s in out)
