@@ -298,14 +298,31 @@ class LTXPipeline:
         return jnp.asarray(input_ids), jnp.asarray(mask)
 
     def encode_prompt(self, prompt: str):
-        """prompt -> (embeddings (1, S, D), mask (1, S)[, audio])."""
+        """prompt -> (embeddings (1, S, D), mask (1, S)[, audio]).
+
+        With phase_staging the two halves are STAGED: the Gemma tower runs
+        with only gemma_params resident, its (49, 1, S, D) hidden states
+        (~0.4 GB) stay on device, gemma_params release to host, and only
+        then does the connector come up. W8A8 Gemma (12.8 GB) + connector
+        (~2.2 GB) + activations co-resident would sit at the 15.5 GB HBM
+        edge on one chip; staging caps the peak at ~13.2 GB.
+        """
         if self.gemma_params is None:
             raise ModelNotLoadedError("text encoder (Gemma)")
-        self._on_device("gemma_params", "text_encoder_params")
         ids, mask = self.tokenize(prompt)
-        hidden = gemma3.forward_hidden_states(
-            self.gemma_params, ids, mask, self.gcfg
-        )
+        if self.memory.phase_staging:
+            self._on_device("gemma_params")
+            hidden = gemma3.forward_hidden_states(
+                self.gemma_params, ids, mask, self.gcfg
+            )
+            device_sync(hidden)  # real sync: see utils.diagnostics docstring
+            self._release_to_host("gemma_params")
+            self._on_device("text_encoder_params")
+        else:
+            self._on_device("gemma_params", "text_encoder_params")
+            hidden = gemma3.forward_hidden_states(
+                self.gemma_params, ids, mask, self.gcfg
+            )
         out = text_encoder.encode_from_hidden_states(
             self.text_encoder_params, hidden, mask, self.tecfg
         )

@@ -64,7 +64,6 @@ def phase_gemma(results):
     gcfg = gemma3.Gemma3Config()
     tecfg = text_encoder.TextEncoderConfig()
     gparams = build_gemma_int4(gcfg, mode="w8a8")
-    teparams = text_encoder.init_params(jax.random.key(0), tecfg, jnp.bfloat16)
     sync(gparams["norm"]["w"])
 
     # --- prompt enhancement: ~800-token chat prompt (system prompt + user),
@@ -84,21 +83,41 @@ def phase_gemma(results):
     log(f"enhance: {results['enhance_s']} s for {len(toks)} tokens "
         f"(compile {results['enhance_compile_s']} s)")
 
-    # --- text encoding (1024-token padded prompt)
+    # --- text encoding (1024-token padded prompt), STAGED like the
+    # pipeline (generate.py::encode_prompt with phase_staging): w8a8 Gemma
+    # (12.8 GB) and the connector (~2.2 GB) never co-reside — the Gemma
+    # tower runs first, its (49, 1, 1024, 3840) hidden states stay on
+    # device, gparams free, then the connector comes up.
     ids = jnp.ones((1, 1024), jnp.int32)
     mask = jnp.ones((1, 1024), jnp.int32)
-    enc = jax.jit(lambda gp, tp, i, m: text_encoder.encode_from_hidden_states(
-        tp, gemma3.forward_hidden_states(gp, i, m, gcfg), m, tecfg))
+    tower = jax.jit(lambda gp, i, m: gemma3.forward_hidden_states(
+        gp, i, m, gcfg))
+    conn = jax.jit(lambda tp, h, m: text_encoder.encode_from_hidden_states(
+        tp, h, m, tecfg))
     t0 = time.time()
-    out = enc(gparams, teparams, ids, mask)
+    hidden = tower(gparams, ids, mask)
+    sync(hidden)
+    tower_compile = time.time() - t0
+    t0 = time.time()
+    hidden = tower(gparams, ids, mask)
+    sync(hidden)
+    tower_s = time.time() - t0
+    del gparams
+    gc.collect()
+    teparams = text_encoder.init_params(jax.random.key(0), tecfg, jnp.bfloat16)
+    sync(jax.tree.leaves(teparams)[0])
+    t0 = time.time()
+    out = conn(teparams, hidden, mask)
     sync(out["video"])
-    results["text_encode_compile_s"] = round(time.time() - t0, 1)
+    results["text_encode_compile_s"] = round(
+        tower_compile + time.time() - t0, 1)
     t0 = time.time()
-    out = enc(gparams, teparams, ids, mask)
+    out = conn(teparams, hidden, mask)
     emb = np.asarray(out["video"])
-    results["text_encode_s"] = round(time.time() - t0, 2)
-    log(f"text encode: {results['text_encode_s']} s")
-    del gparams, teparams, out, enc
+    results["text_encode_s"] = round(tower_s + time.time() - t0, 2)
+    log(f"text encode: {results['text_encode_s']} s (staged: tower "
+        f"{tower_s:.2f} + connector)")
+    del teparams, out, conn, tower, hidden
     gc.collect()
     return emb
 

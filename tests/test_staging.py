@@ -66,6 +66,36 @@ def test_staging_releases_after_each_phase():
     np.testing.assert_array_equal(np.asarray(r2.frames), np.asarray(r3.frames))
 
 
+def test_staged_encode_releases_gemma_before_connector():
+    """encode_prompt under phase_staging stages the two halves: the Gemma
+    tower runs alone, releases to host, and only then does the connector
+    place — w8a8 Gemma (12.8 GB) + connector (~2.2 GB) never co-reside
+    (generate.py::encode_prompt docstring)."""
+    pipe = _host_pipe(seed=0, phase_staging=True)
+    placed = []
+    orig = LTXPipeline._on_device
+
+    def spy(self, *names):
+        placed.append(tuple(names))
+        return orig(self, *names)
+
+    pipe._on_device = spy.__get__(pipe)
+    out = pipe.encode_prompt("a cat")
+    assert np.isfinite(np.asarray(out["video"], np.float32)).all()
+    assert ("gemma_params",) in placed
+    assert ("text_encoder_params",) in placed
+    gi = placed.index(("gemma_params",))
+    ti = placed.index(("text_encoder_params",))
+    assert gi < ti, placed
+    # gemma was back on host by the time the connector placed
+    assert staging.is_host_tree(pipe.gemma_params)
+    # staged output == co-resident output
+    ref = _host_pipe(seed=0, phase_staging=False)
+    want = ref.encode_prompt("a cat")
+    np.testing.assert_array_equal(np.asarray(out["video"]),
+                                  np.asarray(want["video"]))
+
+
 def test_non_staging_places_lazily_and_keeps_resident():
     pipe = _host_pipe(seed=0, phase_staging=False,
                       offload_text_encoder=False)
