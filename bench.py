@@ -140,8 +140,6 @@ def main():
     gcfg = gemma3.Gemma3Config()
     tecfg = text_encoder.TextEncoderConfig()
     gparams = build_gemma_int4(gcfg, mode="w8a8")
-    teparams = text_encoder.init_params(jax.random.key(0), tecfg,
-                                        jnp.bfloat16)
     sync(gparams["norm"]["w"])
 
     ids_np = np.random.default_rng(0).integers(
@@ -160,21 +158,39 @@ def main():
     e2e += enhance_s
     log(f"enhance: {enhance_s:.2f} s ({len(toks)} tokens)")
 
+    # STAGED like the pipeline (generate.py::encode_prompt with
+    # phase_staging): w8a8 Gemma (12.8 GB) and the connector (~2.2 GB)
+    # never co-reside — the tower's hidden states (~0.4 GB) bridge them.
     ids = jnp.ones((1, 1024), jnp.int32)
     mask = jnp.ones((1, 1024), jnp.int32)
-    enc = jax.jit(lambda gp, tp, i, m: text_encoder.encode_from_hidden_states(
-        tp, gemma3.forward_hidden_states(gp, i, m, gcfg), m, tecfg))
+    tower = jax.jit(lambda gp, i, m: gemma3.forward_hidden_states(
+        gp, i, m, gcfg))
+    conn = jax.jit(lambda tp, h, m: text_encoder.encode_from_hidden_states(
+        tp, h, m, tecfg))
     t0 = time.time()
-    out = enc(gparams, teparams, ids, mask)
-    sync(out["video"])
-    log(f"text-encode compile: {time.time() - t0:.1f} s")
+    hidden = tower(gparams, ids, mask)
+    sync(hidden)
+    log(f"text-encode tower compile: {time.time() - t0:.1f} s")
     t0 = time.time()
-    out = enc(gparams, teparams, ids, mask)
-    emb = jnp.array(out["video"]).astype(jnp.bfloat16)
+    hidden = tower(gparams, ids, mask)
+    sync(hidden)
     text_s = time.time() - t0
+    del gparams
+    gc.collect()
+    teparams = text_encoder.init_params(jax.random.key(0), tecfg,
+                                        jnp.bfloat16)
+    sync(jax.tree.leaves(teparams)[0])
+    t0 = time.time()
+    out = conn(teparams, hidden, mask)
+    sync(out["video"])
+    log(f"text-encode connector compile: {time.time() - t0:.1f} s")
+    t0 = time.time()
+    out = conn(teparams, hidden, mask)
+    emb = jnp.array(out["video"]).astype(jnp.bfloat16)
+    text_s += time.time() - t0
     e2e += text_s
-    log(f"text encode: {text_s:.2f} s")
-    del gparams, teparams, out, enc
+    log(f"text encode: {text_s:.2f} s (staged)")
+    del teparams, out, conn, tower, hidden
     gc.collect()
 
     # === Phase 2: 19B DiT int4, 25f@768x512 distilled 8 steps ===
