@@ -126,6 +126,17 @@ def sequence_parallel_sdpa(q, k, v, mesh, bias=None,
 
     shard_map = jax.shard_map
 
+    # Pick flash vs einsum from the MESH's devices, not default_backend():
+    # under a TPU plugin the default backend stays "tpu" even when the mesh
+    # is virtual CPU devices (driver dryrun), and non-interpret Pallas
+    # cannot lower on CPU. Explicit use_flash on a CPU mesh runs the
+    # kernel in the Pallas interpreter (the CPU tests' configuration).
+    plat = mesh.devices.flat[0].platform
+    if use_flash is None:
+        use_flash = plat == "tpu"
+    if use_flash and plat != "tpu":
+        interpret = True
+
     qkv_spec = P(None, None, seq_axis, None)
     specs_in = (qkv_spec, qkv_spec, qkv_spec)
     args = (q, k, v)

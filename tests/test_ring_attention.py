@@ -65,6 +65,24 @@ def test_ring_flash_matches_sdpa(mesh):
                                atol=2e-5, rtol=1e-4)
 
 
+def test_ring_flash_on_cpu_mesh_auto_interprets(mesh):
+    """Platform comes from the MESH's devices, not jax.default_backend():
+    under a resident TPU plugin the default backend stays 'tpu' while the
+    dryrun mesh is virtual CPU devices — non-interpret Pallas would fail to
+    lower there (the round-3 dryrun regression). use_flash=True on a CPU
+    mesh must silently run the interpreter; use_flash=None must pick the
+    einsum path."""
+    q, k, v = _qkv(jax.random.key(9), t=128)
+    ref = _xla_sdpa(q, k, v)
+    # no interpret=True passed: the CPU mesh must coerce it
+    out = sequence_parallel_sdpa(q, k, v, mesh, use_flash=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+    out_auto = sequence_parallel_sdpa(q, k, v, mesh)
+    np.testing.assert_allclose(np.asarray(out_auto), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
 def test_ring_dispatch_pads_non_divisible(mesh):
     """sdpa(impl='ring') pads a non-ring-divisible sequence (and its key
     bias) instead of silently falling back to quadratic XLA SDPA."""
