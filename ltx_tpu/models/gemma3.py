@@ -214,8 +214,16 @@ def _attention(p, x, bias, cos, sin, cfg: Gemma3Config, kv_cache=None,
     new_cache = None
     if kv_cache is not None:
         ck, cv = kv_cache
-        ck = lax.dynamic_update_slice(ck, k, (0, 0, cache_index, 0))
-        cv = lax.dynamic_update_slice(cv, v, (0, 0, cache_index, 0))
+        if getattr(cache_index, "ndim", 0) == 1:
+            # (B,) per-row write offsets (batched speculative decoding:
+            # rows commit different counts, so bundle bases diverge)
+            upd = jax.vmap(
+                lambda c, n, i: lax.dynamic_update_slice(c, n, (0, i, 0)))
+            ck = upd(ck, k, cache_index)
+            cv = upd(cv, v, cache_index)
+        else:
+            ck = lax.dynamic_update_slice(ck, k, (0, 0, cache_index, 0))
+            cv = lax.dynamic_update_slice(cv, v, (0, 0, cache_index, 0))
         k, v = ck, cv
         new_cache = (ck, cv)
 
@@ -610,6 +618,8 @@ def generate_tokens_batched(
     stop_tokens: Tuple[int, ...] = (1,),
     bucket: int = 128,
     top_k: int = 0,
+    spec_k: int = 0,
+    spec_ngram: int = 3,
 ):
     """B prompts through ONE compiled KV-cached sampling program.
 
@@ -629,6 +639,15 @@ def generate_tokens_batched(
     bf16 — ~0.4 GB/row at the 1024-slot enhancement shape; w8a8 Gemma
     (12.7 GB resident) fits ~B=6 on one v5e chip, int4 (6 GB) fits B=16+.
 
+    spec_k > 0 adds prompt-lookup SPECULATIVE decoding per row (same
+    n-gram draft + exact rejection sampling as generate_tokens; greedy
+    output is row-identical to sequential — tested). Rows accept
+    independently, so their cache positions diverge; per-row bundle
+    bases write the KV cache via vectorized per-row offsets. Bundles
+    stay lock-step across rows (one compiled (B, k+1) verify forward
+    per iteration), so the batch advances at the rate each iteration's
+    per-row acceptance allows.
+
     Returns a list of B token lists (each without its prompt).
     """
     if top_k <= 0:
@@ -646,9 +665,12 @@ def generate_tokens_batched(
     for i, r in enumerate(rows):
         ids_padded[i, pads[i]:] = r
 
+    if spec_k > 0 and max_new_tokens < 2:
+        spec_k = 0  # nothing to speculate on
     max_len = t_pad + max_new_tokens
-    cos_g, sin_g = rope_tables(max_len, cfg.head_dim, cfg.rope_theta)
-    cos_l, sin_l = rope_tables(max_len, cfg.head_dim,
+    cache_len = max_len + (spec_k + 1 if spec_k > 0 else 0)
+    cos_g, sin_g = rope_tables(cache_len, cfg.head_dim, cfg.rope_theta)
+    cos_l, sin_l = rope_tables(cache_len, cfg.head_dim,
                                cfg.rope_local_base_freq)
     tables = tuple(jnp.asarray(a) for a in (cos_g, sin_g, cos_l, sin_l))
     stop_arr = (jnp.asarray(list(stop_tokens), jnp.int32)
@@ -656,7 +678,8 @@ def generate_tokens_batched(
 
     fn = _build_generate_batched_fn(
         cfg, b, t_pad, max_new_tokens, float(temperature), float(top_p),
-        float(repetition_penalty), int(repetition_context), int(top_k))
+        float(repetition_penalty), int(repetition_context), int(top_k),
+        int(spec_k), int(spec_ngram))
     out, n_gen = fn(params, jnp.asarray(ids_padded), jnp.asarray(pads),
                     stop_arr, tables, key)
     out, n_gen = np.asarray(out), np.asarray(n_gen)
@@ -667,11 +690,13 @@ def generate_tokens_batched(
 def _build_generate_batched_fn(cfg: Gemma3Config, batch: int, t_pad: int,
                                max_new_tokens: int, temperature: float,
                                top_p: float, repetition_penalty: float,
-                               repetition_context: int, top_k: int):
+                               repetition_context: int, top_k: int,
+                               spec_k: int = 0, spec_ngram: int = 3):
     """Compile-cached batched generation program (one (config, B, bucket))."""
     nl, nkv, hd = cfg.hidden_layers, cfg.kv_heads, cfg.head_dim
     vocab = cfg.vocab_size
     max_len = t_pad + max_new_tokens
+    cache_len = max_len + (spec_k + 1 if spec_k > 0 else 0)
     scale_emb = float(np.sqrt(cfg.hidden_size))
     is_global = jnp.asarray(
         [cfg.is_global_layer(i) for i in range(nl)])
@@ -682,9 +707,9 @@ def _build_generate_batched_fn(cfg: Gemma3Config, batch: int, t_pad: int,
         dtype = params["embed_tokens"]["w"].dtype
         h = _embed_lookup(params, ids) * jnp.asarray(scale_emb, dtype)
 
-        # --- prefill biases: (B, 1, t_pad, max_len), per-row left pad
+        # --- prefill biases: (B, 1, t_pad, cache_len), per-row left pad
         row = jnp.arange(t_pad)[None, :, None]
-        col = jnp.arange(max_len)[None, None, :]
+        col = jnp.arange(cache_len)[None, None, :]
         pad_b = pads[:, None, None]
         valid = (col <= row) & (col >= pad_b)
         bias_g = jnp.where(valid, 0.0, -1e9)[:, None].astype(jnp.float32)
@@ -696,8 +721,8 @@ def _build_generate_batched_fn(cfg: Gemma3Config, batch: int, t_pad: int,
         pcos_g, psin_g = cos_g[pos_ids], sin_g[pos_ids]  # (B, t_pad, hd/2)
         pcos_l, psin_l = cos_l[pos_ids], sin_l[pos_ids]
 
-        ck0 = jnp.zeros((nl, batch, nkv, max_len, hd), dtype)
-        cv0 = jnp.zeros((nl, batch, nkv, max_len, hd), dtype)
+        ck0 = jnp.zeros((nl, batch, nkv, cache_len, hd), dtype)
+        cv0 = jnp.zeros((nl, batch, nkv, cache_len, hd), dtype)
 
         def prefill_layer(carry, scanned):
             h = carry
@@ -714,18 +739,23 @@ def _build_generate_batched_fn(cfg: Gemma3Config, batch: int, t_pad: int,
         h = gemma_rms_norm(h, params["norm"]["w"], cfg.rms_norm_eps)
         logits0 = _lm_head(params, h[:, -1])  # (B, vocab) f32
 
-        def decode(carry_caches, toks, n):
-            """(B,) tokens; every row writes cache slot t_pad + n."""
+        def decode(carry_caches, toks, pos_b):
+            """(B, m) token bundle; row i writes cache slots
+            pos_b[i]..pos_b[i]+m-1 (per-row bases — they diverge under
+            speculative acceptance). Within-bundle causal: bundle row j
+            of batch row i attends to slots [pads[i], pos_b[i]+j]."""
+            m = toks.shape[1]
             cks, cvs = carry_caches
-            h = (_embed_lookup(params, toks[:, None])
-                 * jnp.asarray(scale_emb, dtype))  # (B, 1, D)
-            pos = t_pad + n
-            idx = jnp.arange(max_len)[None, None, None, :]
-            ok = (idx >= pads[:, None, None, None]) & (idx <= pos)
+            h = (_embed_lookup(params, toks)
+                 * jnp.asarray(scale_emb, dtype))  # (B, m, D)
+            idx = jnp.arange(cache_len)[None, None, None, :]
+            rows = jnp.arange(m)[None, None, :, None]
+            ok = (idx >= pads[:, None, None, None]) & \
+                 (idx <= (pos_b[:, None, None, None] + rows))
             bias = jnp.where(ok, 0.0, -1e9).astype(jnp.float32)
-            rp = pos - pads  # (B,) per-row sequence position
-            dcos_g, dsin_g = cos_g[rp][:, None], sin_g[rp][:, None]
-            dcos_l, dsin_l = cos_l[rp][:, None], sin_l[rp][:, None]
+            rp = (pos_b - pads)[:, None] + jnp.arange(m)[None]  # (B, m)
+            dcos_g, dsin_g = cos_g[rp], sin_g[rp]  # (B, m, hd/2)
+            dcos_l, dsin_l = cos_l[rp], sin_l[rp]
 
             def layer(carry, scanned):
                 h = carry
@@ -733,13 +763,13 @@ def _build_generate_batched_fn(cfg: Gemma3Config, batch: int, t_pad: int,
                 cos = jnp.where(glob, dcos_g, dcos_l)
                 sin = jnp.where(glob, dsin_g, dsin_l)
                 h, (ck, cv) = _decoder_layer(p, h, bias, cos, sin, cfg,
-                                             (ck, cv), pos)
+                                             (ck, cv), pos_b)
                 return h, (ck, cv)
 
             h, (cks, cvs) = lax.scan(
                 layer, h, (params["layers"], is_global, cks, cvs))
             h = gemma_rms_norm(h, params["norm"]["w"], cfg.rms_norm_eps)
-            return (cks, cvs), _lm_head(params, h[:, 0])  # (B, vocab) f32
+            return (cks, cvs), _lm_head(params, h)  # (B, m, vocab) f32
 
         def penalize_row(lg, ring):
             if repetition_penalty == 1.0:
@@ -756,6 +786,19 @@ def _build_generate_batched_fn(cfg: Gemma3Config, batch: int, t_pad: int,
                 lambda l, k: topp_sample(l, k, temperature, top_p, top_k)
             )(lg, keys)
 
+        def is_stop(toks):
+            return (jnp.any(toks[:, None] == stop_arr[None, :], axis=1)
+                    if stop_arr.shape[0] else jnp.zeros((batch,), bool))
+
+        if spec_k > 0:
+            return _spec_loop_batched(
+                ids, pads, key, (cks, cvs), logits0,
+                decode, penalize_row, sample, is_stop,
+                batch=batch, t_pad=t_pad, max_new_tokens=max_new_tokens,
+                cache_len=cache_len, ctx=ctx, vocab=vocab,
+                spec_k=spec_k, spec_ngram=spec_ngram,
+                temperature=temperature, top_p=top_p, top_k=top_k)
+
         def cond(state):
             _, _, _, _, _, _, n, done = state
             return (n < max_new_tokens) & ~jnp.all(done)
@@ -766,17 +809,16 @@ def _build_generate_batched_fn(cfg: Gemma3Config, batch: int, t_pad: int,
             subs = jax.random.split(sub, batch)
             lg = jax.vmap(penalize_row)(logits, ring)
             nxt = sample(lg, subs)  # (B,)
-            stop_hit = (jnp.any(nxt[:, None] == stop_arr[None, :], axis=1)
-                        if stop_arr.shape[0] else
-                        jnp.zeros((batch,), bool))
+            stop_hit = is_stop(nxt)
             write = ~done & ~stop_hit
             out = out.at[:, n].set(jnp.where(write, nxt, out[:, n]))
             ring = ring.at[:, n % ctx].set(
                 jnp.where(write, nxt, ring[:, n % ctx]))
             n_gen = n_gen + write.astype(jnp.int32)
             done = done | stop_hit
-            caches, logits = decode(caches, nxt, n)
-            return caches, logits, key, out, ring, n_gen, n + 1, done
+            caches, logits = decode(
+                caches, nxt[:, None], jnp.full((batch,), t_pad + n))
+            return caches, logits[:, 0], key, out, ring, n_gen, n + 1, done
 
         out0 = jnp.full((batch, max_new_tokens), -1, jnp.int32)
         ring0 = jnp.full((batch, ctx), vocab, jnp.int32)  # out-of-range
@@ -918,6 +960,111 @@ def _spec_loop(params, ids, pad, stop_arr, key, caches, logits0,
 
         # bonus token from the last row when the whole draft was accepted
         tokb = sample(penalize(logits[-1], ring), keys[1])
+        live = accepting & ~done & (n_gen < max_new_tokens)
+        _, out, ring, ctx_buf, n_gen, done, last = commit(
+            tokb, live, out, ring, ctx_buf, n_gen, done, last)
+        return caches, last, keys[0], out, ring, ctx_buf, n_gen, done
+
+    state = (caches, tok0, key, out, ring, ctx_buf, n_gen, stop0)
+    state = lax.while_loop(cond, body, state)
+    _, _, _, out, _, _, n_gen, _ = state
+    return out, n_gen
+
+
+def _spec_loop_batched(ids, pads, key, caches, logits0, decode,
+                       penalize_row, sample, is_stop, *, batch, t_pad,
+                       max_new_tokens, cache_len, ctx, vocab, spec_k,
+                       spec_ngram, temperature, top_p, top_k):
+    """Batched prompt-lookup speculative decode loop.
+
+    Per-row semantics are IDENTICAL to _spec_loop: each row drafts from
+    its own token history, rejection-samples against its own target
+    logits, and freezes independently on its stop token. Rows accept
+    different counts, so their cache bundle bases (pos_b) diverge —
+    decode() writes the KV cache with per-row offsets. Bundles stay
+    lock-step (one (B, spec_k+1) verify forward per iteration); a row
+    that commits fewer tokens simply re-speculates from its corrected
+    position next iteration.
+    """
+    b_idx = jnp.arange(batch)
+    out0 = jnp.full((batch, max_new_tokens), -1, jnp.int32)
+    ring0 = jnp.full((batch, ctx), vocab, jnp.int32)  # out-of-range slot
+    ctx_buf0 = jnp.concatenate([
+        jnp.where(jnp.arange(t_pad)[None] >= pads[:, None],
+                  ids.astype(jnp.int32), -1),
+        jnp.full((batch, cache_len - t_pad), -1, jnp.int32)], axis=1)
+
+    # first token per row straight from the prefill logits
+    key, k0 = jax.random.split(key)
+    tok0 = sample(jax.vmap(penalize_row)(logits0, ring0),
+                  jax.random.split(k0, batch))
+    stop0 = is_stop(tok0)
+    sel = lambda c, a, b: jnp.where(c[:, None], a, b)
+    out = sel(stop0, out0, out0.at[:, 0].set(tok0))
+    ring = sel(stop0, ring0, ring0.at[:, 0].set(tok0))
+    ctx_buf = sel(stop0, ctx_buf0, ctx_buf0.at[:, t_pad].set(tok0))
+    n_gen = jnp.where(stop0, 0, 1).astype(jnp.int32)
+
+    def commit(tok, live, out, ring, ctx_buf, n_gen, done, last):
+        """Per-row bookkeeping for one committed candidate (mirrors the
+        sequential body: a stop token terminates without being written).
+        n_gen==max_new rows have live=False; the clamped gather/scatter
+        at their out-of-range index is discarded by the select."""
+        hit = is_stop(tok)
+        write = live & ~hit
+        out = jnp.where(write[:, None],
+                        out.at[b_idx, n_gen].set(tok), out)
+        ring = jnp.where(write[:, None],
+                         ring.at[b_idx, n_gen % ctx].set(tok), ring)
+        ctx_buf = jnp.where(write[:, None],
+                            ctx_buf.at[b_idx, t_pad + n_gen].set(tok),
+                            ctx_buf)
+        n_gen = n_gen + write.astype(jnp.int32)
+        done = done | (live & hit)
+        last = jnp.where(write, tok, last)
+        return write, out, ring, ctx_buf, n_gen, done, last
+
+    def cond(state):
+        _, _, _, _, _, _, n_gen, done = state
+        return jnp.any(~done & (n_gen < max_new_tokens))
+
+    def body(state):
+        caches, cur, key, out, ring, ctx_buf, n_gen, done = state
+        pos_b = t_pad + n_gen - 1        # per-row cache slot for cur
+        cursor = t_pad + n_gen           # per-row ctx_buf write cursor
+        draft = jax.vmap(
+            lambda cb, cu, pd: _ngram_draft(cb, cu, pd, spec_ngram, spec_k)
+        )(ctx_buf, cursor, pads)         # (B, spec_k)
+        toks = jnp.concatenate([cur[:, None], jnp.maximum(draft, 0)],
+                               axis=1)   # (B, spec_k+1)
+        caches, logits = decode(caches, toks, pos_b)  # (B, k+1, vocab)
+
+        keys = jax.random.split(key, spec_k + 2)
+
+        def acc_step(carry, xs):
+            out, ring, ctx_buf, n_gen, accepting, done, last = carry
+            d, row_lg, kk = xs           # (B,), (B, vocab), key
+            lg = jax.vmap(penalize_row)(row_lg, ring)
+            tok, acc = jax.vmap(
+                lambda l, dd, k_: spec_accept(l, dd, k_, temperature,
+                                              top_p, top_k)
+            )(lg, d, jax.random.split(kk, batch))
+            live = accepting & ~done & (n_gen < max_new_tokens)
+            write, out, ring, ctx_buf, n_gen, done, last = commit(
+                tok, live, out, ring, ctx_buf, n_gen, done, last)
+            accepting = write & acc  # a rejection commits the correction
+            return (out, ring, ctx_buf, n_gen, accepting, done, last), None
+
+        carry, _ = lax.scan(
+            acc_step,
+            (out, ring, ctx_buf, n_gen, jnp.ones((batch,), bool), done,
+             cur),
+            (draft.T, logits[:, :-1].transpose(1, 0, 2), keys[2:]))
+        out, ring, ctx_buf, n_gen, accepting, done, last = carry
+
+        # bonus token from the last row when a row's whole draft accepted
+        tokb = sample(jax.vmap(penalize_row)(logits[:, -1], ring),
+                      jax.random.split(keys[1], batch))
         live = accepting & ~done & (n_gen < max_new_tokens)
         _, out, ring, ctx_buf, n_gen, done, last = commit(
             tokb, live, out, ring, ctx_buf, n_gen, done, last)

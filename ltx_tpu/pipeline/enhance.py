@@ -206,6 +206,7 @@ def enhance_prompts(
     max_tokens: int = 512,
     temperature: float = 0.7,
     seed: int = 42,
+    spec_k: int = 0,
 ) -> List[str]:
     """Batched (text-only) enhancement for serving front-ends.
 
@@ -228,7 +229,7 @@ def enhance_prompts(
             gemma_params, ids, gemma_config, jax.random.key(seed),
             max_new_tokens=max_tokens, temperature=temperature,
             top_p=0.95, repetition_penalty=1.1,
-            stop_tokens=tuple(stop_ids),
+            stop_tokens=tuple(stop_ids), spec_k=spec_k,
         )
         return [clean_enhanced_prompt(tokenizer.decode(t)) or p
                 for t, p in zip(outs, prompts)]

@@ -260,3 +260,64 @@ def test_enhance_prompts_batched_roundtrip(tiny):
                                   ["a cat", "a dog on a hill"],
                                   max_tokens=6, temperature=0.0)
     assert len(out) == 2 and all(isinstance(s, str) and s for s in out)
+
+
+# --- batched + speculative (per-row bundle bases) --------------------------
+
+
+def test_batched_spec_greedy_matches_sequential_rows(tiny):
+    """Batched speculative greedy == batched sequential greedy == each
+    row's single-prompt greedy run, across draft widths. Rows accept
+    different counts per bundle, so their cache bases diverge — this is
+    the per-row-offset KV write path."""
+    cfg, params = tiny
+    prompts = [
+        np.asarray([5, 9, 11, 5, 9, 11, 5, 9], np.int32),
+        np.asarray([3, 7, 2], np.int32),
+        np.asarray([12, 1, 4, 6, 2, 8, 10, 13, 3, 5], np.int32),
+    ]
+    seq = gemma3.generate_tokens_batched(
+        params, prompts, cfg, jax.random.key(1), max_new_tokens=24,
+        temperature=0.0, stop_tokens=(), bucket=8)
+    for k in (2, 4, 8):
+        spec = gemma3.generate_tokens_batched(
+            params, prompts, cfg, jax.random.key(1), max_new_tokens=24,
+            temperature=0.0, stop_tokens=(), bucket=8, spec_k=k)
+        assert spec == seq, k
+    for i, p in enumerate(prompts):
+        single = gemma3.generate_tokens(params, p, cfg, jax.random.key(1),
+                                        max_new_tokens=24, temperature=0.0,
+                                        stop_tokens=(), bucket=8)
+        assert seq[i] == single, i
+
+
+def test_batched_spec_per_row_stop(tiny):
+    """Stops freeze rows independently under speculation (a stop token
+    inside an accepted bundle must terminate that row exactly there)."""
+    cfg, params = tiny
+    seq = gemma3.generate_tokens(params, PROMPT, cfg, jax.random.key(1),
+                                 max_new_tokens=16, temperature=0.0,
+                                 stop_tokens=(), bucket=8)
+    stop = seq[5]
+    want0 = seq[:seq.index(stop)]
+    other = np.asarray([3, 7, 2, 9], np.int32)
+    want1 = gemma3.generate_tokens(params, other, cfg, jax.random.key(1),
+                                   max_new_tokens=16, temperature=0.0,
+                                   stop_tokens=(stop,), bucket=8)
+    got = gemma3.generate_tokens_batched(
+        params, [PROMPT, other], cfg, jax.random.key(1), max_new_tokens=16,
+        temperature=0.0, stop_tokens=(stop,), bucket=8, spec_k=4)
+    assert got[0] == want0
+    assert got[1] == want1
+
+
+def test_batched_spec_sampled_rows_valid(tiny):
+    cfg, params = tiny
+    got = gemma3.generate_tokens_batched(
+        params, [PROMPT, PROMPT[:4]], cfg, jax.random.key(3),
+        max_new_tokens=10, temperature=0.7, stop_tokens=(), bucket=8,
+        spec_k=4)
+    assert len(got) == 2
+    for row in got:
+        assert len(row) == 10
+        assert all(0 <= t < cfg.vocab_size for t in row)
