@@ -29,6 +29,10 @@ def main():
     ap.add_argument("--batches", type=int, nargs="+", default=[1, 2, 4])
     ap.add_argument("--n1", type=int, default=32)
     ap.add_argument("--n2", type=int, default=160)
+    ap.add_argument("--spec-k", type=int, default=0,
+                    help="also measure the batched speculative path: "
+                         "full-accept ceiling (spiked embeddings) and "
+                         "zero-accept floor (random weights), at each B")
     args = ap.parse_args()
 
     from e2e_bench import build_gemma_int4, sync
@@ -39,28 +43,68 @@ def main():
     sync(params["norm"]["w"])
     base = np.full((500,), 7, np.int32)  # t_pad 512, the bench prompt size
 
-    results = {}
-    for b in args.batches:
-        # vary lengths so per-row pads/positions are exercised
+    def set_embed(spiked: bool):
+        """Swap the 2 GB embedding table IN PLACE (the fixture's embed is
+        zeros, so it can be rebuilt device-side for free): holding the
+        zeros AND the spiked table at B=4 (w8a8 12.8 GB + 2x2 GB embeds +
+        1.1 GB KV) would cross the 15.5 GB HBM edge.
+
+        Spiked = rank-1 embeddings whose row 42 dominates: sampling emits
+        42 with p ~= 1, so prompt-lookup drafts always accept (ceiling) —
+        same construction as scripts/spec_probe.py."""
+        import jax.numpy as jnp
+        d = cfg.hidden_size
+
+        def build():
+            if not spiked:
+                return jnp.zeros((cfg.vocab_size, d), jnp.bfloat16)
+            c = jnp.full((cfg.vocab_size,), 0.01, jnp.float32)
+            c = c.at[42].set(10.0)
+            return (c[:, None] * jnp.ones((1, d), jnp.float32)
+                    ).astype(jnp.bfloat16)
+
+        params["embed_tokens"]["w"] = None  # free before the new table
+        params["embed_tokens"]["w"] = jax.jit(build)()
+        sync(params["embed_tokens"]["w"][0])
+
+    def rate(b, label, spec_k, params=params, key0=0):
         prompts = [base[: 500 - 13 * i] for i in range(b)]
         ts = {}
         for n in (args.n1, args.n2):
-            kw = dict(max_new_tokens=n, temperature=0.7, stop_tokens=())
+            kw = dict(max_new_tokens=n, temperature=0.7, stop_tokens=(),
+                      spec_k=spec_k)
             t0 = time.time()
             out = gemma3.generate_tokens_batched(
-                params, prompts, cfg, jax.random.key(0), **kw)
+                params, prompts, cfg, jax.random.key(key0), **kw)
             compile_s = time.time() - t0
             assert all(len(r) == n for r in out), (b, n)
             t0 = time.time()
             gemma3.generate_tokens_batched(
-                params, prompts, cfg, jax.random.key(1), **kw)
+                params, prompts, cfg, jax.random.key(key0 + 1), **kw)
             ts[n] = time.time() - t0
-            print(f"  [B={b}] n={n}: {ts[n]:.2f} s "
+            print(f"  [B={b} {label}] n={n}: {ts[n]:.2f} s "
                   f"(compile+run {compile_s:.1f} s)", flush=True)
         ms = (ts[args.n2] - ts[args.n1]) / (args.n2 - args.n1) * 1e3
-        results[b] = ms
-        print(f"  [B={b}] marginal: {ms:.1f} ms/step "
+        print(f"  [B={b} {label}] marginal: {ms:.1f} ms/step "
               f"= {b / ms * 1e3:.0f} tokens/s", flush=True)
+        return ms
+
+    results = {}
+    for b in args.batches:
+        # vary lengths so per-row pads/positions are exercised
+        results[b] = rate(b, "seq", 0)
+        if args.spec_k:
+            floor = rate(b, f"spec k={args.spec_k} zero-accept",
+                         args.spec_k)
+            set_embed(True)
+            full = rate(b, f"spec k={args.spec_k} full-accept",
+                        args.spec_k)
+            set_embed(False)
+            print(f"  [B={b}] spec bounds: ceiling "
+                  f"{b / full * 1e3:.0f} tok/s "
+                  f"({results[b] / full:.2f}x), floor "
+                  f"{b / floor * 1e3:.0f} tok/s "
+                  f"({results[b] / floor:.2f}x)", flush=True)
 
     base_ms = results[args.batches[0]]
     print(f"\nmode={args.mode}: " + " | ".join(
