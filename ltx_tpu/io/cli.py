@@ -98,6 +98,32 @@ def build_parser() -> argparse.ArgumentParser:
     i = sub.add_parser("info", help="Show model and system information")
     i.add_argument("--models-dir", default=None)
 
+    e = sub.add_parser(
+        "enhance",
+        help="Batch-enhance prompts with Gemma (serving front-end: all "
+             "prompts run through ONE compiled program; no reference "
+             "analog — the Swift CLI enhances one prompt inside generate)")
+    e.add_argument("prompts", nargs="*", help="Prompts to enhance")
+    e.add_argument("--file", default=None,
+                   help="File with one prompt per line (appended to "
+                        "positional prompts)")
+    e.add_argument("--i2v", action="store_true",
+                   help="Use the image-to-video system prompt")
+    e.add_argument("--max-tokens", type=int, default=512)
+    e.add_argument("--temperature", type=float, default=0.7)
+    e.add_argument("--seed", type=int, default=42)
+    e.add_argument("--spec-k", type=int, default=8, metavar="K",
+                   help="Per-row prompt-lookup speculative drafts "
+                        "(0 disables)")
+    e.add_argument("--json", action="store_true",
+                   help="Emit a JSON list instead of one prompt per line")
+    e.add_argument("--gemma-quant", choices=["int4", "w8a8", "bf16"],
+                   default="w8a8")
+    e.add_argument("--gemma-path", default=None)
+    e.add_argument("--models-dir", default=None)
+    e.add_argument("--hf-token", default=None)
+    e.add_argument("--debug", action="store_true")
+
     return p
 
 
@@ -343,6 +369,55 @@ def cmd_info(args) -> int:
     return 0
 
 
+def cmd_enhance(args) -> int:
+    """Batched prompt enhancement (pipeline/enhance.py::enhance_prompts).
+
+    B prompts share every weight DMA of the latency-bound decode, and
+    spec_k adds per-row prompt-lookup speculative drafts on top —
+    measured 49 -> 151 tok/s at B=4 sequential, up to 1019 tok/s at full
+    draft acceptance (docs/BENCH_NOTES.md §7/7b)."""
+    import json as json_mod
+
+    prompts = list(args.prompts)
+    if args.file:
+        with open(args.file) as f:
+            prompts += [ln.strip() for ln in f if ln.strip()]
+    if not prompts:
+        print("error: no prompts (positional or --file)", file=sys.stderr)
+        return 2
+
+    from ltx_tpu.models import gemma3
+    from ltx_tpu.pipeline.enhance import enhance_prompts
+    from ltx_tpu.pipeline.loader import load_tokenizer
+    from ltx_tpu.weights import keymaps
+    from ltx_tpu.weights.download import download_gemma, load_safetensors_dir
+
+    gemma_dir = args.gemma_path or download_gemma(
+        models_dir=args.models_dir, hf_token=args.hf_token)
+    from pathlib import Path
+
+    with open(Path(gemma_dir) / "config.json") as f:
+        gcfg = gemma3.Gemma3Config.from_hf_dict(json_mod.load(f))
+    tokenizer = load_tokenizer(gemma_dir)
+    log.info("Loading Gemma (%s) from %s", args.gemma_quant, gemma_dir)
+    params = keymaps.load_gemma_params(
+        load_safetensors_dir(gemma_dir), gcfg.hidden_layers,
+        mode=args.gemma_quant)
+
+    t0 = time.time()
+    out = enhance_prompts(
+        params, gcfg, tokenizer, prompts, is_i2v=args.i2v,
+        max_tokens=args.max_tokens, temperature=args.temperature,
+        seed=args.seed, spec_k=args.spec_k)
+    log.info("Enhanced %d prompts in %.1f s", len(out), time.time() - t0)
+    if args.json:
+        print(json_mod.dumps(out, indent=1))
+    else:
+        for line in out:
+            print(line)
+    return 0
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     logging.basicConfig(
@@ -350,7 +425,7 @@ def main(argv=None) -> int:
         format="%(message)s",
     )
     handler = {"generate": cmd_generate, "download": cmd_download,
-               "info": cmd_info}[args.command]
+               "info": cmd_info, "enhance": cmd_enhance}[args.command]
     from ltx_tpu.core.errors import LTXError
 
     try:

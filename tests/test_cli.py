@@ -234,3 +234,65 @@ def test_spec_k_flag_maps_to_config():
     assert cfg.enhancement_spec_k == 8
     cfg = _generation_config(parse(["generate", "x", "--spec-k", "0"]))
     assert cfg.enhancement_spec_k == 0
+
+
+def test_enhance_subcommand_parses():
+    e = parse(["enhance", "a cat", "a dog", "--spec-k", "4", "--json",
+               "--max-tokens", "64"])
+    assert e.command == "enhance" and e.prompts == ["a cat", "a dog"]
+    assert e.spec_k == 4 and e.json and e.max_tokens == 64
+
+
+def test_cmd_enhance_batched_dispatch(tmp_path, monkeypatch, capsys):
+    """Drive `enhance` end-to-end through cmd_enhance with a tiny Gemma:
+    prompts from argv AND --file, batched+speculative path, JSON output."""
+    import json as json_mod
+
+    import jax
+    import jax.numpy as jnp
+
+    from ltx_tpu.io import cli
+    from ltx_tpu.models import gemma3
+    from ltx_tpu.weights import keymaps
+
+    cfg = gemma3.Gemma3Config(
+        hidden_size=32, hidden_layers=2, attention_heads=4, kv_heads=2,
+        head_dim=8, intermediate_size=64, vocab_size=64, sliding_window=8)
+    params = gemma3.init_params(jax.random.key(0), cfg, jnp.float32)
+
+    class FakeTok:
+        class _E:
+            def __init__(self, ids):
+                self.ids = ids
+
+        def encode(self, text):
+            if text in ("<end_of_turn>", "<eos>"):
+                return self._E([1])
+            return self._E([(ord(c) % 29) + 2 for c in text[:40]])
+
+        def decode(self, toks):
+            return "enhanced " + " ".join(str(t) for t in toks)
+
+    gdir = tmp_path / "gemma"
+    gdir.mkdir()
+    (gdir / "config.json").write_text(json_mod.dumps(
+        {"hidden_size": 32, "num_hidden_layers": 2,
+         "num_attention_heads": 4, "num_key_value_heads": 2,
+         "head_dim": 8, "intermediate_size": 64, "vocab_size": 64,
+         "sliding_window": 8}))
+
+    monkeypatch.setattr("ltx_tpu.pipeline.loader.load_tokenizer",
+                        lambda d: FakeTok())
+    monkeypatch.setattr("ltx_tpu.weights.download.load_safetensors_dir",
+                        lambda d: {"raw": True})
+    monkeypatch.setattr(keymaps, "load_gemma_params",
+                        lambda tensors, nl, mode: params)
+
+    pfile = tmp_path / "prompts.txt"
+    pfile.write_text("a dog on a hill\n\n")
+    rc = cli.main(["enhance", "a cat", "--file", str(pfile),
+                   "--gemma-path", str(gdir), "--max-tokens", "6",
+                   "--temperature", "0.0", "--spec-k", "4", "--json"])
+    assert rc == 0
+    out = json_mod.loads(capsys.readouterr().out)
+    assert len(out) == 2 and all(isinstance(s, str) and s for s in out)
