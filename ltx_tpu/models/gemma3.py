@@ -739,11 +739,14 @@ def _build_generate_batched_fn(cfg: Gemma3Config, batch: int, t_pad: int,
         h = gemma_rms_norm(h, params["norm"]["w"], cfg.rms_norm_eps)
         logits0 = _lm_head(params, h[:, -1])  # (B, vocab) f32
 
-        def decode(carry_caches, toks, pos_b):
+        def decode(carry_caches, toks, pos_b, uniform_pos=None):
             """(B, m) token bundle; row i writes cache slots
             pos_b[i]..pos_b[i]+m-1 (per-row bases — they diverge under
             speculative acceptance). Within-bundle causal: bundle row j
-            of batch row i attends to slots [pads[i], pos_b[i]+j]."""
+            of batch row i attends to slots [pads[i], pos_b[i]+j].
+            uniform_pos: traced scalar when every row shares the same
+            base (lock-step sequential path) — keeps the cache write one
+            dynamic_update_slice instead of a per-row scatter."""
             m = toks.shape[1]
             cks, cvs = carry_caches
             h = (_embed_lookup(params, toks)
@@ -756,6 +759,7 @@ def _build_generate_batched_fn(cfg: Gemma3Config, batch: int, t_pad: int,
             rp = (pos_b - pads)[:, None] + jnp.arange(m)[None]  # (B, m)
             dcos_g, dsin_g = cos_g[rp], sin_g[rp]  # (B, m, hd/2)
             dcos_l, dsin_l = cos_l[rp], sin_l[rp]
+            ci = pos_b if uniform_pos is None else uniform_pos
 
             def layer(carry, scanned):
                 h = carry
@@ -763,7 +767,7 @@ def _build_generate_batched_fn(cfg: Gemma3Config, batch: int, t_pad: int,
                 cos = jnp.where(glob, dcos_g, dcos_l)
                 sin = jnp.where(glob, dsin_g, dsin_l)
                 h, (ck, cv) = _decoder_layer(p, h, bias, cos, sin, cfg,
-                                             (ck, cv), pos_b)
+                                             (ck, cv), ci)
                 return h, (ck, cv)
 
             h, (cks, cvs) = lax.scan(
@@ -817,7 +821,8 @@ def _build_generate_batched_fn(cfg: Gemma3Config, batch: int, t_pad: int,
             n_gen = n_gen + write.astype(jnp.int32)
             done = done | stop_hit
             caches, logits = decode(
-                caches, nxt[:, None], jnp.full((batch,), t_pad + n))
+                caches, nxt[:, None], jnp.full((batch,), t_pad + n),
+                uniform_pos=t_pad + n)
             return caches, logits[:, 0], key, out, ring, n_gen, n + 1, done
 
         out0 = jnp.full((batch, max_new_tokens), -1, jnp.int32)
