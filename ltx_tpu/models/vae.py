@@ -23,6 +23,7 @@ REFLECT (reference: VideoEncoder.swift:227, VideoConvolution.swift:220).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -369,6 +370,31 @@ def decoder_forward(params, sample, cfg: VAEConfig,
     return x.transpose(0, 4, 1, 2, 3)  # -> (B, 3, T, H, W)
 
 
+@functools.lru_cache(maxsize=16)
+def _decoder_exec(cfg: VAEConfig, timestep, to_uint8: bool):
+    """Compile-cached decoder program for decode_video.
+
+    The decoder must run as ONE compiled program, not eagerly: measured
+    at the north-star shape (latent 4x16x24 -> 25f@768x512, bf16), eager
+    op-by-op execution is 1.0 s vs 0.19 s jitted (no cross-op fusion,
+    every intermediate round-trips HBM) and its FIRST call costs ~147 s —
+    each distinct op shape compiles its own remote program through the
+    tunnel. Eager also materializes intermediates in the backend's tiled
+    (8, 128) layout, which OOMs outright on very large frames (the D2S
+    residual concat's last-dim-32 operands pad 4x: 18.75 GB measured at
+    a 2048x3072 frame size)."""
+
+    def fn(params, tile, noise_key):
+        px = decoder_forward(params, tile, cfg, timestep, noise_key)
+        if to_uint8:
+            px = jnp.round(
+                jnp.clip((px.astype(jnp.float32) + 1.0) / 2.0, 0.0, 1.0)
+                * 255.0).astype(jnp.uint8)
+        return px
+
+    return jax.jit(fn)
+
+
 def decode_video(params, latent, cfg: VAEConfig,
                  timestep: Optional[float] = 0.05,
                  noise_key: Optional[jax.Array] = None,
@@ -411,7 +437,8 @@ def decode_video(params, latent, cfg: VAEConfig,
         return frames[0].transpose(1, 2, 3, 0)
 
     if tile_size <= 0 or f <= tile_size:
-        return finish(decoder_forward(params, latent, cfg, timestep, noise_key))
+        return finish(_decoder_exec(cfg, timestep, False)(
+            params, latent, noise_key))
 
     tile_overlap = max(tile_overlap, 1)
     if tile_overlap >= tile_size:
@@ -436,13 +463,8 @@ def decode_video(params, latent, cfg: VAEConfig,
         key_i = None
         if noise_key is not None:
             key_i = jax.random.fold_in(noise_key, i)
-        px = decoder_forward(params, latent[:, :, st: st + tile_size], cfg,
-                             timestep, key_i)
-        if transfer_uint8:
-            px = jnp.round(
-                jnp.clip((px.astype(jnp.float32) + 1.0) / 2.0, 0.0, 1.0)
-                * 255.0).astype(jnp.uint8)
-        return px
+        return _decoder_exec(cfg, timestep, transfer_uint8)(
+            params, latent[:, :, st: st + tile_size], key_i)
 
     out = None  # host (B, 3, 8(f-1)+1, H, W) float32, allocated on chunk 0
     filled = 0

@@ -455,6 +455,11 @@ class LTXPipeline:
         self._release_to_host("transformer_params", "av_transformer_params")
         self._on_device("vae_decoder_params")
         t0 = time.time()
+        # decode in the decoder's own precision (bf16 at real scale — the
+        # f32 denoise latent would otherwise promote the whole conv stack
+        # to f32, doubling decode HBM for no visible gain; the decoder's
+        # stat-sensitive steps run f32 internally regardless)
+        latent = latent.astype(self.vae_decoder_params["conv_in"]["w"].dtype)
         ts = 0.05 if self.vcfg.timestep_conditioning else None
         mesh = self.mesh
         nkey = key if ts is not None else None
