@@ -409,3 +409,8 @@ def decode_audio(vae_params, vocoder_params, latents,
         latents = latents[None]
     mel = audio_vae_decode(vae_params, latents, vae_cfg)
     return vocoder_forward(vocoder_params, mel, voc_cfg)
+
+
+# Compiled entry point for the pipeline's audio decode phase (see
+# gemma3.forward_hidden_states_jit for why eager is the wrong default here)
+decode_audio_jit = jax.jit(decode_audio, static_argnums=(3, 4))

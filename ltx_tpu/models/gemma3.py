@@ -1092,3 +1092,11 @@ def _lm_head(params, h):
     decode rate while costing +1 GB HBM (see weights/keymaps.py note)."""
     return jnp.dot(h, params["embed_tokens"]["w"].T,
                    preferred_element_type=jnp.float32)
+
+
+# Compiled entry point for the pipeline's text-encoding phase: eager
+# layer-by-layer execution on the remote TPU backend costs a separate
+# program compile per distinct op shape on first call and loses all
+# cross-op fusion after (docs/BENCH_NOTES.md §9 measured the same effect
+# on the VAE decoder). cfg is static — one executable per (config, shape).
+forward_hidden_states_jit = jax.jit(forward_hidden_states, static_argnums=3)

@@ -267,3 +267,8 @@ def encode_from_hidden_states(params, hidden_states, attention_mask,
         )
         result["audio"] = audio * audio_mask[:, :, None].astype(audio.dtype)
     return result
+
+
+# Compiled entry point for the pipeline (see gemma3.forward_hidden_states_jit)
+encode_from_hidden_states_jit = jax.jit(encode_from_hidden_states,
+                                        static_argnums=(3, 4))

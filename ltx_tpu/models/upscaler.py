@@ -193,3 +193,8 @@ def load_params(tensors: Dict[str, np.ndarray]) -> dict:
         "post_upsample_res_blocks": blocks("post_upsample_res_blocks"),
         "final_conv": c3("final_conv"),
     }
+
+
+# Compiled entry point for the pipeline's two-stage upscale phase (see
+# gemma3.forward_hidden_states_jit for why eager is the wrong default here)
+upsample_latents_jit = jax.jit(upsample_latents, static_argnums=4)

@@ -696,3 +696,8 @@ def encoder_forward(params, pixels, cfg: VAEConfig):
     x = causal_conv3d(params["conv_out"], x, causal, mode)
     x = x[..., : cfg.latent_channels]  # mean only, drop logvar channel
     return x.transpose(0, 4, 1, 2, 3)
+
+
+# Compiled entry point for the pipeline's I2V image encode (see
+# gemma3.forward_hidden_states_jit for why eager is the wrong default here)
+encoder_forward_jit = jax.jit(encoder_forward, static_argnums=2)

@@ -312,7 +312,7 @@ class LTXPipeline:
         ids, mask = self.tokenize(prompt)
         if self.memory.phase_staging:
             self._on_device("gemma_params")
-            hidden = gemma3.forward_hidden_states(
+            hidden = gemma3.forward_hidden_states_jit(
                 self.gemma_params, ids, mask, self.gcfg
             )
             device_sync(hidden)  # real sync: see utils.diagnostics docstring
@@ -320,10 +320,10 @@ class LTXPipeline:
             self._on_device("text_encoder_params")
         else:
             self._on_device("gemma_params", "text_encoder_params")
-            hidden = gemma3.forward_hidden_states(
+            hidden = gemma3.forward_hidden_states_jit(
                 self.gemma_params, ids, mask, self.gcfg
             )
-        out = text_encoder.encode_from_hidden_states(
+        out = text_encoder.encode_from_hidden_states_jit(
             self.text_encoder_params, hidden, mask, self.tecfg
         )
         return out
@@ -678,7 +678,8 @@ class LTXPipeline:
         image_latent / full_res_image_latent arguments are parity-injection
         hooks that bypass the internal encodes when given.
         """
-        from ltx_tpu.models.upscaler import UpscalerConfig, upsample_latents
+        from ltx_tpu.models.upscaler import (UpscalerConfig,
+            upsample_latents_jit)
         from ltx_tpu.ops.latents import adain_filter_latent
 
         config.validate()
@@ -753,7 +754,8 @@ class LTXPipeline:
         std = self.vae_decoder_params["std_of_means"]
         ucfg = self.upscaler_config or UpscalerConfig(
             in_channels=self.tcfg.in_channels)
-        latent = upsample_latents(self.upscaler_params, latent, mean, std, ucfg)
+        latent = upsample_latents_jit(self.upscaler_params, latent, mean,
+                                      std, ucfg)
         latent = adain_filter_latent(latent, stage1_output)
 
         # === STAGE 2: full resolution, 3 steps, never CFG ===
@@ -910,7 +912,7 @@ class LTXPipeline:
         audio_latents = dit_av.unpack_audio_latents(
             audio_packed, channels=8, mel=mel_latent_bins)
         self._on_device("audio_vae_params", "vocoder_params")
-        waveform = audio_vae_mod.decode_audio(
+        waveform = audio_vae_mod.decode_audio_jit(
             self.audio_vae_params, self.vocoder_params, audio_latents,
             self.audio_vae_config or audio_vae_mod.AudioVAEConfig(),
             self.vocoder_config or audio_vae_mod.VocoderConfig())
@@ -941,7 +943,8 @@ class LTXPipeline:
         """
         from ltx_tpu.models import audio_vae as audio_vae_mod
         from ltx_tpu.models import dit_av
-        from ltx_tpu.models.upscaler import UpscalerConfig, upsample_latents
+        from ltx_tpu.models.upscaler import (UpscalerConfig,
+            upsample_latents_jit)
         from ltx_tpu.ops.latents import adain_filter_latent
         from ltx_tpu.pipeline.denoise import (
             make_av_denoise_step,
@@ -1046,7 +1049,7 @@ class LTXPipeline:
         std = self.vae_decoder_params["std_of_means"]
         ucfg = self.upscaler_config or UpscalerConfig(
             in_channels=self.tcfg.in_channels)
-        video_latent = upsample_latents(
+        video_latent = upsample_latents_jit(
             self.upscaler_params, video_latent, mean, std, ucfg)
         video_latent = adain_filter_latent(video_latent, stage1_output)
 
@@ -1100,7 +1103,7 @@ class LTXPipeline:
         audio_latents = dit_av.unpack_audio_latents(
             audio_packed, channels=8, mel=mel_latent_bins)
         self._on_device("audio_vae_params", "vocoder_params")
-        waveform = audio_vae_mod.decode_audio(
+        waveform = audio_vae_mod.decode_audio_jit(
             self.audio_vae_params, self.vocoder_params, audio_latents,
             self.audio_vae_config or audio_vae_mod.AudioVAEConfig(),
             self.vocoder_config or audio_vae_mod.VocoderConfig())
@@ -1118,7 +1121,8 @@ class LTXPipeline:
         if self.vae_encoder_params is None:
             raise ModelNotLoadedError("VAE encoder")
         self._on_device("vae_encoder_params", "vae_decoder_params")
-        latent = vae.encoder_forward(self.vae_encoder_params, pixels, self.vcfg)
+        latent = vae.encoder_forward_jit(self.vae_encoder_params, pixels,
+                                         self.vcfg)
         mean = self.vae_decoder_params["mean_of_means"].astype(jnp.float32)
         std = self.vae_decoder_params["std_of_means"].astype(jnp.float32)
         return ((latent.astype(jnp.float32)
