@@ -321,3 +321,30 @@ def test_batched_spec_sampled_rows_valid(tiny):
     for row in got:
         assert len(row) == 10
         assert all(0 <= t < cfg.vocab_size for t in row)
+
+
+def test_batched_spec_with_w8a8_leaves():
+    """Batched + speculative through quantized projection leaves: per-row
+    bundle bases drive the vectorized KV writes while every matmul routes
+    through the int8 path."""
+    from ltx_tpu.kernels.quantization import requant_int8_channel_np
+
+    cfg = gemma3.Gemma3Config().tiny()
+    params = gemma3.init_params(jax.random.key(1), cfg, jnp.float32)
+    qlayers = dict(params["layers"])
+    for name in ("q_proj", "k_proj", "v_proj", "o_proj", "gate_proj",
+                 "up_proj", "down_proj"):
+        stacked = np.asarray(params["layers"][name]["w"], np.float32)
+        per = [requant_int8_channel_np(stacked[i])
+               for i in range(cfg.hidden_layers)]
+        qlayers[name] = jax.tree.map(lambda *xs: jnp.stack(xs), *per)
+    qp = {**params, "layers": qlayers}
+
+    prompts = [PROMPT, np.asarray([3, 7, 2], np.int32)]
+    seq = gemma3.generate_tokens_batched(
+        qp, prompts, cfg, jax.random.key(5), max_new_tokens=16,
+        temperature=0.0, stop_tokens=(), bucket=8)
+    spec = gemma3.generate_tokens_batched(
+        qp, prompts, cfg, jax.random.key(5), max_new_tokens=16,
+        temperature=0.0, stop_tokens=(), bucket=8, spec_k=4)
+    assert spec == seq
