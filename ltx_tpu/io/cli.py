@@ -117,6 +117,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "(0 disables)")
     e.add_argument("--json", action="store_true",
                    help="Emit a JSON list instead of one prompt per line")
+    e.add_argument("--max-batch", type=int, default=0,
+                   help="Rows per compiled micro-batch (0 = auto from the "
+                        "quant mode's HBM bound: w8a8 6, int4 16, bf16 2)")
     e.add_argument("--gemma-quant", choices=["int4", "w8a8", "bf16"],
                    default="w8a8")
     e.add_argument("--gemma-path", default=None)
@@ -375,8 +378,11 @@ def cmd_enhance(args) -> int:
     B prompts share every weight DMA of the latency-bound decode, and
     spec_k adds per-row prompt-lookup speculative drafts on top —
     measured 49 -> 151 tok/s at B=4 sequential, up to 1019 tok/s at full
-    draft acceptance (docs/BENCH_NOTES.md §7/7b)."""
-    import json as json_mod
+    draft acceptance (docs/BENCH_NOTES.md §7/7b). Prompts beyond the HBM
+    micro-batch bound (--max-batch; auto from the quant mode) chunk into
+    sequential compiled batches; a failed batch exits non-zero instead of
+    silently printing raw prompts."""
+    from pathlib import Path
 
     prompts = list(args.prompts)
     if args.file:
@@ -394,24 +400,33 @@ def cmd_enhance(args) -> int:
 
     gemma_dir = args.gemma_path or download_gemma(
         models_dir=args.models_dir, hf_token=args.hf_token)
-    from pathlib import Path
 
     with open(Path(gemma_dir) / "config.json") as f:
-        gcfg = gemma3.Gemma3Config.from_hf_dict(json_mod.load(f))
+        gcfg = gemma3.Gemma3Config.from_hf_dict(json.load(f))
     tokenizer = load_tokenizer(gemma_dir)
     log.info("Loading Gemma (%s) from %s", args.gemma_quant, gemma_dir)
     params = keymaps.load_gemma_params(
         load_safetensors_dir(gemma_dir), gcfg.hidden_layers,
         mode=args.gemma_quant)
 
+    # HBM bound: 15.5 GB/chip minus resident weights over ~0.4 GB KV/row
+    # at the 1024-slot enhancement shape (gemma3.py batched docstring)
+    max_batch = args.max_batch or {
+        "w8a8": 6, "int4": 16, "bf16": 2}[args.gemma_quant]
+
     t0 = time.time()
-    out = enhance_prompts(
-        params, gcfg, tokenizer, prompts, is_i2v=args.i2v,
-        max_tokens=args.max_tokens, temperature=args.temperature,
-        seed=args.seed, spec_k=args.spec_k)
+    try:
+        out = enhance_prompts(
+            params, gcfg, tokenizer, prompts, is_i2v=args.i2v,
+            max_tokens=args.max_tokens, temperature=args.temperature,
+            seed=args.seed, spec_k=args.spec_k, max_batch=max_batch,
+            strict=True)
+    except Exception as e:  # noqa: BLE001 — surface, don't fake success
+        print(f"error: enhancement failed: {e}", file=sys.stderr)
+        return 1
     log.info("Enhanced %d prompts in %.1f s", len(out), time.time() - t0)
     if args.json:
-        print(json_mod.dumps(out, indent=1))
+        print(json.dumps(out, indent=1))
     else:
         for line in out:
             print(line)

@@ -633,7 +633,10 @@ def generate_tokens_batched(
     Rows are left-padded to a shared 128-token bucket; each row samples
     with its own PRNG stream, repetition-penalty ring, and stop state
     (a stopped row freezes its output while the others continue). Per-row
-    semantics are IDENTICAL to generate_tokens' sequential loop.
+    GREEDY output is token-identical to generate_tokens (tested); sampled
+    rows draw from the same distribution but with per-row key splits, so
+    a fixed seed yields different (equally valid) tokens than the
+    single-prompt loop.
 
     HBM: the KV cache adds nl·B·kv_heads·(t_pad+max_new)·head_dim·2
     bf16 — ~0.4 GB/row at the 1024-slot enhancement shape; w8a8 Gemma
@@ -692,7 +695,13 @@ def _build_generate_batched_fn(cfg: Gemma3Config, batch: int, t_pad: int,
                                top_p: float, repetition_penalty: float,
                                repetition_context: int, top_k: int,
                                spec_k: int = 0, spec_ngram: int = 3):
-    """Compile-cached batched generation program (one (config, B, bucket))."""
+    """Compile-cached batched generation program (one (config, B, bucket)).
+
+    DELIBERATE twin of _build_generate_fn: delegating generate_tokens to
+    B=1 here would change its sampled-path PRNG stream (per-row key
+    splits) and drop the input_embeds path. Sampler / penalty / stop /
+    spec-commit semantics must stay lock-step with the single-row loop —
+    test_gemma_spec.py pins greedy equality across both."""
     nl, nkv, hd = cfg.hidden_layers, cfg.kv_heads, cfg.head_dim
     vocab = cfg.vocab_size
     max_len = t_pad + max_new_tokens

@@ -207,14 +207,27 @@ def enhance_prompts(
     temperature: float = 0.7,
     seed: int = 42,
     spec_k: int = 0,
+    max_batch: int = 0,
+    strict: bool = False,
 ) -> List[str]:
     """Batched (text-only) enhancement for serving front-ends.
 
-    All prompts run through ONE compiled program
+    Prompts run through ONE compiled program per micro-batch
     (gemma3.generate_tokens_batched): decode is latency-bound, so B prompts
     cost close to one — ~B× enhancement throughput. Per-prompt semantics
     match enhance_prompt's text path (same system prompt / sampler /
-    stops); best-effort — any failure returns the raw prompts.
+    stops).
+
+    max_batch caps the rows per compiled program (0 = all at once). The
+    KV cache costs ~0.4 GB/row at the 1024-slot enhancement shape, so a
+    single 15.5 GB chip bounds B≈6 under w8a8 Gemma (12.7 GB resident) —
+    callers that can see the quant mode should pass the matching cap
+    (io/cli.py::cmd_enhance does).
+
+    strict=False (the in-pipeline default) returns the raw prompts on any
+    failure — enhancement must never break generation; strict=True
+    re-raises so a serving front-end can distinguish "enhanced" from
+    "fell back" instead of silently emitting raw prompts.
     """
     system = I2V_SYSTEM_PROMPT if is_i2v else T2V_SYSTEM_PROMPT
     try:
@@ -225,15 +238,23 @@ def enhance_prompts(
             enc = tokenizer.encode(tok).ids
             if len(enc) == 1:
                 stop_ids.add(enc[0])
-        outs = gemma3.generate_tokens_batched(
-            gemma_params, ids, gemma_config, jax.random.key(seed),
-            max_new_tokens=max_tokens, temperature=temperature,
-            top_p=0.95, repetition_penalty=1.1,
-            stop_tokens=tuple(stop_ids), spec_k=spec_k,
-        )
+        step = max_batch if max_batch > 0 else len(ids)
+        outs = []
+        for i in range(0, len(ids), max(step, 1)):
+            # fold the chunk index in: chunks must not share sample streams
+            outs += gemma3.generate_tokens_batched(
+                gemma_params, ids[i:i + step], gemma_config,
+                jax.random.fold_in(jax.random.key(seed), i),
+                max_new_tokens=max_tokens,
+                temperature=temperature, top_p=0.95,
+                repetition_penalty=1.1, stop_tokens=tuple(stop_ids),
+                spec_k=spec_k,
+            )
         return [clean_enhanced_prompt(tokenizer.decode(t)) or p
                 for t, p in zip(outs, prompts)]
     except Exception as e:  # enhancement must never break generation
+        if strict:
+            raise
         log.warning("batched prompt enhancement failed (%s); using raw "
                     "prompts", e)
         return list(prompts)

@@ -296,3 +296,21 @@ def test_cmd_enhance_batched_dispatch(tmp_path, monkeypatch, capsys):
     assert rc == 0
     out = json_mod.loads(capsys.readouterr().out)
     assert len(out) == 2 and all(isinstance(s, str) and s for s in out)
+
+    # --max-batch 1 chunks into two micro-batches; same per-prompt results
+    rc = cli.main(["enhance", "a cat", "--file", str(pfile),
+                   "--gemma-path", str(gdir), "--max-tokens", "6",
+                   "--temperature", "0.0", "--spec-k", "4", "--json",
+                   "--max-batch", "1"])
+    assert rc == 0
+    chunked = json_mod.loads(capsys.readouterr().out)
+    assert chunked == out
+
+    # a failing batch exits non-zero instead of faking success
+    def boom(*a, **kw):
+        raise RuntimeError("RESOURCE_EXHAUSTED (simulated)")
+
+    monkeypatch.setattr("ltx_tpu.models.gemma3.generate_tokens_batched",
+                        boom)
+    rc = cli.main(["enhance", "a cat", "--gemma-path", str(gdir)])
+    assert rc == 1
