@@ -180,15 +180,51 @@ def _int8_dot(p, x8, sx, out_dtype):
     return (acc.astype(jnp.float32) * (sx * p["sw"])).astype(out_dtype)
 
 
+def _float0_zeros(a):
+    """Symbolic-zero cotangent for an integer primal (custom_vjp contract)."""
+    import numpy as np
+
+    return np.zeros(a.shape, jax.dtypes.float0)
+
+
+@jax.custom_vjp
+def _int8_mm_ste(w8, sw, x):
+    x8, sx = quantize_act_int8(x)
+    return _int8_dot({"w8": w8, "sw": sw}, x8, sx, x.dtype)
+
+
+def _int8_mm_fwd(w8, sw, x):
+    return _int8_mm_ste(w8, sw, x), (w8, sw)
+
+
+def _int8_mm_bwd(res, g):
+    # Straight-through: the activation round/clip is treated as identity, so
+    # d/dx (x @ W_deq) = g @ W_deq^T, computed as (g * sw) @ w8^T on the MXU
+    # without materializing the dequantized weight. The frozen int weights
+    # get symbolic-zero cotangents (QLoRA trains only the side-path).
+    w8, sw = res
+    gw = (g.astype(jnp.float32) * sw).astype(jnp.bfloat16)
+    gx = jax.lax.dot_general(
+        gw, w8.astype(jnp.bfloat16),
+        (((gw.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    # out dtype == x dtype (forward contract), so g.dtype is x's dtype
+    return _float0_zeros(w8), jnp.zeros_like(sw), gx.astype(g.dtype)
+
+
+_int8_mm_ste.defvjp(_int8_mm_fwd, _int8_mm_bwd)
+
+
 def int8_matmul(p, x):
     """x (..., K) bf16 @ {"w8" (K, N), "sw" (N,)} -> (..., N) in x.dtype.
 
     Activations quantize dynamically per ROW (absmax/127) so the int8 MXU
     dot needs no unpack and no barrier; the result rescales by sx * sw. Pure
     XLA — stable inside scan/while (unlike the XLA int4-dequant path, which
-    crashes the TPU worker there)."""
-    x8, sx = quantize_act_int8(x)
-    return _int8_dot(p, x8, sx, x.dtype)
+    crashes the TPU worker there). Differentiable wrt x via a straight-
+    through estimator (train/: QLoRA over a frozen W8A8 base)."""
+    return _int8_mm_ste(p["w8"], p["sw"], x)
 
 
 def linear_many(ps, x):
@@ -284,13 +320,51 @@ def _int4_matmul_2d(x, wq, scale, bias, bm: int, bk: int, bn: int,
     )(x, wq, scale3, bias3)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _int4_mm_ste(interpret, w_q4, scale, bias, x):
+    return _int4_mm_impl(interpret, w_q4, scale, bias, x)
+
+
+def _int4_mm_ste_fwd(interpret, w_q4, scale, bias, x):
+    out = _int4_mm_impl(interpret, w_q4, scale, bias, x)
+    return out, (w_q4, scale, bias)
+
+
+def _int4_mm_ste_bwd(interpret, res, g):
+    # The Pallas kernel has no AD rule; the backward dequantizes via the XLA
+    # path (one-shot — no scan, so the known scan/while int4-dequant crash
+    # does not apply) and runs g @ W^T. Frozen int4 weights get symbolic-
+    # zero cotangents — training touches only LoRA side-paths over this base.
+    w_q4, scale, bias = res
+    w = dequantize_weight({"w_q4": w_q4, "scale": scale, "bias": bias},
+                          jnp.bfloat16)
+    gx = jax.lax.dot_general(
+        g.astype(jnp.bfloat16), w,
+        (((g.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    # kernel output (and thus g) is bf16; x may be bf16 too — bf16 cotangent
+    # is the right precision either way
+    return (_float0_zeros(w_q4), jnp.zeros_like(scale), jnp.zeros_like(bias),
+            gx.astype(g.dtype))
+
+
+_int4_mm_ste.defvjp(_int4_mm_ste_fwd, _int4_mm_ste_bwd)
+
+
 def int4_matmul(qp, x, interpret: bool = False):
     """x (..., K) @ int4 weights -> (..., N) via the fused Pallas kernel.
 
     Pads the token dim to the block size; requires K and N to tile by the
     PACK_BLOCK-aligned block candidates (all LTX/Gemma dims do).
     interpret=True runs in the Pallas interpreter for CPU CI coverage.
+    Differentiable wrt x (custom VJP — backward dequantizes via XLA).
     """
+    return _int4_mm_ste(interpret, qp["w_q4"], qp["scale"], qp["bias"], x)
+
+
+def _int4_mm_impl(interpret, w_q4, scale, bias, x):
+    qp = {"w_q4": w_q4, "scale": scale, "bias": bias}
     k = x.shape[-1]
     n = qp["w_q4"].shape[1]
     # tuned on v5e at 6144 tokens: bk=1024, bn=2048 (4096x4096: 3.96 ms vs
@@ -348,21 +422,42 @@ def _use_pallas_int4(p, x) -> bool:
                 and k % PACK_BLOCK == 0)
 
 
+def _lora_delta(p, x):
+    """Trainable LoRA side-path: scale * (x @ A) @ B in float32.
+
+    Present when ltx_tpu.train.lora.add_lora inserted {"lora_a" (in, r),
+    "lora_b" (r, out), "lora_s" ()} into the leaf. Composes with every base
+    path — bf16, int8, W8A8, fused int4 — without the reference's
+    dequantize->merge->requantize round-trip (LoRAAdapter.swift:104-133):
+    the low-rank product is added AFTER the (possibly quantized) base
+    matmul, so the base weights never change.
+    """
+    d = jnp.dot(x.astype(jnp.float32), p["lora_a"].astype(jnp.float32))
+    d = jnp.dot(d, p["lora_b"].astype(jnp.float32))
+    return (d * p["lora_s"].astype(jnp.float32)).astype(x.dtype)
+
+
 def linear_any(p, x):
     """Apply a linear that may be quantized ({"w_q"|"w_q4", scale, bias, b?})
-    or plain ({"w", b?}); f32 accumulation either way.
+    or plain ({"w", b?}); f32 accumulation either way. A trainable LoRA
+    side-path ({"lora_a", "lora_b", "lora_s"}) adds after the base matmul.
 
     Stacked-block params carry a leading layer axis; under lax.scan the body
     sees the per-layer slice, so shapes here are always 2D.
     """
+    lora = _lora_delta(p, x) if "lora_a" in p else None
     if is_quantized(p):
         if "w8" in p:
             out = int8_matmul(p, x)
+            if lora is not None:
+                out = out + lora
             if "b" in p:
                 out = out + p["b"].astype(x.dtype)
             return out
         if _use_pallas_int4(p, x):
             out = int4_matmul(p, x).astype(x.dtype)
+            if lora is not None:
+                out = out + lora
             if "b" in p:
                 out = out + p["b"].astype(x.dtype)
             return out
@@ -377,6 +472,8 @@ def linear_any(p, x):
     else:
         w = p["w"]
     out = jnp.dot(x, w, preferred_element_type=jnp.float32)
+    if lora is not None:
+        out = out + lora.astype(jnp.float32)
     if "b" in p:
         out = out + p["b"].astype(jnp.float32)
     return out.astype(x.dtype)

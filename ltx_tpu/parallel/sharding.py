@@ -69,15 +69,30 @@ def _shard_axis(arr, axis_from_end: int):
 
 
 def _linear_leaf_specs(name: str, leaf: dict):
-    """Specs for one (possibly quantized) linear leaf-dict."""
+    """Specs for one (possibly quantized) linear leaf-dict.
+
+    Trainable LoRA leaves (train/lora.py) follow the base weight's parallel
+    style on their OUTER dims only: column-parallel shards lora_b's out dim
+    (lora_a replicated — its tiny rank axis must not shard); row-parallel
+    shards lora_a's in dim (matching the sharded activation).
+    """
     out = {}
     if name in COLUMN_PARALLEL:
         for k, v in leaf.items():
-            # output dim is the LAST axis of every array incl. "b"
-            out[k] = _shard_axis(v, 0)
+            if k in ("lora_a", "lora_s"):
+                out[k] = P()
+            elif k == "lora_b":
+                out[k] = _shard_axis(v, 0)  # out dim, like "w"
+            else:
+                # output dim is the LAST axis of every array incl. "b"
+                out[k] = _shard_axis(v, 0)
     else:  # row parallel
         for k, v in leaf.items():
-            if k in ("b", "sw"):
+            if k in ("lora_b", "lora_s"):
+                out[k] = P()
+            elif k == "lora_a":
+                out[k] = _shard_axis(v, 1)  # in dim, like "w"
+            elif k in ("b", "sw"):
                 # bias adds after the all-reduce; the W8A8 per-output-
                 # channel scale follows the (unsharded) output dim — the
                 # second-to-last rule would wrongly shard its leading
