@@ -199,16 +199,25 @@ def _int8_mm_fwd(w8, sw, x):
 
 def _int8_mm_bwd(res, g):
     # Straight-through: the activation round/clip is treated as identity, so
-    # d/dx (x @ W_deq) = g @ W_deq^T, computed as (g * sw) @ w8^T on the MXU
-    # without materializing the dequantized weight. The frozen int weights
-    # get symbolic-zero cotangents (QLoRA trains only the side-path).
+    # d/dx (x @ W_deq) = g @ W_deq^T, computed on the MXU without
+    # materializing the dequantized weight. The frozen int weights get
+    # symbolic-zero cotangents (QLoRA trains only the side-path).
+    #
+    # Formulated as (w8 @ gw^T)^T — w8 as the LHS contracting its OUTPUT
+    # dim — NOT gw @ w8^T: the latter made XLA hoist a full-leaf relayout
+    # copy of stacked (L, K, N) int8 weights out of the scan transpose
+    # (768 MB per leaf at DiT scale, OOMing the 48-layer QLoRA step;
+    # docs/BENCH_NOTES.md §11). Transposing the small (K, B·T) result is
+    # cheap; the giant frozen leaf stays in its forward layout.
     w8, sw = res
     gw = (g.astype(jnp.float32) * sw).astype(jnp.bfloat16)
-    gx = jax.lax.dot_general(
-        gw, w8.astype(jnp.bfloat16),
-        (((gw.ndim - 1,), (1,)), ((), ())),
+    gb = gw.reshape((-1, gw.shape[-1]))  # (B*, N)
+    gxt = jax.lax.dot_general(
+        w8.astype(jnp.bfloat16), gb,
+        (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
+    )  # (K, B*)
+    gx = gxt.T.reshape(g.shape[:-1] + (w8.shape[0],))
     # out dtype == x dtype (forward contract), so g.dtype is x's dtype
     return _float0_zeros(w8), jnp.zeros_like(sw), gx.astype(g.dtype)
 

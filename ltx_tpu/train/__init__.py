@@ -18,6 +18,9 @@ on the same functional pytree models:
   safetensors schema the inference fusion path consumes (round-trip).
 """
 
+from ltx_tpu.train.checkpoint import (
+    load_train_checkpoint, save_train_checkpoint,
+)
 from ltx_tpu.train.export import lora_state_dict, save_lora
 from ltx_tpu.train.flow_match import flow_match_loss, sample_sigmas
 from ltx_tpu.train.lora import (
@@ -30,4 +33,5 @@ __all__ = [
     "add_lora", "lora_param_mask", "merge_lora", "strip_lora",
     "TrainConfig", "make_optimizer", "make_train_step",
     "lora_state_dict", "save_lora",
+    "save_train_checkpoint", "load_train_checkpoint",
 ]

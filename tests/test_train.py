@@ -317,6 +317,47 @@ def test_partition_roundtrip():
         np.asarray(a), np.asarray(b)), back, lp)
 
 
+def test_checkpoint_resume_exact(tmp_path):
+    """save -> load -> continue == uninterrupted training (same keys)."""
+    from ltx_tpu.train import load_train_checkpoint, save_train_checkpoint
+
+    params = dit.init_params(jax.random.key(0), CFG, dtype=jnp.float32)
+    lp = add_lora(params, jax.random.key(3), rank=4)
+    tokens, context, rope = _batch(jax.random.key(1))
+    tc = TrainConfig(learning_rate=1e-3, lora_only=True, remat=False,
+                     compute_dtype=jnp.float32)
+    step = make_train_step(CFG, tc, donate=False)
+
+    def run(trainable, opt_state, frozen, start, n):
+        for i in range(start, start + n):
+            trainable, opt_state, _ = step(
+                trainable, frozen, opt_state, tokens, context, rope,
+                jax.random.key(100 + i))
+        return trainable, opt_state
+
+    trainable, frozen, opt_state = init_train_state(lp, tc)
+    t2, o2 = run(trainable, opt_state, frozen, 0, 2)
+    path = tmp_path / "ckpt.npz"
+    save_train_checkpoint(path, t2, o2, step=2)
+
+    # uninterrupted: 4 steps straight
+    t_ref, o_ref = run(trainable, opt_state, frozen, 0, 4)
+    # resumed: fresh templates, load, 2 more steps
+    t_new, _, o_new = init_train_state(lp, tc)
+    t_res, o_res, start = load_train_checkpoint(path, t_new, o_new)
+    assert start == 2
+    t_res, o_res = run(t_res, o_res, frozen, 2, 2)
+
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), t_res, t_ref)
+
+    # structure mismatch raises
+    bad, _, bad_o = init_train_state(
+        add_lora(params, jax.random.key(3), rank=8), tc)
+    with pytest.raises((KeyError, ValueError)):
+        load_train_checkpoint(path, bad, bad_o)
+
+
 # ---------------------------------------------------------------- dp + tp
 
 
