@@ -204,11 +204,12 @@ def _int8_mm_bwd(res, g):
     # symbolic-zero cotangents (QLoRA trains only the side-path).
     #
     # Formulated as (w8 @ gw^T)^T — w8 as the LHS contracting its OUTPUT
-    # dim — NOT gw @ w8^T: the latter made XLA hoist a full-leaf relayout
-    # copy of stacked (L, K, N) int8 weights out of the scan transpose
-    # (768 MB per leaf at DiT scale, OOMing the 48-layer QLoRA step;
-    # docs/BENCH_NOTES.md §11). Transposing the small (K, B·T) result is
-    # cheap; the giant frozen leaf stays in its forward layout.
+    # dim. NOTE the one-chip 48-layer QLoRA OOM investigated in
+    # docs/BENCH_NOTES.md §11 was NOT this dot: XLA hoists a full-leaf
+    # relayout copy of a stacked to_v weight whenever the v activation
+    # flows straight from the matmul into the SDPA head-split transpose —
+    # fixed by an optimization_barrier on v in the models (dit.py), after
+    # which no weight leaf is ever copied in either formulation.
     w8, sw = res
     gw = (g.astype(jnp.float32) * sw).astype(jnp.bfloat16)
     gb = gw.reshape((-1, gw.shape[-1]))  # (B*, N)

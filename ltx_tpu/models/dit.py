@@ -116,6 +116,14 @@ def attention(params, x, context, num_heads: int, head_dim: int,
     q = linear_any(params["to_q"], x)
     k = linear_any(params["to_k"], context)
     v = linear_any(params["to_v"], context)
+    # q/k pass through rms_norm below, which decouples the SDPA's layout
+    # preferences from their matmuls; v flows straight into the head-split
+    # transpose, and XLA then relayouts the STACKED to_v weight outside the
+    # block scan (a hoisted 768 MB copy per attention at DiT scale — OOMs
+    # the one-chip QLoRA train step). The barrier pins the relayout to the
+    # ~12 MB per-layer activation instead (measured-neutral at inference:
+    # the copy rides HBM bandwidth, ~15 us/layer).
+    v = jax.lax.optimization_barrier(v)
 
     q = rms_norm(q, params["q_norm"]["w"], eps=norm_eps)
     k = rms_norm(k, params["k_norm"]["w"], eps=norm_eps)

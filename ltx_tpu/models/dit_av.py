@@ -186,6 +186,10 @@ def _attention(p, x, context, heads, head_dim, bias=None, q_rope=None,
     q = linear_any(p["to_q"], x)
     k = linear_any(p["to_k"], context)
     v = linear_any(p["to_v"], context)
+    # see models/dit.py::attention — pins the SDPA layout relayout to the
+    # per-layer v activation instead of a hoisted copy of the stacked
+    # to_v weight (768 MB per attention at DiT scale)
+    v = jax.lax.optimization_barrier(v)
     q = rms_norm(q, p["q_norm"]["w"], eps=eps)
     k = rms_norm(k, p["k_norm"]["w"], eps=eps)
     if q_rope is not None:
