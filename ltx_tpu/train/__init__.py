@@ -22,14 +22,19 @@ from ltx_tpu.train.checkpoint import (
     load_train_checkpoint, save_train_checkpoint,
 )
 from ltx_tpu.train.export import lora_state_dict, save_lora
-from ltx_tpu.train.flow_match import flow_match_loss, sample_sigmas
+from ltx_tpu.train.flow_match import (
+    av_flow_match_loss, flow_match_loss, sample_sigmas,
+)
 from ltx_tpu.train.lora import (
     add_lora, lora_param_mask, merge_lora, strip_lora,
 )
-from ltx_tpu.train.step import TrainConfig, make_optimizer, make_train_step
+from ltx_tpu.train.step import (
+    TrainConfig, make_av_train_step, make_optimizer, make_train_step,
+)
 
 __all__ = [
-    "flow_match_loss", "sample_sigmas",
+    "flow_match_loss", "av_flow_match_loss", "sample_sigmas",
+    "make_av_train_step",
     "add_lora", "lora_param_mask", "merge_lora", "strip_lora",
     "TrainConfig", "make_optimizer", "make_train_step",
     "lora_state_dict", "save_lora",

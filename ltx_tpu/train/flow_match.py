@@ -76,3 +76,55 @@ def flow_match_loss(
     err = v_pred - target
     loss = jnp.mean(jnp.square(err))
     return loss, {"loss": loss, "sigma_mean": jnp.mean(sigma)}
+
+
+def av_flow_match_loss(
+    params,
+    video_tokens,      # (B, Tv, C) patchified clean video latents
+    audio_tokens,      # (B, Ta, C_audio) packed clean audio latents
+    video_context,     # (B, S, caption_channels)
+    audio_context,     # (B, S, caption_channels)
+    ropes,             # from models.dit_av.prepare_av_ropes
+    key,
+    cfg: TransformerConfig,
+    video_bias=None,
+    audio_bias=None,
+    audio_loss_weight: float = 1.0,
+    sigma_scheme: str = "logit_normal",
+    sdpa_impl: str = "auto",
+    remat: bool = True,
+    compute_dtype=jnp.bfloat16,
+):
+    """Joint rectified-flow loss for the dual AV transformer.
+
+    Video and audio streams draw INDEPENDENT noise levels (each stream's
+    velocity must be correct at any (t_video, t_audio) pair — the joint
+    denoise loop steps them on separate sigma schedules); the total is
+    mse_video + audio_loss_weight * mse_audio, reduced in float32.
+    """
+    from ltx_tpu.models import dit_av
+
+    b = video_tokens.shape[0]
+    k_sv, k_sa, k_nv, k_na = jax.random.split(key, 4)
+    sigma_v = sample_sigmas(k_sv, b, sigma_scheme)
+    sigma_a = sample_sigmas(k_sa, b, sigma_scheme)
+    noise_v = jax.random.normal(k_nv, video_tokens.shape, jnp.float32)
+    noise_a = jax.random.normal(k_na, audio_tokens.shape, jnp.float32)
+
+    v0 = video_tokens.astype(jnp.float32)
+    a0 = audio_tokens.astype(jnp.float32)
+    v_t = add_noise(v0, noise_v, sigma_v[:, None, None])
+    a_t = add_noise(a0, noise_a, sigma_a[:, None, None])
+
+    v_pred, a_pred = dit_av.dit_av_forward(
+        params, v_t.astype(compute_dtype), a_t.astype(compute_dtype),
+        video_context, audio_context, sigma_v, sigma_a, ropes, cfg,
+        video_bias=video_bias, audio_bias=audio_bias,
+        sdpa_impl=sdpa_impl, remat=remat,
+    )
+    loss_v = jnp.mean(jnp.square(v_pred.astype(jnp.float32)
+                                 - velocity_target(v0, noise_v)))
+    loss_a = jnp.mean(jnp.square(a_pred.astype(jnp.float32)
+                                 - velocity_target(a0, noise_a)))
+    loss = loss_v + audio_loss_weight * loss_a
+    return loss, {"loss": loss, "loss_video": loss_v, "loss_audio": loss_a}

@@ -141,3 +141,42 @@ def make_train_step(cfg: TransformerConfig, tc: TrainConfig,
 
     donate_argnums = (0, 2) if donate else ()
     return jax.jit(step, donate_argnums=donate_argnums)
+
+
+def make_av_train_step(cfg: TransformerConfig, tc: TrainConfig,
+                       optimizer: Optional[optax.GradientTransformation] = None,
+                       donate: bool = True,
+                       audio_loss_weight: float = 1.0):
+    """Joint AV variant of make_train_step:
+
+        step(trainable, frozen, opt_state, video_tokens, audio_tokens,
+             video_context, audio_context, ropes, key)
+          -> (trainable, opt_state, metrics)
+
+    Same partitioning/sharding rules as the video step; the loss is
+    train.flow_match.av_flow_match_loss (independent per-stream sigmas).
+    """
+    from ltx_tpu.train.flow_match import av_flow_match_loss
+
+    tx = optimizer if optimizer is not None else make_optimizer(tc)
+
+    def step(trainable, frozen, opt_state, video_tokens, audio_tokens,
+             video_context, audio_context, ropes, key):
+        def loss_fn(tr):
+            p = combine_params(tr, frozen)
+            return av_flow_match_loss(
+                p, video_tokens, audio_tokens, video_context, audio_context,
+                ropes, key, cfg, audio_loss_weight=audio_loss_weight,
+                sigma_scheme=tc.sigma_scheme, sdpa_impl=tc.sdpa_impl,
+                remat=tc.remat, compute_dtype=tc.compute_dtype,
+            )
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            trainable)
+        updates, opt_state = tx.update(grads, opt_state, trainable)
+        trainable = optax.apply_updates(trainable, updates)
+        aux["grad_norm"] = optax.global_norm(grads)
+        return trainable, opt_state, aux
+
+    donate_argnums = (0, 2) if donate else ()
+    return jax.jit(step, donate_argnums=donate_argnums)

@@ -307,6 +307,51 @@ def test_qlora_over_w8a8_base(monkeypatch):
         np.asarray(lp["blocks"]["attn1"]["to_q"]["w8"]))
 
 
+def test_av_lora_train_step():
+    """Joint AV flow-matching LoRA step: adapters land in all 6 attentions
+    + both FFNs, loss decreases, base frozen."""
+    from ltx_tpu.models import dit_av
+    from ltx_tpu.train import make_av_train_step
+
+    params = dit_av.init_params(jax.random.key(0), CFG, dtype=jnp.float32)
+    lp = add_lora(params, jax.random.key(3), rank=4)
+    blk = lp["blocks"]
+    for leaf in ("attn1", "audio_attn1", "audio_to_video_attn",
+                 "video_to_audio_attn"):
+        assert "lora_a" in blk[leaf]["to_q"], leaf
+    assert "lora_a" in blk["audio_ff"]["project_in"]
+
+    b, f, h, w, ta, s = 1, 2, 2, 3, 5, 8
+    video = jax.random.normal(jax.random.key(1),
+                              (b, f * h * w, CFG.in_channels), jnp.float32)
+    audio = jax.random.normal(jax.random.key(2),
+                              (b, ta, CFG.audio_in_channels), jnp.float32)
+    ctx = jax.random.normal(jax.random.key(4),
+                            (b, s, CFG.caption_channels), jnp.float32)
+    ropes = dit_av.prepare_av_ropes(CFG, f, h, w, ta)
+
+    tc = TrainConfig(learning_rate=1e-3, lora_only=True, remat=True,
+                     compute_dtype=jnp.float32)
+    trainable, frozen, opt_state = init_train_state(lp, tc)
+    step = make_av_train_step(CFG, tc, donate=False)
+    l0 = None
+    for i in range(6):
+        trainable, opt_state, aux = step(
+            trainable, frozen, opt_state, video, audio, ctx, ctx, ropes,
+            jax.random.key(100 + (i % 2)))
+        if l0 is None:
+            l0 = float(aux["loss"])
+    assert np.isfinite(float(aux["loss"]))
+    assert float(aux["loss"]) < l0
+    assert float(aux["loss_audio"]) > 0.0 and float(aux["loss_video"]) > 0.0
+    full = combine_params(trainable, frozen)
+    np.testing.assert_array_equal(
+        np.asarray(full["blocks"]["audio_attn1"]["to_q"]["w"]),
+        np.asarray(lp["blocks"]["audio_attn1"]["to_q"]["w"]))
+    assert float(jnp.abs(
+        full["blocks"]["audio_attn1"]["to_q"]["lora_b"]).max()) > 0.0
+
+
 def test_partition_roundtrip():
     params = dit.init_params(jax.random.key(0), CFG, dtype=jnp.float32)
     lp = add_lora(params, jax.random.key(3), rank=4)
