@@ -29,7 +29,8 @@ from ltx_tpu.train.lora import (
     add_lora, lora_param_mask, merge_lora, strip_lora,
 )
 from ltx_tpu.train.step import (
-    TrainConfig, make_av_train_step, make_optimizer, make_train_step,
+    TrainConfig, ema_init, make_av_train_step, make_ema_update,
+    make_optimizer, make_train_step,
 )
 
 __all__ = [
@@ -39,4 +40,5 @@ __all__ = [
     "TrainConfig", "make_optimizer", "make_train_step",
     "lora_state_dict", "save_lora",
     "save_train_checkpoint", "load_train_checkpoint",
+    "ema_init", "make_ema_update",
 ]

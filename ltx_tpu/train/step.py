@@ -50,6 +50,10 @@ class TrainConfig:
     sdpa_impl: str = "xla"
     remat: bool = True
     compute_dtype: Any = jnp.bfloat16
+    # Gradient accumulation: params update every accum_steps calls with the
+    # mean of the accumulated grads (optax.MultiSteps) — one-chip training
+    # of batches the SDPA backward cannot fit at once (BENCH_NOTES §11).
+    accum_steps: int = 1
 
 
 def _is_none(x):
@@ -70,11 +74,14 @@ def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
         )
     else:
         lr = tc.learning_rate
-    return optax.chain(
+    tx = optax.chain(
         optax.clip_by_global_norm(tc.grad_clip),
         optax.adamw(lr, b1=tc.b1, b2=tc.b2, eps=tc.eps,
                     weight_decay=tc.weight_decay, mask=_wd_mask),
     )
+    if tc.accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=tc.accum_steps)
+    return tx
 
 
 def partition_trainable(params, tc: TrainConfig):
@@ -141,6 +148,28 @@ def make_train_step(cfg: TransformerConfig, tc: TrainConfig,
 
     donate_argnums = (0, 2) if donate else ()
     return jax.jit(step, donate_argnums=donate_argnums)
+
+
+def ema_init(trainable):
+    """f32 copy of the trainable leaves — the EMA state (diffusion models
+    conventionally sample from the EMA weights)."""
+    return jax.tree.map(lambda p: p.astype(jnp.float32), trainable)
+
+
+def make_ema_update(decay: float = 0.999):
+    """Jitted EMA step: ema <- decay * ema + (1 - decay) * params.
+
+    Kept OUT of the train step so the step signature (and its donation /
+    sharding contract) stays unchanged; call after each optimizer update.
+    The EMA tree inherits the trainable tree's shardings via jit.
+    """
+    @jax.jit
+    def update(ema, trainable):
+        return jax.tree.map(
+            lambda e, p: e * decay + p.astype(jnp.float32) * (1.0 - decay),
+            ema, trainable)
+
+    return update
 
 
 def make_av_train_step(cfg: TransformerConfig, tc: TrainConfig,

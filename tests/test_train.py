@@ -362,6 +362,47 @@ def test_partition_roundtrip():
         np.asarray(a), np.asarray(b)), back, lp)
 
 
+def test_grad_accumulation_updates_every_k():
+    """accum_steps=2: params move only on every 2nd call; the applied
+    update equals one step on the mean of the accumulated grads."""
+    params = dit.init_params(jax.random.key(0), CFG, dtype=jnp.float32)
+    lp = add_lora(params, jax.random.key(3), rank=4)
+    tokens, context, rope = _batch(jax.random.key(1))
+    tc = TrainConfig(learning_rate=1e-3, lora_only=True, remat=False,
+                     compute_dtype=jnp.float32, accum_steps=2)
+    trainable, frozen, opt_state = init_train_state(lp, tc)
+    step = make_train_step(CFG, tc, donate=False)
+
+    probe = lambda t: np.asarray(t["blocks"]["attn1"]["to_q"]["lora_b"])
+    before = probe(trainable)
+    trainable, opt_state, _ = step(trainable, frozen, opt_state, tokens,
+                                   context, rope, jax.random.key(100))
+    np.testing.assert_array_equal(probe(trainable), before)  # micro-step 1
+    trainable, opt_state, aux = step(trainable, frozen, opt_state, tokens,
+                                     context, rope, jax.random.key(101))
+    assert float(np.abs(probe(trainable) - before).max()) > 0  # applied
+    assert np.isfinite(float(aux["loss"]))
+
+
+def test_ema_tracks_trainable():
+    from ltx_tpu.train import ema_init, make_ema_update
+
+    params = dit.init_params(jax.random.key(0), CFG, dtype=jnp.float32)
+    lp = add_lora(params, jax.random.key(3), rank=4)
+    tc = TrainConfig(lora_only=True)
+    trainable, _ = partition_trainable(lp, tc)
+    ema = ema_init(trainable)
+    jax.tree.map(lambda e, p: np.testing.assert_array_equal(
+        np.asarray(e), np.asarray(p)), ema, trainable)
+
+    moved = jax.tree.map(lambda p: p + 1.0, trainable)
+    upd = make_ema_update(decay=0.9)
+    ema = upd(ema, moved)
+    # ema = 0.9 * p + 0.1 * (p + 1) = p + 0.1
+    jax.tree.map(lambda e, p: np.testing.assert_allclose(
+        np.asarray(e), np.asarray(p) + 0.1, atol=1e-6), ema, trainable)
+
+
 def test_checkpoint_resume_exact(tmp_path):
     """save -> load -> continue == uninterrupted training (same keys)."""
     from ltx_tpu.train import load_train_checkpoint, save_train_checkpoint
