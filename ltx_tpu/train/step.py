@@ -151,9 +151,12 @@ def make_train_step(cfg: TransformerConfig, tc: TrainConfig,
 
 
 def ema_init(trainable):
-    """f32 copy of the trainable leaves — the EMA state (diffusion models
-    conventionally sample from the EMA weights)."""
-    return jax.tree.map(lambda p: p.astype(jnp.float32), trainable)
+    """f32 COPY of the trainable leaves — the EMA state (diffusion models
+    conventionally sample from the EMA weights). Must be a real copy, not
+    an astype view: a donated train step consumes the trainable buffers,
+    and an aliased EMA would read deleted arrays."""
+    return jax.tree.map(
+        lambda p: jnp.array(p, dtype=jnp.float32, copy=True), trainable)
 
 
 def make_ema_update(decay: float = 0.999):

@@ -444,6 +444,98 @@ def test_checkpoint_resume_exact(tmp_path):
         load_train_checkpoint(path, bad, bad_o)
 
 
+# -------------------------------------------------------------- data + e2e
+
+
+def _write_shards(root, n_shards=2, rows=5, grid=(2, 2, 3), s=16):
+    from ltx_tpu.train.data import write_shard
+
+    rng = np.random.default_rng(0)
+    t = grid[0] * grid[1] * grid[2]
+    for i in range(n_shards):
+        write_shard(
+            root / f"shard{i}.npz",
+            rng.standard_normal((rows, t, CFG.in_channels)).astype(
+                np.float32),
+            rng.standard_normal((rows, s, CFG.caption_channels)).astype(
+                np.float32),
+            grid,
+            mask=np.ones((rows, s), np.int64),
+        )
+
+
+def test_dataset_shuffles_and_resumes(tmp_path):
+    from ltx_tpu.train.data import LatentShardDataset
+
+    _write_shards(tmp_path)
+    ds = LatentShardDataset(tmp_path, batch_size=4, seed=7)
+    assert ds.num_rows == 10 and ds.grid == (2, 2, 3)
+    b1 = next(ds)
+    assert b1.tokens.shape == (4, 12, CFG.in_channels)
+    assert b1.mask.shape == (4, 16)
+    state = ds.state()
+    b2 = next(ds)
+
+    ds2 = LatentShardDataset(tmp_path, batch_size=4, seed=7)
+    next(ds2)
+    ds2.restore(state)
+    b2r = next(ds2)
+    np.testing.assert_array_equal(b2.tokens, b2r.tokens)
+
+    # different seed -> different order
+    ds3 = LatentShardDataset(tmp_path, batch_size=4, seed=8)
+    assert not np.array_equal(next(ds3).tokens, b1.tokens)
+
+
+def test_dataset_rejects_mixed_grids(tmp_path):
+    from ltx_tpu.train.data import LatentShardDataset, write_shard
+
+    _write_shards(tmp_path, n_shards=1)
+    write_shard(tmp_path / "bad.npz",
+                np.zeros((2, 8, CFG.in_channels), np.float32),
+                np.zeros((2, 16, CFG.caption_channels), np.float32),
+                (2, 2, 2))
+    with pytest.raises(ValueError):
+        LatentShardDataset(tmp_path, batch_size=2)
+
+
+def test_train_lora_script_e2e(tmp_path):
+    """scripts/train_lora.py: shards -> steps -> exported adapter that the
+    inference fusion path loads."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "train_lora", "scripts/train_lora.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    data_dir = tmp_path / "shards"
+    data_dir.mkdir()
+    _write_shards(data_dir)
+    out = tmp_path / "adapter.safetensors"
+    ckpt = tmp_path / "run.npz"
+    mod.main([
+        "--data", str(data_dir), "--out", str(out), "--steps", "4",
+        "--batch", "2", "--rank", "4", "--random-init", "tiny",
+        "--compute", "f32", "--quant", "none", "--ckpt", str(ckpt),
+        "--ckpt-every", "2", "--log-every", "2", "--ema", "0.9",
+    ])
+    assert out.exists() and ckpt.exists()
+
+    from ltx_tpu.lora import fuse
+    layers = fuse.parse_lora(
+        __import__("ltx_tpu.weights.download",
+                   fromlist=["load_safetensors"]).load_safetensors(out))
+    assert len(layers) == CFG.num_layers * 10
+    # resume path: 2 more steps from the checkpoint
+    mod.main([
+        "--data", str(data_dir), "--out", str(out), "--steps", "6",
+        "--batch", "2", "--rank", "4", "--random-init", "tiny",
+        "--compute", "f32", "--quant", "none", "--ckpt", str(ckpt),
+        "--resume", "--log-every", "2",
+    ])
+
+
 # ---------------------------------------------------------------- dp + tp
 
 
