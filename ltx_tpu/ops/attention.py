@@ -155,10 +155,17 @@ def sdpa(q, k, v, bias=None, scale: Optional[float] = None, impl: str = "auto"):
             on_tpu and tq >= _PALLAS_MIN_SEQ and tk >= _PALLAS_MIN_SEQ
         )
         if want_pallas and on_tpu:
-            from ltx_tpu.kernels.flash_attention import flash_attention
+            from ltx_tpu.kernels.flash_attention import (
+                DEFAULT_BLOCK_K, DEFAULT_BLOCK_Q, flash_attention_vjp,
+            )
 
             try:
-                return flash_attention(q, k, v, bias=bias, scale=scale)
+                # the vjp wrapper's primal IS flash_attention; routing
+                # through it makes the pallas path differentiable
+                # (FA-2 backward kernels — no (Tq, Tk) remat buffer)
+                return flash_attention_vjp(q, k, v, bias, scale,
+                                           DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K,
+                                           False)
             except NotImplementedError:
                 pass
         return _xla_sdpa(q, k, v, bias=bias, scale=scale)

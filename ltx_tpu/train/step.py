@@ -45,8 +45,9 @@ class TrainConfig:
     warmup_steps: int = 0
     lora_only: bool = False
     sigma_scheme: str = "logit_normal"
-    # XLA SDPA is fully differentiable; the Pallas flash kernel is
-    # forward-only today (inference-grade), so training defaults to "xla".
+    # "xla" (differentiable SDPA; backward remats f32 (T, T) logits per
+    # layer) or "pallas" (FA-2 Pallas fwd+bwd kernels, no logits buffer —
+    # required for long-sequence one-chip training, BENCH_NOTES §11).
     sdpa_impl: str = "xla"
     remat: bool = True
     compute_dtype: Any = jnp.bfloat16

@@ -98,6 +98,9 @@ def main():
     ap.add_argument("--ctx", type=int, default=256,
                     help="caption token count (training captions are short; "
                     "1024 is the inference worst case)")
+    ap.add_argument("--sdpa", choices=("xla", "pallas"), default="xla",
+                    help="pallas = Pallas flash fwd+bwd kernels (no "
+                    "(T,T) logits remat buffer — longer seqs fit)")
     ap.add_argument("--base", choices=("w8a8", "bf16"), default="w8a8")
     args = ap.parse_args()
 
@@ -108,7 +111,7 @@ def main():
 
     cfg = TransformerConfig()
     # latent grid for the requested token count (f*h*w == tokens)
-    grids = {1536: (4, 16, 24), 6144: (16, 16, 24)}
+    grids = {1536: (4, 16, 24), 3072: (8, 16, 24), 6144: (16, 16, 24)}
     if args.tokens not in grids:
         raise SystemExit(f"--tokens must be one of {sorted(grids)}")
     f, h, w = grids[args.tokens]
@@ -134,7 +137,7 @@ def main():
     rope = (jnp.asarray(cos), jnp.asarray(sin))
 
     tc = TrainConfig(learning_rate=1e-4, lora_only=True, remat=True,
-                     compute_dtype=jnp.bfloat16)
+                     compute_dtype=jnp.bfloat16, sdpa_impl=args.sdpa)
     # donate trainable+opt_state: the step's outputs alias them (~1 GB at
     # rank 16 — without donation the step does not fit next to the 12.9 GB
     # frozen base)
@@ -159,8 +162,8 @@ def main():
     log(f"steps 2..{args.steps+1}: {['%.3f' % t for t in times]} s")
     log(f"losses: {['%.4f' % l for l in losses]}")
     assert np.isfinite(losses).all()
-    print(f"TRAIN PROBE OK: base={args.base} rank={args.rank} "
-          f"B={b} T={args.tokens}: {med:.3f} s/step "
+    print(f"TRAIN PROBE OK: base={args.base} sdpa={args.sdpa} "
+          f"rank={args.rank} B={b} T={args.tokens}: {med:.3f} s/step "
           f"({b*args.tokens/med:.0f} tok/s), grad_norm="
           f"{float(aux['grad_norm']):.3f}")
 

@@ -153,3 +153,84 @@ def test_gqa_sdpa_matches_repeated_kv():
     out3 = sdpa(q, k, v, bias=causal, impl="auto")
     np.testing.assert_allclose(np.asarray(out3), np.asarray(ref2),
                                atol=2e-5, rtol=1e-4)
+
+
+# ----------------------------------------------------------- flash backward
+
+
+def _flash_grads(q, k, v, bias, block_q, block_k):
+    from ltx_tpu.kernels.flash_attention import flash_attention_vjp
+
+    def loss(args):
+        qq, kk, vv = args
+        o = flash_attention_vjp(qq, kk, vv, bias, None, block_q, block_k,
+                                True)
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    return jax.grad(loss)((q, k, v))
+
+
+def _xla_grads(q, k, v, bias):
+    def loss(args):
+        qq, kk, vv = args
+        return jnp.sum(_xla_sdpa(qq, kk, vv, bias=bias).astype(
+            jnp.float32) ** 2)
+
+    return jax.grad(loss)((q, k, v))
+
+
+def test_flash_backward_matches_xla_no_bias():
+    q, k, v = _qkv(jax.random.key(1), 2, 3, 32, 32, 16)
+    got = _flash_grads(q, k, v, None, 16, 16)
+    ref = _xla_grads(q, k, v, None)
+    for g, r, name in zip(got, ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   atol=5e-5, rtol=5e-5, err_msg=name)
+
+
+def test_flash_backward_matches_xla_key_bias():
+    """Key-padding bias: masked keys must get ZERO dk/dv and not leak dq."""
+    q, k, v = _qkv(jax.random.key(2), 2, 4, 24, 40, 16)
+    mask = np.ones((2, 40), np.float32)
+    mask[0, 33:] = 0.0
+    mask[1, 17:] = 0.0
+    bias = jnp.asarray((1 - mask) * -1e30)
+    got = _flash_grads(q, k, v, bias, 16, 16)
+    ref = _xla_grads(q, k, v, bias[:, None, None, :])
+    for g, r, name in zip(got, ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   atol=5e-5, rtol=5e-5, err_msg=name)
+    # fully-masked key rows: exactly zero grads
+    assert float(jnp.abs(got[1][0, :, 33:]).max()) == 0.0
+    assert float(jnp.abs(got[2][0, :, 33:]).max()) == 0.0
+
+
+def test_flash_backward_padded_tail():
+    """Tq/Tk not multiples of the block: pad keys must not contribute."""
+    q, k, v = _qkv(jax.random.key(3), 1, 2, 23, 37, 16)
+    got = _flash_grads(q, k, v, None, 16, 16)
+    ref = _xla_grads(q, k, v, None)
+    for g, r, name in zip(got, ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   atol=5e-5, rtol=5e-5, err_msg=name)
+
+
+def test_flash_backward_4d_bias():
+    q, k, v = _qkv(jax.random.key(4), 2, 2, 16, 48, 16)
+    mask = np.ones((2, 48), np.float32)
+    mask[:, 40:] = 0.0
+    bias4 = jnp.asarray((1 - mask) * -1e30)[:, None, None, :]
+    got = _flash_grads(q, k, v, bias4, 16, 16)
+    ref = _xla_grads(q, k, v, bias4)
+    for g, r, name in zip(got, ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   atol=5e-5, rtol=5e-5, err_msg=name)
+
+
+def test_flash_vjp_primal_matches_forward():
+    from ltx_tpu.kernels.flash_attention import flash_attention_vjp
+
+    q, k, v = _qkv(jax.random.key(5), 1, 2, 32, 32, 16)
+    out = flash_attention_vjp(q, k, v, None, None, 16, 16, True)
+    ref = flash_attention(q, k, v, block_q=16, block_k=16, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
