@@ -127,6 +127,41 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--hf-token", default=None)
     e.add_argument("--debug", action="store_true")
 
+    s = sub.add_parser(
+        "serve",
+        help="Run the HTTP serving front-end (enhance micro-batching + "
+             "generation job queue; no reference analog — the Swift CLI "
+             "is strictly one-shot)")
+    s.add_argument("--host", default="127.0.0.1")
+    s.add_argument("--port", type=int, default=8571)
+    s.add_argument("--output-dir", default="serve_outputs",
+                   help="Where generation jobs write <job_id>.mp4")
+    s.add_argument("--model", default="auto",
+                   choices=["auto", "distilled", "dev"])
+    s.add_argument("--transformer-quant",
+                   choices=["bf16", "qint8", "int4", "w8a8"], default="int4")
+    s.add_argument("--gemma-quant", choices=["int4", "w8a8", "bf16"],
+                   default="w8a8")
+    s.add_argument("--audio", action="store_true",
+                   help="Load the AV transformer + audio VAE + vocoder "
+                        "(enables kind=audio/audio_two_stage jobs)")
+    s.add_argument("--upscaler", action="store_true",
+                   help="Load the spatial upscaler (enables two-stage jobs)")
+    s.add_argument("--memory", choices=["light", "moderate", "aggressive"],
+                   default="moderate")
+    s.add_argument("--max-batch", type=int, default=0,
+                   help="Enhance rows per compiled micro-batch (0 = auto "
+                        "from the Gemma quant mode's HBM bound)")
+    s.add_argument("--spec-k", type=int, default=8)
+    s.add_argument("--batch-window-ms", type=float, default=50.0,
+                   help="How long the first enhance request waits to "
+                        "coalesce with concurrent arrivals")
+    s.add_argument("--gemma-path", default=None)
+    s.add_argument("--ltx-weights", default=None)
+    s.add_argument("--models-dir", default=None)
+    s.add_argument("--hf-token", default=None)
+    s.add_argument("--debug", action="store_true")
+
     return p
 
 
@@ -137,7 +172,8 @@ def _effective_model(args):
     LTXModelRegistry.recommendedModel picks by system RAM)."""
     from ltx_tpu.core.config import LTXModel
 
-    if args.model == "auto" and not args.distilled_lora:
+    distilled_lora = getattr(args, "distilled_lora", False)  # serve has none
+    if args.model == "auto" and not distilled_lora:
         from ltx_tpu.weights.registry import recommended_model
 
         model, quant = recommended_model()
@@ -146,7 +182,7 @@ def _effective_model(args):
         log.info("--model auto: %s (transformer_quant=%s)",
                  model.value, args.transformer_quant)
         return model
-    return LTXModel("dev" if args.distilled_lora else args.model)
+    return LTXModel("dev" if distilled_lora else args.model)
 
 
 def _generation_config(args):
@@ -433,6 +469,49 @@ def cmd_enhance(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """HTTP serving front-end (ltx_tpu/serve/): enhancement requests
+    coalesce into compiled micro-batches (measured 3.07x throughput at
+    B=4, docs/BENCH_NOTES.md §7), generation requests run as polled jobs
+    behind a single-chip FIFO. Blocks until SIGINT."""
+    from ltx_tpu.core.config import MemoryConfig, QuantizationConfig
+    from ltx_tpu.pipeline.loader import load_pipeline
+    from ltx_tpu.serve.app import build_app
+
+    pipe = load_pipeline(
+        model=_effective_model(args),
+        models_dir=args.models_dir,
+        hf_token=args.hf_token,
+        gemma_path=args.gemma_path,
+        unified_weights_path=args.ltx_weights,
+        quantization=QuantizationConfig(mode=args.transformer_quant),
+        gemma_quant=args.gemma_quant,
+        memory=MemoryConfig.preset(args.memory),
+        include_audio=args.audio,
+        include_upscaler=args.upscaler,
+    )
+    max_batch = args.max_batch or {
+        "w8a8": 6, "int4": 16, "bf16": 2}[args.gemma_quant]
+    app = build_app(
+        pipe, output_dir=args.output_dir, host=args.host, port=args.port,
+        max_batch=max_batch, spec_k=args.spec_k,
+        batch_window_s=args.batch_window_ms / 1000.0,
+        info={"model": args.model, "transformer_quant":
+              args.transformer_quant, "gemma_quant": args.gemma_quant,
+              "audio": args.audio, "upscaler": args.upscaler},
+    )
+    host, port = app.server.server_address[:2]
+    log.info("Serving on http://%s:%d (enhance max_batch=%d, spec_k=%d)",
+             host, port, max_batch, args.spec_k)
+    try:
+        app.server.serve_forever()
+    except KeyboardInterrupt:
+        log.info("Shutting down")
+    finally:
+        app.close()
+    return 0
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     logging.basicConfig(
@@ -440,7 +519,8 @@ def main(argv=None) -> int:
         format="%(message)s",
     )
     handler = {"generate": cmd_generate, "download": cmd_download,
-               "info": cmd_info, "enhance": cmd_enhance}[args.command]
+               "info": cmd_info, "enhance": cmd_enhance,
+               "serve": cmd_serve}[args.command]
     from ltx_tpu.core.errors import LTXError
 
     try:

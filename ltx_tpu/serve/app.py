@@ -1,0 +1,162 @@
+"""Assemble the serving stack around a loaded LTXPipeline.
+
+`build_app(pipe, ...)` wires the production callbacks:
+  - enhance micro-batches -> pipeline.enhance.enhance_prompts (strict: a
+    failed batch errors its requests instead of silently echoing them);
+  - generation jobs -> the pipeline entry point for the request's kind,
+    exporting MP4 (+WAV) into output_dir/<job_id>.mp4;
+  - request validation -> GenerationConfig.validate() BEFORE enqueueing
+    (a bad resolution 400s at submit time, not minutes later in the job).
+
+One `device_lock` serializes the chip between enhance batches and
+generation jobs (a generation already holds the device for seconds; an
+enhance batch interleaves between jobs rather than racing them for HBM).
+"""
+
+from __future__ import annotations
+
+import logging
+import threading
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Optional
+
+from ltx_tpu.serve.batcher import MicroBatcher
+from ltx_tpu.serve.jobs import Job, JobQueue
+from ltx_tpu.serve.server import enhance_group_key, make_server
+
+log = logging.getLogger("ltx_tpu")
+
+# GenerationConfig fields a /v1/generate request may set (whitelist — the
+# request dict is untrusted input; everything else keeps config defaults)
+_GENERATE_FIELDS = (
+    "width", "height", "num_frames", "num_steps", "cfg_scale", "seed",
+    "negative_prompt", "guidance_rescale", "cross_attention_scale",
+    "ge_gamma", "stg_scale", "two_stage", "enhance_prompt", "fps",
+    "image_cond_noise_scale",
+)
+
+
+def request_to_config(body: dict):
+    """Build + validate a GenerationConfig from an untrusted request dict.
+
+    Raises LTXError/ValueError with a user-facing message on bad input.
+    """
+    from ltx_tpu.core.config import GenerationConfig
+
+    kwargs = {}
+    for k in _GENERATE_FIELDS:
+        if k in body:
+            kwargs[k] = body[k]
+    if "stg_blocks" in body:
+        kwargs["stg_blocks"] = tuple(int(b) for b in body["stg_blocks"])
+    kind = body.get("kind", "t2v")
+    if kind in ("two_stage", "audio_two_stage"):
+        kwargs["two_stage"] = True
+    if kind == "i2v":
+        if not body.get("image_path"):
+            raise ValueError("kind 'i2v' requires 'image_path'")
+        kwargs["image_path"] = body["image_path"]
+    cfg = GenerationConfig(**kwargs)
+    cfg.validate()
+    return cfg
+
+
+@dataclass
+class ServeApp:
+    jobs: JobQueue
+    batcher: Optional[MicroBatcher]
+    server: object  # ThreadingHTTPServer
+    device_lock: threading.Lock
+
+    def close(self):
+        self.server.shutdown()
+        self.server.server_close()
+        if self.batcher is not None:
+            self.batcher.close()
+        self.jobs.close()
+
+
+def build_app(
+    pipe,
+    output_dir: str = "serve_outputs",
+    host: str = "127.0.0.1",
+    port: int = 8571,
+    max_batch: int = 4,
+    spec_k: int = 8,
+    batch_window_s: float = 0.05,
+    enhance_timeout_s: float = 600.0,
+    info: Optional[dict] = None,
+) -> ServeApp:
+    """Wire a loaded LTXPipeline into JobQueue + MicroBatcher + HTTP server.
+
+    The server is constructed but NOT started; call
+    serve_forever_threaded(app.server) or app.server.serve_forever().
+    """
+    out = Path(output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    device_lock = threading.Lock()
+
+    batcher = None
+    if pipe.gemma_params is not None and pipe.tokenizer is not None:
+        def run_enhance_batch(payloads):
+            from ltx_tpu.pipeline.enhance import enhance_prompts
+
+            p0 = payloads[0]  # group_key guarantees shared params
+            return enhance_prompts(
+                pipe.gemma_params, pipe.gcfg, pipe.tokenizer,
+                [p["prompt"] for p in payloads],
+                is_i2v=bool(p0["i2v"]), max_tokens=int(p0["max_tokens"]),
+                temperature=float(p0["temperature"]), seed=int(p0["seed"]),
+                spec_k=spec_k, strict=True)
+
+        batcher = MicroBatcher(
+            run_enhance_batch, max_batch=max_batch,
+            batch_window_s=batch_window_s, group_key=enhance_group_key,
+            device_lock=device_lock, name="enhance")
+
+    def run_job(job: Job) -> dict:
+        from ltx_tpu.io.video import export_video, export_wav
+
+        cfg = request_to_config(job.request)
+        prompt = job.request["prompt"]
+        kind = job.kind
+        audio_gain = float(job.request.get("audio_gain", 1.0))
+        if kind == "audio_two_stage":
+            result = pipe.generate_video_with_audio_two_stage(
+                prompt, cfg, audio_gain=audio_gain)
+        elif kind == "audio":
+            result = pipe.generate_video_with_audio(
+                prompt, cfg, audio_gain=audio_gain)
+        elif kind == "two_stage":
+            result = pipe.generate_video_two_stage(prompt, cfg)
+        else:  # t2v / i2v (I2V routes via cfg.image_path inside the pipeline)
+            result = pipe.generate_video(prompt, cfg)
+        path = str(out / f"{job.job_id}.mp4")
+        export_video(result.frames, path, fps=cfg.fps, audio=result.audio)
+        rec = {"output": path, "seed": result.seed,
+               "frames": int(result.frames.shape[0]),
+               "width": int(result.frames.shape[2]),
+               "height": int(result.frames.shape[1])}
+        if result.audio is not None:
+            export_wav(result.audio, path + ".wav")
+            rec["audio"] = path + ".wav"
+        return rec
+
+    jobs = JobQueue(run_job, device_lock=device_lock)
+
+    def validate_fn(body) -> Optional[str]:
+        try:
+            request_to_config(body)
+        except Exception as e:  # noqa: BLE001 — message back to the client
+            return str(e)
+        return None
+
+    server = make_server(
+        jobs, batcher=batcher,
+        info_fn=lambda: info or {"model": "ltx_tpu",
+                                 "enhance": batcher is not None},
+        validate_fn=validate_fn, host=host, port=port,
+        enhance_timeout_s=enhance_timeout_s)
+    return ServeApp(jobs=jobs, batcher=batcher, server=server,
+                    device_lock=device_lock)

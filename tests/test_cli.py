@@ -243,6 +243,48 @@ def test_enhance_subcommand_parses():
     assert e.spec_k == 4 and e.json and e.max_tokens == 64
 
 
+def test_serve_subcommand_parses():
+    s = parse(["serve", "--port", "9000", "--max-batch", "4",
+               "--audio", "--upscaler", "--gemma-quant", "int4"])
+    assert s.command == "serve" and s.port == 9000 and s.max_batch == 4
+    assert s.audio and s.upscaler and s.gemma_quant == "int4"
+    assert s.transformer_quant == "int4" and s.memory == "moderate"
+
+
+def test_cmd_serve_wires_pipeline(monkeypatch, tmp_path):
+    """cmd_serve loads the pipeline, builds the app, and serves — verified
+    with a fake loader + a server whose serve_forever returns at once."""
+    import ltx_tpu.io.cli as cli
+    from ltx_tpu.pipeline.generate import LTXPipeline
+
+    calls = {}
+
+    def fake_load_pipeline(**kw):
+        calls["load"] = kw
+        return LTXPipeline.random_tiny(seed=0)
+
+    monkeypatch.setattr("ltx_tpu.pipeline.loader.load_pipeline",
+                        fake_load_pipeline)
+    args = parse(["serve", "--port", "0", "--output-dir",
+                  str(tmp_path), "--gemma-quant", "int4",
+                  "--models-dir", str(tmp_path)])
+
+    import ltx_tpu.serve.app as app_mod
+
+    real_build = app_mod.build_app
+
+    def fake_build(pipe, **kw):
+        app = real_build(pipe, **kw)
+        calls["max_batch"] = kw["max_batch"]
+        monkeypatch.setattr(app.server, "serve_forever", lambda: None)
+        return app
+
+    monkeypatch.setattr("ltx_tpu.serve.app.build_app", fake_build)
+    assert cli.cmd_serve(args) == 0
+    assert calls["load"]["gemma_quant"] == "int4"
+    assert calls["max_batch"] == 16  # int4 auto HBM bound
+
+
 def test_cmd_enhance_batched_dispatch(tmp_path, monkeypatch, capsys):
     """Drive `enhance` end-to-end through cmd_enhance with a tiny Gemma:
     prompts from argv AND --file, batched+speculative path, JSON output."""
