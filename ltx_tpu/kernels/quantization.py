@@ -143,12 +143,36 @@ def is_quantized(p) -> bool:
 
 def requant_int8_channel_np(qp_or_w):
     """int4-group-quantized leaf (or raw (in, out) weight) -> per-output-
-    channel int8 {"w8": (in, out) int8, "sw": (out,) f32}, host-side numpy.
+    channel int8 {"w8": (in, out) int8, "sw": (out,) f32}, host-side.
 
     Requantizing the int4-QAT values adds at most one int8 step of noise per
     element (the int4 grid is not a subgrid of the per-channel int8 grid),
     bounded by max|w_channel|/127 — far below the int4 group step itself.
+
+    Routes through the native C++ kernels (ltx_tpu.native) when available —
+    the numpy path is scalar-loop slow on ml_dtypes bf16 (~9 s per 67M-
+    element layer measured; docs/BENCH_NOTES.md §12). Bit-exact either way.
     """
+    import numpy as np
+
+    from ltx_tpu import native
+
+    if isinstance(qp_or_w, dict) and "w_q4" in qp_or_w:
+        out = native.requant_int8_from_int4(qp_or_w)
+        if out is not None:
+            return out
+    elif not isinstance(qp_or_w, dict):
+        a = np.asarray(qp_or_w)
+        if a.ndim == 2:
+            out = native.quant_int8_channel(a)
+            if out is not None:
+                return out
+    return _requant_int8_channel_np_numpy(qp_or_w)
+
+
+def _requant_int8_channel_np_numpy(qp_or_w):
+    """Pure-numpy twin of requant_int8_channel_np (fallback + the exactness
+    oracle for tests/test_native.py and the native self-test)."""
     import numpy as np
 
     if isinstance(qp_or_w, dict) and ("w_q4" in qp_or_w or "w_q" in qp_or_w):
@@ -510,8 +534,21 @@ QUANTIZABLE_LEAVES = frozenset({
 
 
 def _quantize_weight_np(w, bits: int, group_size: int):
-    """Host (numpy) twin of quantize_weight — loading real 19B bf16 weights
-    must not stage the unquantized tree through device HBM."""
+    """Host twin of quantize_weight — loading real 19B bf16 weights must
+    not stage the unquantized tree through device HBM. Routes through the
+    native C++ kernel (ltx_tpu.native) when available: the numpy path was
+    measured at 19-38 s for ONE 4096x16384 bf16 layer (~an hour for the
+    full DiT); native runs at memory bandwidth. Bit-exact either way."""
+    from ltx_tpu import native
+
+    out = native.quant_group(w, bits, group_size, PACK_BLOCK)
+    if out is not None:
+        return out
+    return _quantize_weight_np_numpy(w, bits, group_size)
+
+
+def _quantize_weight_np_numpy(w, bits: int, group_size: int):
+    """Pure-numpy twin (fallback + exactness oracle for test_native.py)."""
     import numpy as np
 
     d_in, d_out = w.shape
