@@ -162,6 +162,15 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--hf-token", default=None)
     s.add_argument("--debug", action="store_true")
 
+    t = sub.add_parser(
+        "train",
+        help="LoRA/QLoRA fine-tune of the video DiT on latent shards "
+             "(flow matching; beyond reference parity — docs/TRAINING.md)")
+    from ltx_tpu.train.cli import add_train_arguments
+
+    add_train_arguments(t)
+    t.add_argument("--debug", action="store_true")
+
     return p
 
 
@@ -512,6 +521,15 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_train(args) -> int:
+    """LoRA/QLoRA fine-tune (ltx_tpu/train/): flow-matching steps over
+    latent shards, adapter exported in the standard LoRA schema that
+    `generate --lora` fuses. Guide: docs/TRAINING.md."""
+    from ltx_tpu.train.cli import run
+
+    return run(args)
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     logging.basicConfig(
@@ -520,7 +538,7 @@ def main(argv=None) -> int:
     )
     handler = {"generate": cmd_generate, "download": cmd_download,
                "info": cmd_info, "enhance": cmd_enhance,
-               "serve": cmd_serve}[args.command]
+               "serve": cmd_serve, "train": cmd_train}[args.command]
     from ltx_tpu.core.errors import LTXError
 
     try:

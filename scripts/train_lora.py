@@ -1,17 +1,8 @@
 """End-to-end LoRA fine-tune driver: latent shards -> adapter safetensors.
 
-Closes the training loop around ltx_tpu.train on one chip (multi-chip:
-shard params with parallel/sharding before init_train_state — the dp+tp
-step is dryrun-validated):
-
-    dataset (train/data.py shards) -> QLoRA/LoRA flow-matching steps
-    -> periodic bit-exact checkpoints (+ dataset cursor) -> adapter
-    exported in the ComfyUI LoRA schema (consumable by fuse_lora_file /
-    --lora at inference).
-
-Weights: --weights UNIFIED.safetensors loads the real video DiT via the
-same key maps the pipeline uses; --random-init {tiny,full} smoke-runs
-without checkpoints (zero-egress environments).
+Thin wrapper over ltx_tpu.train.cli (the same loop the `ltx-video train`
+subcommand runs). Kept as a standalone script for environments that drive
+training without installing the CLI entry point.
 
 Example:
     python scripts/train_lora.py --data shards/ --out adapter.safetensors \
@@ -22,159 +13,20 @@ Example:
 import argparse
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from ltx_tpu.train.cli import add_train_arguments, run  # noqa: E402
+
 
 def parse_args(argv=None):
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--data", required=True, help="shard directory")
-    ap.add_argument("--out", required=True, help="adapter .safetensors path")
-    ap.add_argument("--steps", type=int, default=1000)
-    ap.add_argument("--batch", type=int, default=1)
-    ap.add_argument("--rank", type=int, default=16)
-    ap.add_argument("--alpha", type=float, default=None)
-    ap.add_argument("--lr", type=float, default=1e-4)
-    ap.add_argument("--warmup", type=int, default=0)
-    ap.add_argument("--accum", type=int, default=1)
-    ap.add_argument("--ema", type=float, default=0.0,
-                    help="EMA decay (0 = off); exports the EMA adapter")
-    ap.add_argument("--quant", choices=("none", "w8a8", "int4"),
-                    default="w8a8", help="frozen-base quantization")
-    ap.add_argument("--weights", default=None,
-                    help="unified checkpoint (.safetensors)")
-    ap.add_argument("--random-init", choices=("tiny", "full"), default=None,
-                    help="random base instead of --weights (smoke runs)")
-    ap.add_argument("--compute", choices=("bf16", "f32"), default="bf16")
-    ap.add_argument("--ckpt", default=None, help="checkpoint .npz path")
-    ap.add_argument("--ckpt-every", type=int, default=200)
-    ap.add_argument("--resume", action="store_true")
-    ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--log-every", type=int, default=10)
+    ap = argparse.ArgumentParser(description=__doc__)
+    add_train_arguments(ap)
     return ap.parse_args(argv)
 
 
-def build_base_params(args, cfg, jnp):
-    import jax
-
-    if args.random_init:
-        return dit_init_random(args, cfg, jnp)
-    if not args.weights:
-        raise SystemExit("pass --weights UNIFIED.safetensors or "
-                         "--random-init {tiny,full}")
-    from ltx_tpu.weights import keymaps
-    from ltx_tpu.weights.download import load_safetensors
-
-    tensors = load_safetensors(args.weights)
-    tr_raw, _, _ = keymaps.split_unified(tensors)
-    del tensors
-    return keymaps.load_transformer_params(tr_raw, cfg.num_layers)
-
-
-def dit_init_random(args, cfg, jnp):
-    import jax
-
-    from ltx_tpu.models import dit
-
-    dtype = jnp.float32 if args.compute == "f32" else jnp.bfloat16
-    return dit.init_params(jax.random.key(args.seed), cfg, dtype)
-
-
 def main(argv=None):
-    args = parse_args(argv)
-
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
-    from ltx_tpu.core.config import TransformerConfig
-    from ltx_tpu.kernels.quantization import quantize_transformer_params
-    from ltx_tpu.ops import rope as rope_ops
-    from ltx_tpu.train import (
-        TrainConfig, add_lora, ema_init, make_ema_update, make_train_step,
-        save_lora,
-    )
-    from ltx_tpu.train.checkpoint import (
-        load_train_checkpoint, save_train_checkpoint,
-    )
-    from ltx_tpu.train.data import LatentShardDataset, prefetch_to_device
-    from ltx_tpu.train.step import combine_params, init_train_state
-
-    def log(msg):
-        print(f"[train_lora] {msg}", file=sys.stderr, flush=True)
-
-    cfg = TransformerConfig()
-    if args.random_init == "tiny":
-        cfg = cfg.tiny()
-
-    ds = LatentShardDataset(args.data, args.batch, seed=args.seed)
-    f, h, w = ds.grid
-    if ds.batch_size * (f * h * w) * cfg.in_channels == 0:
-        raise SystemExit("empty dataset")
-    log(f"dataset: {ds.num_rows} rows, grid {ds.grid}, batch {args.batch}")
-
-    params = build_base_params(args, cfg, jnp)
-    if args.quant != "none" and not args.random_init == "tiny":
-        bits = 8 if args.quant == "w8a8" else 4
-        params = quantize_transformer_params(
-            params, bits=bits, w8a8=(args.quant == "w8a8"))
-        log(f"frozen base quantized: {args.quant}")
-    params = add_lora(params, jax.random.key(args.seed + 1),
-                      rank=args.rank, alpha=args.alpha)
-
-    cos, sin = rope_ops.video_rope(f, h, w, cfg.inner_dim, cfg.num_heads)
-    rope = (jnp.asarray(cos), jnp.asarray(sin))
-
-    tc = TrainConfig(
-        learning_rate=args.lr, warmup_steps=args.warmup, lora_only=True,
-        accum_steps=args.accum,
-        compute_dtype=jnp.float32 if args.compute == "f32" else jnp.bfloat16,
-    )
-    trainable, frozen, opt_state = init_train_state(params, tc)
-    step = make_train_step(cfg, tc, donate=True)
-    ema = ema_init(trainable) if args.ema > 0 else None
-    ema_upd = make_ema_update(args.ema) if args.ema > 0 else None
-
-    start = 0
-    if args.resume and args.ckpt and os.path.exists(args.ckpt):
-        trainable, opt_state, start = load_train_checkpoint(
-            args.ckpt, trainable, opt_state)
-        dstate_path = args.ckpt + ".data.npy"
-        if os.path.exists(dstate_path):
-            ds.restore(np.load(dstate_path, allow_pickle=True).item())
-        log(f"resumed from {args.ckpt} at step {start}")
-
-    key = jax.random.key(args.seed + 2)
-    t0 = time.time()
-    it = prefetch_to_device(iter(ds), depth=2)
-    for i in range(start, args.steps):
-        tokens, context, bias = next(it)
-        key, sub = jax.random.split(key)
-        trainable, opt_state, aux = step(
-            trainable, frozen, opt_state, tokens, context, rope, sub,
-            context_bias=bias)
-        if ema is not None:
-            ema = ema_upd(ema, trainable)
-        if (i + 1) % args.log_every == 0 or i == start:
-            loss = float(aux["loss"])  # readback = sync
-            if not np.isfinite(loss):
-                raise SystemExit(f"non-finite loss at step {i + 1}")
-            log(f"step {i + 1}/{args.steps} loss={loss:.4f} "
-                f"gnorm={float(aux['grad_norm']):.3f} "
-                f"({(time.time() - t0) / max(1, i + 1 - start):.2f} s/step)")
-        if args.ckpt and (i + 1) % args.ckpt_every == 0:
-            save_train_checkpoint(args.ckpt, trainable, opt_state, i + 1)
-            np.save(args.ckpt + ".data.npy", ds.state(),  # noqa: allow rng
-                    allow_pickle=True)
-            log(f"checkpoint @ step {i + 1} -> {args.ckpt}")
-
-    export_tree = combine_params(ema if ema is not None else trainable,
-                                 frozen)
-    n = save_lora(export_tree, args.out)
-    log(f"exported {'EMA ' if ema is not None else ''}adapter: "
-        f"{n} tensors -> {args.out}")
-    print(f"TRAIN LORA OK: {args.steps - start} steps, adapter {args.out}")
+    return run(parse_args(argv))
 
 
 if __name__ == "__main__":

@@ -356,3 +356,42 @@ def test_cmd_enhance_batched_dispatch(tmp_path, monkeypatch, capsys):
                         boom)
     rc = cli.main(["enhance", "a cat", "--gemma-path", str(gdir)])
     assert rc == 1
+
+
+def test_cmd_train_e2e(tmp_path, capsys):
+    """`ltx-video train`: the trainer runs as a first-class subcommand —
+    tiny random base, synthetic shards, exported adapter parses through
+    the inference LoRA fusion path."""
+    import numpy as np
+
+    from ltx_tpu.core.config import TransformerConfig
+    from ltx_tpu.train.data import write_shard
+
+    cfg = TransformerConfig().tiny()
+    data = tmp_path / "shards"
+    data.mkdir()
+    rng = np.random.default_rng(0)
+    f, h, w, s = 2, 2, 3, 8
+    for i in range(2):
+        write_shard(
+            data / f"{i}.npz",
+            rng.standard_normal((3, f * h * w, cfg.in_channels),
+                                dtype=np.float32),
+            rng.standard_normal((3, s, cfg.caption_channels),
+                                dtype=np.float32),
+            (f, h, w))
+    out = tmp_path / "adapter.safetensors"
+
+    rc = main(["train", "--data", str(data), "--out", str(out),
+               "--steps", "2", "--batch", "2", "--rank", "2",
+               "--random-init", "tiny", "--compute", "f32",
+               "--quant", "none", "--log-every", "1"])
+    assert rc == 0
+    assert out.exists()
+    assert "TRAIN LORA OK" in capsys.readouterr().out
+
+    from ltx_tpu.lora import fuse
+    from ltx_tpu.weights.download import load_safetensors
+
+    layers = fuse.parse_lora(load_safetensors(out))
+    assert len(layers) == cfg.num_layers * 10
