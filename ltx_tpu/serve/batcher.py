@@ -63,7 +63,7 @@ class MicroBatcher:
         self._batches_run = 0
         self._requests_done = 0
         self._requests_failed = 0
-        self._batch_sizes: List[int] = []
+        self._batch_sizes: deque = deque(maxlen=64)  # recent only (stats)
         self._worker = threading.Thread(
             target=self._loop, name=f"ltx-{name}", daemon=True)
         self._worker.start()
@@ -92,7 +92,7 @@ class MicroBatcher:
 
     def stats(self) -> dict:
         with self._lock:
-            sizes = list(self._batch_sizes[-64:])
+            sizes = list(self._batch_sizes)
             return {
                 "pending": len(self._pending),
                 "batches_run": self._batches_run,
