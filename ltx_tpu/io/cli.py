@@ -171,6 +171,15 @@ def build_parser() -> argparse.ArgumentParser:
     add_train_arguments(t)
     t.add_argument("--debug", action="store_true")
 
+    pd = sub.add_parser(
+        "prepare-data",
+        help="Encode video clips + captions into latent training shards "
+             "(VAE encoder + full text-encoder stack; docs/TRAINING.md)")
+    from ltx_tpu.train.prepare import add_prepare_arguments
+
+    add_prepare_arguments(pd)
+    pd.add_argument("--debug", action="store_true")
+
     return p
 
 
@@ -530,6 +539,15 @@ def cmd_train(args) -> int:
     return run(args)
 
 
+def cmd_prepare_data(args) -> int:
+    """Clips + captions -> latent shards (ltx_tpu/train/prepare.py):
+    VAE-encode + normalize + patchify each clip, run each caption through
+    the full text-encoder stack, write LatentShardDataset shards."""
+    from ltx_tpu.train.prepare import run
+
+    return run(args)
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     logging.basicConfig(
@@ -538,7 +556,8 @@ def main(argv=None) -> int:
     )
     handler = {"generate": cmd_generate, "download": cmd_download,
                "info": cmd_info, "enhance": cmd_enhance,
-               "serve": cmd_serve, "train": cmd_train}[args.command]
+               "serve": cmd_serve, "train": cmd_train,
+               "prepare-data": cmd_prepare_data}[args.command]
     from ltx_tpu.core.errors import LTXError
 
     try:

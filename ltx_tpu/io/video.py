@@ -148,3 +148,49 @@ def load_image(path: str, width: int, height: int) -> np.ndarray:
     )
     arr = np.asarray(img, np.float32) / 127.5 - 1.0  # (H, W, 3)
     return arr.transpose(2, 0, 1)[None, :, None]  # (1, 3, 1, H, W)
+
+
+def load_video(path: str, width: int, height: int,
+               num_frames: int) -> np.ndarray:
+    """Video file -> (1, 3, F, H, W) float32 in [-1, 1] (training data prep).
+
+    Frames are evenly sampled (np.linspace over the clip) when the clip
+    length differs from num_frames, then LANCZOS-resized — the temporal
+    analog of load_image's treatment (reference pixel convention:
+    LatentUtils.swift:343-392, /127.5 - 1). Reader: OpenCV first (the
+    writer's reliable backend in this environment), imageio fallback.
+    """
+    frames = _read_frames(str(path))
+    if not frames:
+        raise IOError(f"no frames decoded from {path}")
+    idx = np.linspace(0, len(frames) - 1, num_frames).round().astype(int)
+    from PIL import Image
+
+    out = np.empty((num_frames, height, width, 3), np.float32)
+    for j, i in enumerate(idx):
+        img = Image.fromarray(frames[i]).resize((width, height),
+                                                Image.LANCZOS)
+        out[j] = np.asarray(img, np.float32) / 127.5 - 1.0
+    return out.transpose(3, 0, 1, 2)[None]  # (1, 3, F, H, W)
+
+
+def _read_frames(path: str) -> list:
+    """Decode every frame as (H, W, 3) uint8 RGB."""
+    try:
+        import cv2
+
+        cap = cv2.VideoCapture(path)
+        frames = []
+        while True:
+            ok, bgr = cap.read()
+            if not ok:
+                break
+            frames.append(cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB))
+        cap.release()
+        if frames:
+            return frames
+    except ImportError:
+        pass
+    import imageio.v2 as iio
+
+    return [np.asarray(f)[..., :3] for f in iio.mimread(path, memtest=False)]
