@@ -136,6 +136,10 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--port", type=int, default=8571)
     s.add_argument("--output-dir", default="serve_outputs",
                    help="Where generation jobs write <job_id>.mp4")
+    s.add_argument("--image-root", default=None,
+                   help="Confine i2v request 'image_path's to this "
+                        "directory (default: any server-readable path — "
+                        "trusted local use only)")
     s.add_argument("--model", default="auto",
                    choices=["auto", "distilled", "dev"])
     s.add_argument("--transformer-quant",
@@ -514,6 +518,7 @@ def cmd_serve(args) -> int:
         pipe, output_dir=args.output_dir, host=args.host, port=args.port,
         max_batch=max_batch, spec_k=args.spec_k,
         batch_window_s=args.batch_window_ms / 1000.0,
+        image_root=args.image_root,
         info={"model": args.model, "transformer_quant":
               args.transformer_quant, "gemma_quant": args.gemma_quant,
               "audio": args.audio, "upscaler": args.upscaler},

@@ -328,6 +328,90 @@ class LTXPipeline:
         )
         return out
 
+    def encode_prompts(self, prompts, batch: int = 4,
+                       stage: Optional[bool] = None):
+        """Encode MANY prompts with each text-encoder component staged at
+        most ONCE per call (encode_prompt runs a full staging cycle per
+        prompt — re-uploading the 12.8 GB w8a8 Gemma tower every time, which
+        is prohibitive for data-prep jobs that encode hundreds of captions).
+
+        Chunks of `batch` prompts share one compiled tower/connector program
+        (B rows ride the same weight DMAs — docs/BENCH_NOTES.md §7); the
+        tail chunk pads by repeating its last row so every chunk compiles to
+        the same shape, and the padded rows are sliced off.
+
+        stage=None follows memory.phase_staging. When staged, each chunk's
+        (49, B, S, D) Gemma hidden states hop to HOST between the two phases
+        so the tower and connector never co-reside (~0.4 GB host RAM per
+        prompt at S=1024 — call in groups if len(prompts) is large).
+        stage=False keeps both resident and streams chunk->chunk (int4 Gemma
+        6.5 GB + connector 2.2 GB co-reside comfortably; w8a8 sits at the
+        15.5 GB HBM edge — keep staging there).
+
+        Returns one dict per prompt — {"video": (1, S, D), "mask": (1, S)
+        [, "audio"]} — as HOST numpy arrays.
+        """
+        if self.gemma_params is None:
+            raise ModelNotLoadedError("text encoder (Gemma)")
+        prompts = list(prompts)
+        if not prompts:
+            return []
+        if stage is None:
+            stage = self.memory.phase_staging
+        batch = max(1, int(batch))
+        ids_rows = []
+        mask_rows = []
+        for p in prompts:
+            i, m = self.tokenize(p)
+            ids_rows.append(np.asarray(i)[0])
+            mask_rows.append(np.asarray(m)[0])
+        chunks = []  # (ids (B, S), mask (B, S), n_real)
+        for s in range(0, len(prompts), batch):
+            ids = ids_rows[s:s + batch]
+            msk = mask_rows[s:s + batch]
+            n = len(ids)
+            if n < batch and len(prompts) > batch:
+                # pad the tail to the chunk shape already compiled (repeat
+                # the last row — all-zero masks would break the extractor's
+                # masked norm); outputs beyond n are dropped
+                ids = ids + [ids[-1]] * (batch - n)
+                msk = msk + [msk[-1]] * (batch - n)
+            chunks.append((np.stack(ids), np.stack(msk), n))
+
+        hidden_host = []
+        if stage:
+            self._on_device("gemma_params")
+            for ids, msk, _n in chunks:
+                h = gemma3.forward_hidden_states_jit(
+                    self.gemma_params, jnp.asarray(ids), jnp.asarray(msk),
+                    self.gcfg)
+                hidden_host.append(np.asarray(h))  # host hop (real sync)
+            self._release_to_host("gemma_params")
+            self._on_device("text_encoder_params")
+        else:
+            self._on_device("gemma_params", "text_encoder_params")
+
+        results = []
+        for ci, (ids, msk, n) in enumerate(chunks):
+            if stage:
+                h = jnp.asarray(hidden_host[ci])
+                hidden_host[ci] = None  # free as we go
+            else:
+                h = gemma3.forward_hidden_states_jit(
+                    self.gemma_params, jnp.asarray(ids), jnp.asarray(msk),
+                    self.gcfg)
+            out = text_encoder.encode_from_hidden_states_jit(
+                self.text_encoder_params, h, jnp.asarray(msk), self.tecfg)
+            video = np.asarray(out["video"])
+            omask = np.asarray(out["mask"])
+            audio = np.asarray(out["audio"]) if "audio" in out else None
+            for r in range(n):
+                d = {"video": video[r:r + 1], "mask": omask[r:r + 1]}
+                if audio is not None:
+                    d["audio"] = audio[r:r + 1]
+                results.append(d)
+        return results
+
     def offload_text_encoder(self):
         """Drop Gemma + connector params' device copies (TPU equivalent of
         the reference's unload-after-encode, LTXPipeline.swift:726-731).

@@ -37,8 +37,13 @@ _GENERATE_FIELDS = (
 )
 
 
-def request_to_config(body: dict):
+def request_to_config(body: dict, image_root: Optional[Path] = None):
     """Build + validate a GenerationConfig from an untrusted request dict.
+
+    image_root, when set, confines i2v 'image_path' to files under that
+    directory (a request names an arbitrary server-side path — without the
+    fence any readable image on the host could be conditioned into the
+    output video). None = trusted local use, any path accepted.
 
     Raises LTXError/ValueError with a user-facing message on bad input.
     """
@@ -56,7 +61,16 @@ def request_to_config(body: dict):
     if kind == "i2v":
         if not body.get("image_path"):
             raise ValueError("kind 'i2v' requires 'image_path'")
-        kwargs["image_path"] = body["image_path"]
+        path = Path(str(body["image_path"]))
+        if image_root is not None:
+            resolved = (image_root / path).resolve() if not path.is_absolute() \
+                else path.resolve()
+            root = image_root.resolve()
+            if not resolved.is_relative_to(root):
+                raise ValueError("'image_path' must stay under the "
+                                 "server's --image-root")
+            path = resolved
+        kwargs["image_path"] = str(path)
     cfg = GenerationConfig(**kwargs)
     cfg.validate()
     return cfg
@@ -87,6 +101,7 @@ def build_app(
     batch_window_s: float = 0.05,
     enhance_timeout_s: float = 600.0,
     info: Optional[dict] = None,
+    image_root: Optional[str] = None,
 ) -> ServeApp:
     """Wire a loaded LTXPipeline into JobQueue + MicroBatcher + HTTP server.
 
@@ -95,6 +110,7 @@ def build_app(
     """
     out = Path(output_dir)
     out.mkdir(parents=True, exist_ok=True)
+    root = Path(image_root) if image_root is not None else None
     device_lock = threading.Lock()
 
     batcher = None
@@ -118,7 +134,7 @@ def build_app(
     def run_job(job: Job) -> dict:
         from ltx_tpu.io.video import export_video, export_wav
 
-        cfg = request_to_config(job.request)
+        cfg = request_to_config(job.request, image_root=root)
         prompt = job.request["prompt"]
         kind = job.kind
         audio_gain = float(job.request.get("audio_gain", 1.0))
@@ -147,7 +163,7 @@ def build_app(
 
     def validate_fn(body) -> Optional[str]:
         try:
-            request_to_config(body)
+            request_to_config(body, image_root=root)
         except Exception as e:  # noqa: BLE001 — message back to the client
             return str(e)
         return None

@@ -180,6 +180,9 @@ class JobQueue:
              poll_s: float = 0.01) -> dict:
         """Test/CLI helper: block until the job leaves PENDING/RUNNING."""
         deadline = time.monotonic() + timeout
+        d = self.get(job_id)
+        if d is None:
+            raise KeyError(job_id)
         while time.monotonic() < deadline:
             d = self.get(job_id)
             if d is None:

@@ -36,9 +36,32 @@ ENHANCE_PARAMS = ("max_tokens", "temperature", "seed", "i2v")
 ENHANCE_DEFAULTS = {"max_tokens": 512, "temperature": 0.7, "seed": 42,
                     "i2v": False}
 
+MAX_BODY_BYTES = 8 << 20  # request bodies are JSON control-plane, not media
+MAX_PROMPTS_PER_REQUEST = 64
+
 
 def enhance_group_key(payload: dict):
     return tuple(payload[k] for k in ENHANCE_PARAMS)
+
+
+def validate_enhance_params(params: dict) -> Optional[str]:
+    """Bounds/type check BEFORE a payload joins a batch: a malformed value
+    must 400 at the door, not throw inside the worker and fail the whole
+    coalesced batch (other callers' requests ride in it)."""
+    mt = params["max_tokens"]
+    if not isinstance(mt, int) or isinstance(mt, bool) or not 1 <= mt <= 4096:
+        return "'max_tokens' must be an integer in [1, 4096]"
+    t = params["temperature"]
+    if isinstance(t, bool) or not isinstance(t, (int, float)) \
+            or not 0.0 <= float(t) <= 2.0:
+        return "'temperature' must be a number in [0, 2]"
+    sd = params["seed"]
+    if not isinstance(sd, int) or isinstance(sd, bool) \
+            or not 0 <= sd < 2**63:
+        return "'seed' must be a non-negative integer"
+    if not isinstance(params["i2v"], bool):
+        return "'i2v' must be a boolean"
+    return None
 
 
 def _json_bytes(obj) -> bytes:
@@ -65,6 +88,13 @@ class _Handler(BaseHTTPRequestHandler):
     def _read_json(self) -> Optional[dict]:
         try:
             n = int(self.headers.get("Content-Length", "0"))
+            if n > MAX_BODY_BYTES:
+                # reject without reading; the unread body corrupts the
+                # keep-alive framing, so drop the connection after replying
+                self.close_connection = True
+                self._reply(413, {"error": f"body exceeds {MAX_BODY_BYTES} "
+                                           "bytes"})
+                return None
             raw = self.rfile.read(n) if n else b""
             obj = json.loads(raw) if raw else {}
         except (ValueError, json.JSONDecodeError):
@@ -114,10 +144,17 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._reply(
                     400, {"error": "'prompts' must be a non-empty list of "
                                    "non-empty strings"})
+            if len(prompts) > MAX_PROMPTS_PER_REQUEST:
+                return self._reply(
+                    400, {"error": f"at most {MAX_PROMPTS_PER_REQUEST} "
+                                   "prompts per request"})
             params = dict(ENHANCE_DEFAULTS)
             for k in ENHANCE_PARAMS:
                 if k in body:
                     params[k] = body[k]
+            err = validate_enhance_params(params)
+            if err:
+                return self._reply(400, {"error": err})
             payloads = [{"prompt": p, **params} for p in prompts]
             futs = srv.ltx_batcher.submit_many(payloads)
             try:

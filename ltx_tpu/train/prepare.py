@@ -4,10 +4,12 @@ Closes the training loop's input side (docs/TRAINING.md step 1): each clip
 is decoded, resized, VAE-encoded on device, normalized with the decoder's
 channel stats (exactly the latent space the denoiser trains in —
 LTXPipeline.encode_image's formula, reference: LTXPipeline.swift:1902-1932),
-patchified to (T, C) token rows; its caption runs through the full Gemma ->
-feature-extractor -> connector stack (pipe.encode_prompt). Rows accumulate
-into `write_shard` files that LatentShardDataset streams at step time, so
-training never touches the VAE or text encoder again.
+patchified to (T, C) token rows; captions run through the full Gemma ->
+feature-extractor -> connector stack in batched groups
+(pipe.encode_prompts — each component stages at most once per group, not
+once per clip). Rows accumulate into `write_shard` files that
+LatentShardDataset streams at step time, so training never touches the VAE
+or text encoder again.
 
 Driven by `ltx-video prepare-data` (io/cli.py) or directly:
 
@@ -60,8 +62,21 @@ def prepare_dataset(
     num_frames: int,
     rows_per_shard: int = 8,
     skip_errors: bool = False,
+    text_group: int = 8,
+    text_batch: int = 4,
 ) -> List[str]:
     """Encode (video_path, caption) pairs into latent shards under out_dir.
+
+    Two passes, ordered for device residency: pass 1 VAE-encodes every clip
+    (encoder resident once, per-clip failure isolation under skip_errors);
+    pass 2 runs the surviving captions through `pipe.encode_prompts` in
+    groups of `text_group`, so under phase_staging the Gemma tower uploads
+    once per GROUP instead of once per clip (encode_prompt's per-call
+    staging cycle re-uploads 12.8 GB w8a8 Gemma every time — raise
+    text_group for fewer uploads at ~0.4 GB host RAM per caption in the
+    group; with a co-resident quant mode like int4 the grouping only sets
+    the compiled batch cadence). `text_batch` captions share each compiled
+    tower/connector program.
 
     Returns the shard paths written. All rows share one latent grid (fixed
     width/height/num_frames) and the text encoder's padded length, so any
@@ -75,13 +90,35 @@ def prepare_dataset(
         raise ValueError(f"num_frames must be 8n+1, got {num_frames}")
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
+    text_group = max(1, int(text_group))
 
+    grid = None
+    failed: List[str] = []
+    survivors: List[Tuple[np.ndarray, str]] = []  # (tokens, caption)
+
+    # Pass 1: clips -> latent token rows (VAE encoder placed once).
+    for video_path, caption in items:
+        try:
+            tokens, g = encode_clip(pipe, video_path, width, height,
+                                    num_frames)
+        except Exception as e:  # noqa: BLE001 — per-clip isolation
+            if not skip_errors:
+                raise
+            log.warning("prepare-data: skipping %s (%s)", video_path, e)
+            failed.append(str(video_path))
+            continue
+        if grid is None:
+            grid = g
+        elif g != grid:
+            raise ValueError(f"{video_path}: grid {g} != {grid} "
+                             "(all clips must share width/height/frames)")
+        survivors.append((tokens.astype(np.float32), caption))
+
+    # Pass 2: captions in groups -> context rows; shards flush as filled.
     tok_rows: List[np.ndarray] = []
     ctx_rows: List[np.ndarray] = []
     mask_rows: List[np.ndarray] = []
-    grid = None
     shards: List[str] = []
-    failed: List[str] = []
 
     def flush():
         if not tok_rows:
@@ -95,29 +132,16 @@ def prepare_dataset(
         ctx_rows.clear()
         mask_rows.clear()
 
-    for i, (video_path, caption) in enumerate(items):
-        try:
-            tokens, g = encode_clip(pipe, video_path, width, height,
-                                    num_frames)
-            enc = pipe.encode_prompt(caption)  # {"video", "mask"[, "audio"]}
-            ctx = np.asarray(enc["video"], np.float32)[0]
-            mask = np.asarray(enc["mask"])[0]
-        except Exception as e:  # noqa: BLE001 — per-clip isolation
-            if not skip_errors:
-                raise
-            log.warning("prepare-data: skipping %s (%s)", video_path, e)
-            failed.append(str(video_path))
-            continue
-        if grid is None:
-            grid = g
-        elif g != grid:
-            raise ValueError(f"{video_path}: grid {g} != {grid} "
-                             "(all clips must share width/height/frames)")
-        tok_rows.append(tokens.astype(np.float32))
-        ctx_rows.append(ctx)
-        mask_rows.append(mask.astype(np.int64))
-        if len(tok_rows) >= rows_per_shard:
-            flush()
+    for s in range(0, len(survivors), text_group):
+        group = survivors[s:s + text_group]
+        encs = pipe.encode_prompts([cap for _tok, cap in group],
+                                   batch=text_batch)
+        for (tokens, _cap), enc in zip(group, encs):
+            tok_rows.append(tokens)
+            ctx_rows.append(np.asarray(enc["video"], np.float32)[0])
+            mask_rows.append(np.asarray(enc["mask"]).astype(np.int64)[0])
+            if len(tok_rows) >= rows_per_shard:
+                flush()
     flush()
     if failed:
         log.warning("prepare-data: %d clip(s) failed: %s", len(failed),
@@ -172,6 +196,12 @@ def add_prepare_arguments(ap) -> None:
     ap.add_argument("-H", "--height", type=int, default=512)
     ap.add_argument("-f", "--frames", type=int, default=25)
     ap.add_argument("--rows-per-shard", type=int, default=8)
+    ap.add_argument("--text-group", type=int, default=8,
+                    help="captions encoded per text-encoder staging cycle "
+                         "(higher = fewer Gemma uploads, ~0.4 GB host RAM "
+                         "per caption while staged)")
+    ap.add_argument("--text-batch", type=int, default=4,
+                    help="captions per compiled tower/connector program")
     ap.add_argument("--skip-errors", action="store_true",
                     help="log-and-continue on undecodable clips")
     ap.add_argument("--gemma-quant", choices=["int4", "w8a8", "bf16"],
@@ -204,7 +234,8 @@ def run(args) -> int:
     )
     shards = prepare_dataset(
         pipe, items, args.out, args.width, args.height, args.frames,
-        rows_per_shard=args.rows_per_shard, skip_errors=args.skip_errors)
+        rows_per_shard=args.rows_per_shard, skip_errors=args.skip_errors,
+        text_group=args.text_group, text_batch=args.text_batch)
     print(f"PREPARE DATA OK: {len(items)} clips -> {len(shards)} shards "
           f"in {args.out}", file=sys.stdout)
     return 0

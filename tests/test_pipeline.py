@@ -277,3 +277,45 @@ def test_enhance_prompt_e2e_and_timing(pipe):
         assert "Prompt enhancement" in r.timings.report()
     finally:
         pipe.tokenizer = old_tok
+
+
+def test_encode_prompts_matches_encode_prompt(pipe):
+    """Batched multi-prompt encoding (one staging cycle per call, padded
+    tail chunk) must reproduce the per-prompt path exactly — both with the
+    straight-through path and with the staged host-hop of the Gemma hidden
+    states."""
+    prompts = ["a cat", "a much longer prompt about a dog on a beach",
+               "x", "two foxes", "rain"]
+    singles = [pipe.encode_prompt(p) for p in prompts]
+    for stage in (False, True):
+        outs = pipe.encode_prompts(prompts, batch=2, stage=stage)
+        assert len(outs) == len(prompts)
+        for one, many in zip(singles, outs):
+            assert many["video"].shape == tuple(one["video"].shape)
+            assert np.array_equal(np.asarray(one["mask"]), many["mask"])
+            np.testing.assert_allclose(
+                np.asarray(one["video"], np.float32),
+                np.asarray(many["video"], np.float32),
+                atol=2e-5, rtol=0,
+                err_msg=f"stage={stage}")
+
+
+def test_encode_prompts_staged_releases_gemma(pipe):
+    """Under phase_staging the call must end with the tower back on host
+    and the connector resident (the prep loop relies on one upload per
+    call, not per prompt)."""
+    old_mem = pipe.memory
+    old_gemma = pipe.gemma_params
+    pipe.memory = dataclasses.replace(pipe.memory, phase_staging=True)
+    # staging choreography applies to host-loaded trees (real checkpoints
+    # load as numpy); random_tiny builds device trees, so convert first
+    pipe.gemma_params = jax.tree_util.tree_map(np.asarray, old_gemma)
+    try:
+        outs = pipe.encode_prompts(["a", "bb", "ccc"], batch=2)
+        assert len(outs) == 3
+        assert isinstance(jax.tree_util.tree_leaves(pipe.gemma_params)[0],
+                          np.ndarray), "gemma must be released to host"
+    finally:
+        pipe.memory = old_mem
+        pipe.gemma_params = old_gemma
+        pipe._host_store.pop("gemma_params", None)

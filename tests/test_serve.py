@@ -373,3 +373,63 @@ def test_request_to_config_kinds():
         request_to_config({"prompt": "x", "kind": "i2v"})
     with pytest.raises((LTXError, ValueError)):
         request_to_config({"prompt": "x", "num_frames": 10})
+
+
+def test_http_enhance_param_validation(http_app):
+    """Malformed sampling params 400 at the door instead of failing the
+    coalesced batch on the worker thread."""
+    ok = {"prompts": ["a"]}
+    assert _post(http_app + "/v1/enhance",
+                 {**ok, "max_tokens": "512"})[0] == 400
+    assert _post(http_app + "/v1/enhance", {**ok, "max_tokens": 0})[0] == 400
+    assert _post(http_app + "/v1/enhance",
+                 {**ok, "max_tokens": 10**6})[0] == 400
+    assert _post(http_app + "/v1/enhance",
+                 {**ok, "temperature": -1})[0] == 400
+    assert _post(http_app + "/v1/enhance",
+                 {**ok, "temperature": "hot"})[0] == 400
+    assert _post(http_app + "/v1/enhance", {**ok, "seed": -1})[0] == 400
+    assert _post(http_app + "/v1/enhance", {**ok, "i2v": "yes"})[0] == 400
+    # in-bounds values still pass
+    code, out = _post(http_app + "/v1/enhance",
+                      {**ok, "max_tokens": 64, "temperature": 1.0,
+                       "seed": 7, "i2v": True})
+    assert code == 200 and out == {"prompts": ["A"]}
+
+
+def test_http_request_size_limits(http_app):
+    from ltx_tpu.serve.server import MAX_PROMPTS_PER_REQUEST
+
+    too_many = {"prompts": ["p"] * (MAX_PROMPTS_PER_REQUEST + 1)}
+    assert _post(http_app + "/v1/enhance", too_many)[0] == 400
+    # oversize bodies are rejected WITHOUT being read; depending on timing
+    # the client sees the 413 or a connection reset mid-send — both mean
+    # the server never buffered the 9 MB
+    big = b'{"prompts": ["' + b"x" * (9 << 20) + b'"]}'
+    try:
+        code, _ = _post(http_app + "/v1/enhance", raw=big)
+        assert code == 413
+    except (urllib.error.URLError, ConnectionError):
+        pass
+
+
+def test_request_to_config_image_root_fence(tmp_path):
+    from ltx_tpu.serve.app import request_to_config
+
+    root = tmp_path / "images"
+    root.mkdir()
+    (root / "ok.png").write_bytes(b"x")
+    # relative path resolves under the root
+    cfg = request_to_config({"prompt": "x", "kind": "i2v",
+                             "image_path": "ok.png"}, image_root=root)
+    assert cfg.image_path == str((root / "ok.png").resolve())
+    # escapes are rejected: absolute outside, and ../ traversal
+    for bad in ["/etc/hostname", "../outside.png",
+                str(tmp_path / "outside.png")]:
+        with pytest.raises(ValueError, match="image-root"):
+            request_to_config({"prompt": "x", "kind": "i2v",
+                               "image_path": bad}, image_root=root)
+    # no fence -> any path accepted (trusted local default)
+    cfg = request_to_config({"prompt": "x", "kind": "i2v",
+                             "image_path": "/anywhere/i.png"})
+    assert cfg.image_path == "/anywhere/i.png"
