@@ -295,7 +295,14 @@ def dit_forward(
 
     x, _ = lax.scan(body, x, (params["blocks"], skip_self_attn, skip_ff, cas))
 
-    # Output head (reference: LTXTransformer.swift:208-224)
+    return output_head(params, x, embedded_ts, cfg)
+
+
+def output_head(params, x, embedded_ts, cfg: TransformerConfig):
+    """Final AdaLN layer-norm + projection (reference:
+    LTXTransformer.swift:208-224). Shared by dit_forward and the
+    pipeline-parallel forward (parallel/pipeline.py)."""
+    dtype = x.dtype
     table = params["scale_shift_table"].astype(jnp.float32)  # (2, D)
     vals = table[None, None] + embedded_ts[:, :, None].astype(jnp.float32)
     shift, scale = vals[:, :, 0].astype(dtype), vals[:, :, 1].astype(dtype)

@@ -23,6 +23,7 @@ from typing import Optional
 
 from ltx_tpu.serve.batcher import MicroBatcher
 from ltx_tpu.serve.jobs import Job, JobQueue
+from ltx_tpu.serve.metrics import ServeMetrics
 from ltx_tpu.serve.server import enhance_group_key, make_server
 
 log = logging.getLogger("ltx_tpu")
@@ -82,6 +83,7 @@ class ServeApp:
     batcher: Optional[MicroBatcher]
     server: object  # ThreadingHTTPServer
     device_lock: threading.Lock
+    metrics: Optional[ServeMetrics] = None
 
     def close(self):
         self.server.shutdown()
@@ -112,6 +114,7 @@ def build_app(
     out.mkdir(parents=True, exist_ok=True)
     root = Path(image_root) if image_root is not None else None
     device_lock = threading.Lock()
+    metrics = ServeMetrics()
 
     batcher = None
     if pipe.gemma_params is not None and pipe.tokenizer is not None:
@@ -129,7 +132,8 @@ def build_app(
         batcher = MicroBatcher(
             run_enhance_batch, max_batch=max_batch,
             batch_window_s=batch_window_s, group_key=enhance_group_key,
-            device_lock=device_lock, name="enhance")
+            device_lock=device_lock, name="enhance",
+            on_batch=metrics.on_batch)
 
     def run_job(job: Job) -> dict:
         from ltx_tpu.io.video import export_video, export_wav
@@ -159,7 +163,8 @@ def build_app(
             rec["audio"] = path + ".wav"
         return rec
 
-    jobs = JobQueue(run_job, device_lock=device_lock)
+    jobs = JobQueue(run_job, device_lock=device_lock,
+                    on_job=metrics.on_job)
 
     def validate_fn(body) -> Optional[str]:
         try:
@@ -173,6 +178,6 @@ def build_app(
         info_fn=lambda: info or {"model": "ltx_tpu",
                                  "enhance": batcher is not None},
         validate_fn=validate_fn, host=host, port=port,
-        enhance_timeout_s=enhance_timeout_s)
+        enhance_timeout_s=enhance_timeout_s, metrics=metrics)
     return ServeApp(jobs=jobs, batcher=batcher, server=server,
-                    device_lock=device_lock)
+                    device_lock=device_lock, metrics=metrics)

@@ -12,6 +12,7 @@ Why not slot-level continuous batching: see ltx_tpu/serve/__init__.py.
 
 from __future__ import annotations
 
+import logging
 import threading
 import time
 from collections import deque
@@ -46,6 +47,7 @@ class MicroBatcher:
         group_key: Callable[[Any], Hashable] = lambda p: None,
         device_lock: Optional[threading.Lock] = None,
         name: str = "batcher",
+        on_batch: Optional[Callable[[float, int, bool], None]] = None,
     ):
         if max_batch < 1:
             raise ValueError(f"max_batch must be >= 1, got {max_batch}")
@@ -55,6 +57,7 @@ class MicroBatcher:
         self._group_key = group_key
         self._device_lock = device_lock
         self._name = name
+        self._on_batch = on_batch  # (seconds, rows, ok) — metrics hook
         self._pending: deque = deque()  # (payload, key, Future)
         self._lock = threading.Lock()
         self._has_work = threading.Condition(self._lock)
@@ -150,6 +153,7 @@ class MicroBatcher:
                 batch = self._take_batch()
             payloads = [p for p, _k, _f in batch]
             futs = [f for _p, _k, f in batch]
+            t0 = time.monotonic()
             try:
                 if self._device_lock is not None:
                     with self._device_lock:
@@ -165,6 +169,7 @@ class MicroBatcher:
                     self._batches_run += 1
                     self._batch_sizes.append(len(batch))
                     self._requests_failed += len(batch)
+                self._notify(time.monotonic() - t0, len(batch), False)
                 for f in futs:
                     f.set_exception(e)
                 continue
@@ -172,5 +177,15 @@ class MicroBatcher:
                 self._batches_run += 1
                 self._batch_sizes.append(len(batch))
                 self._requests_done += len(batch)
+            self._notify(time.monotonic() - t0, len(batch), True)
             for f, r in zip(futs, results):
                 f.set_result(r)
+
+    def _notify(self, seconds: float, rows: int, ok: bool) -> None:
+        if self._on_batch is None:
+            return
+        try:
+            self._on_batch(seconds, rows, ok)
+        except Exception:  # noqa: BLE001 — metrics must never fail work
+            logging.getLogger("ltx_tpu").debug(
+                "on_batch hook failed", exc_info=True)

@@ -73,10 +73,12 @@ class JobQueue:
         run_job: Callable[[Job], dict],
         device_lock: Optional[threading.Lock] = None,
         keep: int = 256,
+        on_job: Optional[Callable[[str, str, float], None]] = None,
     ):
         self._run_job = run_job
         self._device_lock = device_lock
         self._keep = keep
+        self._on_job = on_job  # (kind, final_state, seconds) — metrics hook
         self._jobs: Dict[str, Job] = {}
         self._order: deque = deque()  # job ids, submission order
         self._queue: deque = deque()  # pending job ids
@@ -175,6 +177,12 @@ class JobQueue:
                         type(e), e)).strip()
                     job.state = FAILED
                     job.finished_at = time.time()
+            if self._on_job is not None:
+                try:
+                    self._on_job(job.kind, job.state,
+                                 job.finished_at - job.started_at)
+                except Exception:  # noqa: BLE001 — metrics never fail work
+                    pass
 
     def wait(self, job_id: str, timeout: float = 60.0,
              poll_s: float = 0.01) -> dict:

@@ -2,6 +2,7 @@
 
 Endpoints (JSON in/out):
   GET  /healthz              -> {"status": "ok"}
+  GET  /metrics              -> Prometheus exposition (serve/metrics.py)
   GET  /v1/models            -> model/registry info (info_fn)
   GET  /v1/stats             -> batcher + job-queue counters
   POST /v1/enhance           -> {"prompts": [...], "max_tokens"?, ...}
@@ -22,11 +23,13 @@ from __future__ import annotations
 import json
 import logging
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Callable, Optional
 
 from ltx_tpu.serve.batcher import MicroBatcher
 from ltx_tpu.serve.jobs import JobQueue
+from ltx_tpu.serve.metrics import ServeMetrics
 
 log = logging.getLogger("ltx_tpu")
 
@@ -68,6 +71,14 @@ def _json_bytes(obj) -> bytes:
     return (json.dumps(obj) + "\n").encode()
 
 
+def _route_label(path: str) -> str:
+    """Collapse per-job paths to one label value (metrics label cardinality
+    must stay bounded; job ids are unbounded)."""
+    if path.startswith("/v1/jobs/"):
+        return "/v1/jobs/{id}"
+    return path.split("?", 1)[0]
+
+
 class _Handler(BaseHTTPRequestHandler):
     # instances get .server.ltx_* attributes from make_server
     protocol_version = "HTTP/1.1"
@@ -78,12 +89,37 @@ class _Handler(BaseHTTPRequestHandler):
     # --- helpers ---
 
     def _reply(self, code: int, obj) -> None:
+        self._status = code
         body = _json_bytes(obj)
         self.send_response(code)
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(body)))
         self.end_headers()
         self.wfile.write(body)
+
+    def _reply_text(self, code: int, text: str,
+                    ctype: str = "text/plain; version=0.0.4") -> None:
+        self._status = code
+        body = text.encode()
+        self.send_response(code)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _instrumented(self, method: str, handler) -> None:
+        m: Optional[ServeMetrics] = getattr(self.server, "ltx_metrics", None)
+        self._status = 0
+        t0 = time.monotonic()
+        try:
+            handler()
+        finally:
+            if m is not None:
+                route = _route_label(self.path)
+                m.http_requests_total.inc(
+                    route=route, method=method, code=str(self._status))
+                m.http_request_seconds.observe(
+                    time.monotonic() - t0, route=route)
 
     def _read_json(self) -> Optional[dict]:
         try:
@@ -108,9 +144,23 @@ class _Handler(BaseHTTPRequestHandler):
     # --- routes ---
 
     def do_GET(self):  # noqa: N802 (http.server API)
+        self._instrumented("GET", self._do_get)
+
+    def do_POST(self):  # noqa: N802
+        self._instrumented("POST", self._do_post)
+
+    def do_DELETE(self):  # noqa: N802
+        self._instrumented("DELETE", self._do_delete)
+
+    def _do_get(self):
         srv = self.server
         if self.path == "/healthz":
             return self._reply(200, {"status": "ok"})
+        if self.path in ("/metrics", "/v1/metrics"):
+            m = getattr(srv, "ltx_metrics", None)
+            if m is None:
+                return self._reply(404, {"error": "metrics disabled"})
+            return self._reply_text(200, m.registry.render())
         if self.path == "/v1/models":
             try:
                 return self._reply(200, srv.ltx_info_fn())
@@ -130,7 +180,7 @@ class _Handler(BaseHTTPRequestHandler):
             return self._reply(200, job)
         return self._reply(404, {"error": f"no route {self.path}"})
 
-    def do_POST(self):  # noqa: N802
+    def _do_post(self):
         srv = self.server
         if self.path == "/v1/enhance":
             if srv.ltx_batcher is None:
@@ -182,7 +232,7 @@ class _Handler(BaseHTTPRequestHandler):
             return self._reply(202, {"job_id": job_id})
         return self._reply(404, {"error": f"no route {self.path}"})
 
-    def do_DELETE(self):  # noqa: N802
+    def _do_delete(self):
         if self.path.startswith("/v1/jobs/"):
             ok = self.server.ltx_jobs.cancel(self.path[len("/v1/jobs/"):])
             if not ok:
@@ -199,10 +249,13 @@ def make_server(
     host: str = "127.0.0.1",
     port: int = 8571,
     enhance_timeout_s: float = 600.0,
+    metrics: Optional[ServeMetrics] = None,
 ) -> ThreadingHTTPServer:
     """Build (don't start) the HTTP server. Call .serve_forever() on a
     thread; .shutdown() + .server_close() to stop. port=0 binds an
-    ephemeral port (tests)."""
+    ephemeral port (tests). `metrics` (serve/metrics.py) enables /metrics;
+    queue-depth gauges are registered here since this layer owns both
+    components."""
     srv = ThreadingHTTPServer((host, port), _Handler)
     srv.daemon_threads = True
     srv.ltx_jobs = jobs
@@ -210,6 +263,13 @@ def make_server(
     srv.ltx_info_fn = info_fn
     srv.ltx_validate_fn = validate_fn
     srv.ltx_enhance_timeout_s = enhance_timeout_s
+    srv.ltx_metrics = metrics
+    if metrics is not None:
+        metrics.gauge("ltx_jobs_queued", "Generation jobs waiting",
+                      lambda: jobs.stats()["queued"])
+        if batcher is not None:
+            metrics.gauge("ltx_enhance_pending", "Enhance rows waiting",
+                          lambda: batcher.stats()["pending"])
     return srv
 
 

@@ -1,0 +1,118 @@
+"""Pipeline parallelism (parallel/pipeline.py): GPipe over the stacked
+block axis must be numerically identical to the sequential scan, forward
+AND backward, for every microbatch split."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ltx_tpu.core.config import TransformerConfig
+from ltx_tpu.core.errors import InvalidConfigurationError
+from ltx_tpu.models import dit
+from ltx_tpu.ops.attention import prepare_additive_mask
+from ltx_tpu.parallel.pipeline import (
+    dit_forward_pp, make_pp_mesh, pp_param_specs, shard_pp_params,
+)
+
+CFG = dataclasses.replace(TransformerConfig().tiny(), num_layers=4)
+B, T, S_CTX = 4, 6, 8
+
+
+def _inputs(batch=B, dtype=jnp.float32):
+    k = jax.random.split(jax.random.key(0), 5)
+    params = dit.init_params(k[0], CFG, dtype)
+    latent = jax.random.normal(k[1], (batch, T, CFG.in_channels), dtype)
+    context = jax.random.normal(
+        k[2], (batch, S_CTX, CFG.caption_channels), dtype)
+    timesteps = jax.random.uniform(k[3], (batch,), jnp.float32)
+    cos, sin = np.ones((CFG.num_heads, T, CFG.head_dim // 2), np.float32), \
+        np.zeros((CFG.num_heads, T, CFG.head_dim // 2), np.float32)
+    rng = np.random.default_rng(7)
+    cos = jnp.asarray(np.cos(rng.normal(size=cos.shape)).astype(np.float32))
+    sin = jnp.asarray(np.sin(rng.normal(size=sin.shape)).astype(np.float32))
+    mask = jnp.asarray(
+        rng.integers(0, 2, size=(batch, S_CTX)).astype(np.int32) | 1)
+    bias = prepare_additive_mask(mask)
+    return params, latent, context, timesteps, (cos, sin), bias
+
+
+def _stg(batch=B):
+    sa, ff = dit.stg_skip_masks(CFG, batch, (1, 2), (batch - 1,),
+                                skip_ff_too=True)
+    cas = jnp.asarray(np.linspace(0.8, 1.2, CFG.num_layers), jnp.float32)
+    return sa, ff, cas
+
+
+@pytest.mark.parametrize("data,pipe,n_mb", [(2, 4, 2), (1, 4, 4), (1, 2, 1)])
+def test_pp_matches_sequential(data, pipe, n_mb):
+    params, latent, context, ts, pe, bias = _inputs()
+    sa, ff, cas = _stg()
+    mesh = make_pp_mesh(data=data, pipe=pipe)
+    ref = dit.dit_forward(params, latent, context, ts, pe, CFG,
+                          context_bias=bias, skip_self_attn=sa, skip_ff=ff,
+                          cross_attn_scale=cas, sdpa_impl="xla")
+    pp_params = shard_pp_params(params, mesh)
+    out = dit_forward_pp(pp_params, latent, context, ts, pe, CFG, mesh,
+                         context_bias=bias, skip_self_attn=sa, skip_ff=ff,
+                         cross_attn_scale=cas, n_microbatches=n_mb,
+                         sdpa_impl="xla")
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_pp_defaults_and_broadcast_bias():
+    """No STG masks, bias batch-dim 1, default microbatching."""
+    params, latent, context, ts, pe, _ = _inputs()
+    bias1 = prepare_additive_mask(jnp.ones((1, S_CTX), jnp.int32))
+    mesh = make_pp_mesh(data=2, pipe=4)
+    ref = dit.dit_forward(params, latent, context, ts, pe, CFG,
+                          context_bias=bias1, sdpa_impl="xla")
+    out = dit_forward_pp(shard_pp_params(params, mesh), latent, context, ts,
+                         pe, CFG, mesh, context_bias=bias1, sdpa_impl="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_pp_backward_matches_sequential():
+    """Grads through the pipeline (ppermute/scan/dynamic-update transposes)
+    equal the sequential scan's grads — PP is usable for training."""
+    params, latent, context, ts, pe, bias = _inputs()
+    mesh = make_pp_mesh(data=1, pipe=4)
+
+    def loss_seq(p, lat):
+        out = dit.dit_forward(p, lat, context, ts, pe, CFG,
+                              context_bias=bias, sdpa_impl="xla")
+        return jnp.mean(out.astype(jnp.float32) ** 2)
+
+    def loss_pp(p, lat):
+        out = dit_forward_pp(p, lat, context, ts, pe, CFG, mesh,
+                             context_bias=bias, n_microbatches=2,
+                             sdpa_impl="xla", remat=True)
+        return jnp.mean(out.astype(jnp.float32) ** 2)
+
+    g_ref = jax.grad(loss_seq, argnums=(0, 1))(params, latent)
+    g_pp = jax.grad(loss_pp, argnums=(0, 1))(
+        shard_pp_params(params, mesh), latent)
+    flat_ref, _ = jax.tree_util.tree_flatten(g_ref)
+    flat_pp, _ = jax.tree_util.tree_flatten(g_pp)
+    assert len(flat_ref) == len(flat_pp)
+    for a, b in zip(flat_ref, flat_pp):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=3e-5, rtol=3e-5)
+
+
+def test_pp_specs_and_validation():
+    params, *_ = _inputs()
+    specs = pp_param_specs(params)
+    from jax.sharding import PartitionSpec as P
+    assert specs["blocks"]["attn1"]["to_q"]["w"] == P("pipe")
+    assert specs["patchify_proj"]["w"] == P()
+    mesh = make_pp_mesh(data=1, pipe=8)
+    # num_layers=4 not divisible by 8 stages
+    _, latent, context, ts, pe, bias = _inputs()
+    with pytest.raises(InvalidConfigurationError):
+        dit_forward_pp(params, latent, context, ts, pe, CFG, mesh)
