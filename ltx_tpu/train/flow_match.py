@@ -53,11 +53,15 @@ def flow_match_loss(
     sdpa_impl: str = "auto",
     remat: bool = True,
     compute_dtype=jnp.bfloat16,
+    pp_mesh=None,
+    pp_microbatches=None,
 ):
     """Mean-squared velocity-matching loss. Returns (loss, aux dict).
 
     Noise levels and noise are drawn from `key` (threaded per step by the
-    caller); the loss reduces in float32.
+    caller); the loss reduces in float32. pp_mesh (a ("data", "pipe") mesh,
+    parallel/pipeline.py) swaps the forward for the GPipe pipeline schedule
+    — numerics identical to the sequential scan.
     """
     b = tokens.shape[0]
     k_sigma, k_noise = jax.random.split(key)
@@ -68,10 +72,20 @@ def flow_match_loss(
     x_t = add_noise(x0, noise, sigma[:, None, None])
     target = velocity_target(x0, noise)
 
-    v_pred = dit.dit_forward(
-        params, x_t.astype(compute_dtype), context, sigma, rope, cfg,
-        context_bias=context_bias, sdpa_impl=sdpa_impl, remat=remat,
-    ).astype(jnp.float32)
+    if pp_mesh is not None:
+        from ltx_tpu.parallel.pipeline import dit_forward_pp
+
+        v_pred = dit_forward_pp(
+            params, x_t.astype(compute_dtype), context, sigma, rope, cfg,
+            pp_mesh, context_bias=context_bias,
+            n_microbatches=pp_microbatches, sdpa_impl=sdpa_impl,
+            remat=remat,
+        ).astype(jnp.float32)
+    else:
+        v_pred = dit.dit_forward(
+            params, x_t.astype(compute_dtype), context, sigma, rope, cfg,
+            context_bias=context_bias, sdpa_impl=sdpa_impl, remat=remat,
+        ).astype(jnp.float32)
 
     err = v_pred - target
     loss = jnp.mean(jnp.square(err))

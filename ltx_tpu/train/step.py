@@ -55,6 +55,13 @@ class TrainConfig:
     # mean of the accumulated grads (optax.MultiSteps) — one-chip training
     # of batches the SDPA backward cannot fit at once (BENCH_NOTES §11).
     accum_steps: int = 1
+    # Pipeline parallelism: a ("data", "pipe") Mesh (parallel/pipeline.py)
+    # routes the loss forward through the GPipe schedule — stages hold L/S
+    # blocks each, activations hop via ppermute, grads are exactly the
+    # sequential scan's (tests/test_pp.py). Video DiT step only. None = the
+    # default dp+tp path (sharding specs applied by the caller).
+    pp_mesh: Any = None
+    pp_microbatches: Optional[int] = None
 
 
 def _is_none(x):
@@ -138,6 +145,7 @@ def make_train_step(cfg: TransformerConfig, tc: TrainConfig,
                 context_bias=context_bias, sigma_scheme=tc.sigma_scheme,
                 sdpa_impl=tc.sdpa_impl, remat=tc.remat,
                 compute_dtype=tc.compute_dtype,
+                pp_mesh=tc.pp_mesh, pp_microbatches=tc.pp_microbatches,
             )
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(

@@ -116,3 +116,35 @@ def test_pp_specs_and_validation():
     _, latent, context, ts, pe, bias = _inputs()
     with pytest.raises(InvalidConfigurationError):
         dit_forward_pp(params, latent, context, ts, pe, CFG, mesh)
+
+
+def test_pp_train_step_matches_sequential():
+    """TrainConfig.pp_mesh routes the flow-matching loss through the GPipe
+    forward; with the same PRNG key the updated params must equal the
+    sequential step's."""
+    from ltx_tpu.train import TrainConfig
+    from ltx_tpu.train.step import init_train_state, make_train_step
+
+    params, latent, context, _ts, pe, bias = _inputs()
+    mesh = make_pp_mesh(data=1, pipe=4)
+    tc_seq = TrainConfig(learning_rate=1e-3, lora_only=False, remat=True,
+                         compute_dtype=jnp.float32, sdpa_impl="xla")
+    tc_pp = dataclasses.replace(tc_seq, pp_mesh=mesh, pp_microbatches=2)
+    key = jax.random.key(5)
+
+    tr1, fr1, os1 = init_train_state(params, tc_seq)
+    step1 = make_train_step(CFG, tc_seq, donate=False)
+    tr1, os1, aux1 = step1(tr1, fr1, os1, latent, context, pe, key, bias)
+
+    tr2, fr2, os2 = init_train_state(shard_pp_params(params, mesh), tc_pp)
+    step2 = make_train_step(CFG, tc_pp, donate=False)
+    tr2, os2, aux2 = step2(tr2, fr2, os2, latent, context, pe, key, bias)
+
+    assert float(aux2["loss"]) == pytest.approx(float(aux1["loss"]),
+                                                rel=1e-5)
+    flat1 = jax.tree_util.tree_flatten(tr1)[0]
+    flat2 = jax.tree_util.tree_flatten(tr2)[0]
+    assert len(flat1) == len(flat2)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=3e-5, rtol=3e-5)
