@@ -120,11 +120,19 @@ def make_denoise_step(
     fps: float = 24.0,
     sdpa_impl: str = "auto",
     remat: bool = False,
+    pp_mesh=None,
+    pp_microbatches=None,
 ):
     """Build the jitted per-step function.
 
     Returns step(latent, sigma, sigma_next, prev_velocity, has_prev, key)
       -> (new_latent, velocity); latent/velocity are f32 (B, C, F, H, W).
+
+    pp_mesh: a ("data", "pipe") mesh (parallel/pipeline.py) runs the DiT
+    forward as a GPipe pipeline — guidance rows become the microbatches;
+    place dit_params with shard_pp_params first. Numerics identical to the
+    sequential scan (tests/test_pp.py). Mutually exclusive with the TP
+    ("data", "model") sharding path.
     """
     g = guidance.num_rows
     cos, sin = rope_ops.video_rope(
@@ -173,12 +181,23 @@ def make_denoise_step(
         else:
             timesteps = jnp.full((g,), sigma, jnp.float32)
 
-        vel_tokens = dit.dit_forward(
-            dit_params, tokens_g, context, timesteps, pe, tcfg,
-            context_bias=context_bias,
-            skip_self_attn=skip_sa, skip_ff=skip_ff,
-            cross_attn_scale=cas, sdpa_impl=sdpa_impl, remat=remat,
-        )  # (G, T, C)
+        if pp_mesh is not None:
+            from ltx_tpu.parallel.pipeline import dit_forward_pp
+
+            vel_tokens = dit_forward_pp(
+                dit_params, tokens_g, context, timesteps, pe, tcfg,
+                pp_mesh, context_bias=context_bias,
+                skip_self_attn=skip_sa, skip_ff=skip_ff,
+                cross_attn_scale=cas, n_microbatches=pp_microbatches,
+                sdpa_impl=sdpa_impl, remat=remat,
+            )  # (G, T, C)
+        else:
+            vel_tokens = dit.dit_forward(
+                dit_params, tokens_g, context, timesteps, pe, tcfg,
+                context_bias=context_bias,
+                skip_self_attn=skip_sa, skip_ff=skip_ff,
+                cross_attn_scale=cas, sdpa_impl=sdpa_impl, remat=remat,
+            )  # (G, T, C)
 
         rows = unpatchify(
             vel_tokens,

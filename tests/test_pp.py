@@ -148,3 +148,48 @@ def test_pp_train_step_matches_sequential():
     for a, b in zip(flat1, flat2):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    atol=3e-5, rtol=3e-5)
+
+
+def test_pp_denoise_step_matches_sequential():
+    """make_denoise_step(pp_mesh=...) — the full guidance step (CFG + STG
+    rows as microbatches, I2V-free path) equals the standard step."""
+    from ltx_tpu.ops.latents import VideoLatentShape
+    from ltx_tpu.pipeline.denoise import (
+        GuidanceSpec, build_guidance_context, make_denoise_step,
+    )
+
+    params, *_ = _inputs()
+    guidance = GuidanceSpec(
+        use_cfg=True, cfg_scale=4.0, guidance_rescale=0.7, stg_scale=0.5,
+        stg_blocks=(1,), ge_gamma=0.0, cross_attention_scale=1.1)
+    shape = VideoLatentShape(1, CFG.in_channels, 2, 4, 4)
+    pos = jax.random.normal(jax.random.key(11),
+                            (1, 16, CFG.caption_channels), jnp.float32)
+    neg = jax.random.normal(jax.random.key(12),
+                            (1, 16, CFG.caption_channels), jnp.float32)
+    mask = jnp.ones((1, 16), jnp.int32)
+    context, bias = build_guidance_context(guidance, pos, mask, neg, mask)
+    latent_np = np.asarray(
+        jax.random.normal(jax.random.key(13), shape.shape))
+
+    step = make_denoise_step(params, CFG, guidance, shape, context, bias,
+                             sdpa_impl="xla")
+    # the step donates its latent buffer — give each call its own copy
+    lat1 = jnp.asarray(latent_np)
+    ref, ref_vel = step(lat1, 0.9, 0.5, jnp.zeros_like(lat1),
+                        jnp.asarray(False), jax.random.key(14))
+
+    mesh = make_pp_mesh(data=1, pipe=4)
+    pp_step = make_denoise_step(
+        shard_pp_params(params, mesh), CFG, guidance, shape, context, bias,
+        sdpa_impl="xla", pp_mesh=mesh)
+    lat2 = jnp.asarray(latent_np)
+    out, vel = pp_step(lat2, 0.9, 0.5, jnp.zeros_like(lat2),
+                       jnp.asarray(False), jax.random.key(14))
+    # the production step casts tokens to bf16; microbatched (B=1) and
+    # batched (B=3) bf16 matmuls round differently, so tolerance is
+    # bf16-ulp scale here — exactness is pinned by the f32 tests above
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-2, rtol=2e-2)
+    np.testing.assert_allclose(np.asarray(vel), np.asarray(ref_vel),
+                               atol=2e-2, rtol=2e-2)
