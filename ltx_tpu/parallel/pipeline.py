@@ -82,6 +82,59 @@ def shard_pp_params(params, mesh: Mesh):
         params, pp_param_specs(params))
 
 
+def gpipe_schedule(stage_fn, xs, aux_mb, n_mb: int, n_stage: int,
+                   axis_name: str = "pipe"):
+    """The GPipe tick loop, generic over pytree-valued activations.
+
+    Runs INSIDE a shard_map body with `axis_name` in scope.
+
+    stage_fn(x, aux, m_idx) -> y: one stage's compute for one microbatch
+        (x and y share structure/shape; aux is aux_mb indexed at m_idx).
+    xs: pytree of (M, mb, ...) microbatch-stacked input activations.
+    aux_mb: pytree of (M, ...) per-microbatch auxiliary inputs.
+
+    Schedule: M + S - 1 ticks as one lax.scan; stage s processes microbatch
+    t - s at tick t (fill/drain ticks compute on garbage and are masked at
+    collection); activations hop s -> s+1 via ppermute; the last stage's
+    collected outputs broadcast to all stages with a psum (single non-zero
+    contributor -> exact). Differentiable throughout.
+    """
+    stage = lax.axis_index(axis_name)
+    perm = [(i, (i + 1) % n_stage) for i in range(n_stage)]
+
+    def pick(tree, idx):
+        return jax.tree.map(
+            lambda a: lax.dynamic_index_in_dim(a, idx, 0, keepdims=False),
+            tree)
+
+    def tick(carry, t):
+        buf, outs = carry
+        m_here = t - stage                       # microbatch at this stage
+        m_idx = jnp.clip(m_here, 0, n_mb - 1)
+        x_in = jax.tree.map(
+            lambda s, b: jnp.where(stage == 0,
+                                   lax.dynamic_index_in_dim(
+                                       s, m_idx, 0, keepdims=False), b),
+            xs, buf)
+        y = stage_fn(x_in, pick(aux_mb, m_idx), m_idx)
+        valid = (stage == n_stage - 1) & (m_here >= 0) & (m_here < n_mb)
+        outs = jax.tree.map(
+            lambda o, yy: lax.dynamic_update_index_in_dim(
+                o, jnp.where(valid, yy,
+                             lax.dynamic_index_in_dim(o, m_idx, 0,
+                                                      keepdims=False)),
+                m_idx, 0),
+            outs, y)
+        buf = jax.tree.map(lambda yy: lax.ppermute(yy, axis_name, perm), y)
+        return (buf, outs), None
+
+    buf0 = jax.tree.map(lambda s: jnp.zeros_like(s[0]), xs)
+    outs0 = jax.tree.map(jnp.zeros_like, xs)
+    (_, outs), _ = lax.scan(tick, (buf0, outs0),
+                            jnp.arange(n_mb + n_stage - 1))
+    return jax.tree.map(lambda o: lax.psum(o, axis_name), outs)
+
+
 def dit_forward_pp(
     params,
     latent,          # (B, T, C) patchified tokens
@@ -171,9 +224,12 @@ def dit_forward_pp(
         ctx_mb = split(ctx)
         bias_mb = split(bias_b)
 
-        stage = lax.axis_index("pipe")
+        def stage_fn(x_in, aux_m, m_idx):
+            ctx_m, ts_m, bias_m = aux_m
+            col = m_idx * mb
+            sa_m = lax.dynamic_slice_in_dim(skip_sa, col, mb, axis=1)
+            ff_m = lax.dynamic_slice_in_dim(skip_f, col, mb, axis=1)
 
-        def stage_fn(x_in, ctx_m, ts_m, bias_m, sa_m, ff_m):
             def blk(carry, scanned):
                 bp, s_sa, s_ff, s_cas = scanned
                 out = dit.block_forward(
@@ -187,39 +243,8 @@ def dit_forward_pp(
             y, _ = lax.scan(blk, x_in, (p["blocks"], sa_m, ff_m, cas_l))
             return y
 
-        def tick(carry, t):
-            buf, outs = carry
-            m_here = t - stage                     # microbatch at this stage
-            m_idx = jnp.clip(m_here, 0, n_mb - 1)
-            x_in = jnp.where(
-                stage == 0,
-                lax.dynamic_index_in_dim(xs, m_idx, 0, keepdims=False),
-                buf)
-            ctx_m = lax.dynamic_index_in_dim(ctx_mb, m_idx, 0, keepdims=False)
-            ts_m = lax.dynamic_index_in_dim(ts_mb, m_idx, 0, keepdims=False)
-            bias_m = lax.dynamic_index_in_dim(
-                bias_mb, m_idx, 0, keepdims=False)
-            col = m_idx * mb
-            sa_m = lax.dynamic_slice_in_dim(skip_sa, col, mb, axis=1)
-            ff_m = lax.dynamic_slice_in_dim(skip_f, col, mb, axis=1)
-
-            y = stage_fn(x_in, ctx_m, ts_m, bias_m, sa_m, ff_m)
-
-            valid = (stage == n_stage - 1) & (m_here >= 0) & (m_here < n_mb)
-            cur = lax.dynamic_index_in_dim(outs, m_idx, 0, keepdims=False)
-            outs = lax.dynamic_update_index_in_dim(
-                outs, jnp.where(valid, y, cur), m_idx, 0)
-            buf = lax.ppermute(
-                y, "pipe", [(i, (i + 1) % n_stage) for i in range(n_stage)])
-            return (buf, outs), None
-
-        buf0 = jnp.zeros_like(xs[0])
-        outs0 = jnp.zeros_like(xs)
-        (_, outs), _ = lax.scan(
-            tick, (buf0, outs0), jnp.arange(n_mb + n_stage - 1))
-        # Only the last stage wrote non-zeros; psum broadcasts to all stages
-        # (one non-zero contributor -> exact).
-        outs = lax.psum(outs, "pipe")
+        outs = gpipe_schedule(stage_fn, xs, (ctx_mb, ts_mb, bias_mb),
+                              n_mb, n_stage)
         x_full = outs.reshape(b_local, *outs.shape[2:])
         return dit.output_head(p, x_full, embedded_ts, cfg)
 
@@ -227,3 +252,141 @@ def dit_forward_pp(
         body, mesh=mesh, in_specs=in_specs, out_specs=bspec, **_CHECK_KW)
     return fn(params, latent, context, timesteps, rope, bias,
               skip_self_attn, skip_ff, cas)
+
+
+def dit_av_forward_pp(
+    params,
+    video_latent,    # (B, Tv, C)
+    audio_latent,    # (B, Ta, C_audio) packed
+    video_context,   # (B, S, caption_channels)
+    audio_context,   # (B, S, caption_channels)
+    video_timesteps,  # (B,) or (B, Tv)
+    audio_timesteps,  # (B,) or (B, Ta)
+    ropes,           # from models.dit_av.prepare_av_ropes — replicated
+    cfg: TransformerConfig,
+    mesh: Mesh,
+    video_bias=None,
+    audio_bias=None,
+    n_microbatches: Optional[int] = None,
+    sdpa_impl: str = "auto",
+    remat: bool = False,
+):
+    """GPipe pipeline for the dual audio/video transformer — the carried
+    activation is the (video_x, audio_x) PAIR, hopped between stages
+    together; numerics match `dit_av.dit_av_forward` exactly (same
+    av_block_forward scan body)."""
+    from ltx_tpu.models import dit_av
+    from ltx_tpu.models.dit_av import adaln_single as av_adaln_single
+
+    n_data = mesh.shape["data"]
+    n_stage = mesh.shape["pipe"]
+    n_layers = cfg.num_layers
+    batch = video_latent.shape[0]
+    if n_layers % n_stage:
+        raise InvalidConfigurationError(
+            f"num_layers={n_layers} not divisible by pipe={n_stage}")
+    if batch % n_data:
+        raise InvalidConfigurationError(
+            f"batch={batch} not divisible by data={n_data}")
+    b_local = batch // n_data
+    n_mb = n_microbatches or b_local
+    if b_local % n_mb:
+        raise InvalidConfigurationError(
+            f"local batch={b_local} not divisible by microbatches={n_mb}")
+    mb = b_local // n_mb
+
+    def norm_bias(bias, ctx):
+        if bias is None:
+            return jnp.zeros((batch, 1, 1, ctx.shape[1]), jnp.float32)
+        return jnp.broadcast_to(
+            bias, (batch,) + tuple(bias.shape[1:])).astype(jnp.float32)
+
+    vbias = norm_bias(video_bias, video_context)
+    abias = norm_bias(audio_bias, audio_context)
+    if video_timesteps.ndim == 1:
+        video_timesteps = video_timesteps[:, None]
+    if audio_timesteps.ndim == 1:
+        audio_timesteps = audio_timesteps[:, None]
+
+    bspec = P("data")
+    in_specs = (pp_param_specs(params),) + (bspec,) * 6 + (P(),) + (bspec,) * 2
+
+    def body(p, v_lat, a_lat, v_ctx_raw, a_ctx_raw, ts_v_raw, ts_a_raw,
+             pe, vbias_b, abias_b):
+        dt = v_lat.dtype
+        dv, da = cfg.inner_dim, cfg.audio_inner_dim
+
+        video_x, ts_v, emb_v, ctx_v, scaled_v = dit_av._prepare_stream(
+            p["patchify_proj"], p["adaln_single"], p["caption_projection"],
+            v_lat, v_ctx_raw, ts_v_raw, dv, cfg.timestep_scale_multiplier,
+            b_local, dt)
+        audio_x, ts_a, emb_a, ctx_a, scaled_a = dit_av._prepare_stream(
+            p["audio_patchify_proj"], p["audio_adaln_single"],
+            p["audio_caption_projection"], a_lat, a_ctx_raw, ts_a_raw, da,
+            cfg.timestep_scale_multiplier, b_local, dt)
+
+        ss_v, _ = av_adaln_single(
+            p["av_ca_video_scale_shift_adaln_single"], scaled_v.reshape(-1))
+        gate_v, _ = av_adaln_single(
+            p["av_ca_a2v_gate_adaln_single"], scaled_v.reshape(-1))
+        cross_v_ss = jnp.concatenate([
+            ss_v.reshape(b_local, -1, 4, dv),
+            gate_v.reshape(b_local, -1, 1, dv)], axis=2).astype(dt)
+        ss_a, _ = av_adaln_single(
+            p["av_ca_audio_scale_shift_adaln_single"], scaled_a.reshape(-1))
+        gate_a, _ = av_adaln_single(
+            p["av_ca_v2a_gate_adaln_single"], scaled_a.reshape(-1))
+        cross_a_ss = jnp.concatenate([
+            ss_a.reshape(b_local, -1, 4, da),
+            gate_a.reshape(b_local, -1, 1, da)], axis=2).astype(dt)
+
+        def split(a):
+            return a.reshape((n_mb, mb) + a.shape[1:])
+
+        xs = (split(video_x), split(audio_x))
+        aux = jax.tree.map(split, (ctx_v, ctx_a, ts_v, ts_a,
+                                   cross_v_ss, cross_a_ss, vbias_b, abias_b))
+
+        def stage_fn(x_in, aux_m, m_idx):
+            vx0, ax0 = x_in
+            c_v, c_a, t_v, t_a, x_v_ss, x_a_ss, b_v, b_a = aux_m
+
+            def blk(carry, block_params):
+                vx, ax = carry
+                vx, ax = dit_av.av_block_forward(
+                    block_params, vx, ax, c_v, c_a, t_v, t_a,
+                    x_v_ss, x_a_ss, pe, b_v, b_a, cfg,
+                    sdpa_impl=sdpa_impl)
+                return (vx, ax), None
+
+            if remat:
+                blk = jax.checkpoint(blk)
+            (vy, ay), _ = lax.scan(blk, (vx0, ax0), p["blocks"])
+            return (vy, ay)
+
+        v_outs, a_outs = gpipe_schedule(stage_fn, xs, aux, n_mb, n_stage)
+        video_full = v_outs.reshape(b_local, *v_outs.shape[2:])
+        audio_full = a_outs.reshape(b_local, *a_outs.shape[2:])
+
+        from ltx_tpu.kernels.quantization import linear_any
+        from ltx_tpu.ops.normalization import layer_norm_no_affine
+
+        def head(x, table, embedded, proj_p):
+            vals = (table[None, None].astype(jnp.float32)
+                    + embedded[:, :, None].astype(jnp.float32))
+            shift = vals[:, :, 0].astype(dt)
+            scale = vals[:, :, 1].astype(dt)
+            out = layer_norm_no_affine(x, eps=cfg.norm_eps) \
+                * (1 + scale) + shift
+            return linear_any(proj_p, out)
+
+        return (head(video_full, p["scale_shift_table"], emb_v,
+                     p["proj_out"]),
+                head(audio_full, p["audio_scale_shift_table"], emb_a,
+                     p["audio_proj_out"]))
+
+    fn = shard_map(body, mesh=mesh, in_specs=in_specs,
+                   out_specs=(bspec, bspec), **_CHECK_KW)
+    return fn(params, video_latent, audio_latent, video_context,
+              audio_context, video_timesteps, audio_timesteps, ropes,
+              vbias, abias)

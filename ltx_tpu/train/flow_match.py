@@ -108,6 +108,8 @@ def av_flow_match_loss(
     sdpa_impl: str = "auto",
     remat: bool = True,
     compute_dtype=jnp.bfloat16,
+    pp_mesh=None,
+    pp_microbatches=None,
 ):
     """Joint rectified-flow loss for the dual AV transformer.
 
@@ -130,12 +132,23 @@ def av_flow_match_loss(
     v_t = add_noise(v0, noise_v, sigma_v[:, None, None])
     a_t = add_noise(a0, noise_a, sigma_a[:, None, None])
 
-    v_pred, a_pred = dit_av.dit_av_forward(
-        params, v_t.astype(compute_dtype), a_t.astype(compute_dtype),
-        video_context, audio_context, sigma_v, sigma_a, ropes, cfg,
-        video_bias=video_bias, audio_bias=audio_bias,
-        sdpa_impl=sdpa_impl, remat=remat,
-    )
+    if pp_mesh is not None:
+        from ltx_tpu.parallel.pipeline import dit_av_forward_pp
+
+        v_pred, a_pred = dit_av_forward_pp(
+            params, v_t.astype(compute_dtype), a_t.astype(compute_dtype),
+            video_context, audio_context, sigma_v, sigma_a, ropes, cfg,
+            pp_mesh, video_bias=video_bias, audio_bias=audio_bias,
+            n_microbatches=pp_microbatches, sdpa_impl=sdpa_impl,
+            remat=remat,
+        )
+    else:
+        v_pred, a_pred = dit_av.dit_av_forward(
+            params, v_t.astype(compute_dtype), a_t.astype(compute_dtype),
+            video_context, audio_context, sigma_v, sigma_a, ropes, cfg,
+            video_bias=video_bias, audio_bias=audio_bias,
+            sdpa_impl=sdpa_impl, remat=remat,
+        )
     loss_v = jnp.mean(jnp.square(v_pred.astype(jnp.float32)
                                  - velocity_target(v0, noise_v)))
     loss_a = jnp.mean(jnp.square(a_pred.astype(jnp.float32)

@@ -210,6 +210,7 @@ def make_av_train_step(cfg: TransformerConfig, tc: TrainConfig,
                 ropes, key, cfg, audio_loss_weight=audio_loss_weight,
                 sigma_scheme=tc.sigma_scheme, sdpa_impl=tc.sdpa_impl,
                 remat=tc.remat, compute_dtype=tc.compute_dtype,
+                pp_mesh=tc.pp_mesh, pp_microbatches=tc.pp_microbatches,
             )
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(

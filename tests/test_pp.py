@@ -193,3 +193,74 @@ def test_pp_denoise_step_matches_sequential():
                                atol=2e-2, rtol=2e-2)
     np.testing.assert_allclose(np.asarray(vel), np.asarray(ref_vel),
                                atol=2e-2, rtol=2e-2)
+
+
+def test_pp_av_matches_sequential():
+    """Dual AV transformer under the pipeline: the (video, audio) activation
+    pair hops stages together and must equal the sequential dual scan."""
+    from ltx_tpu.models import dit_av
+    from ltx_tpu.parallel.pipeline import dit_av_forward_pp
+
+    k = jax.random.split(jax.random.key(3), 6)
+    params = dit_av.init_params(k[0], CFG, jnp.float32)
+    b, tv, ta, s = 4, 8, 5, 8
+    vlat = jax.random.normal(k[1], (b, tv, CFG.in_channels), jnp.float32)
+    alat = jax.random.normal(k[2], (b, ta, CFG.audio_in_channels),
+                             jnp.float32)
+    vctx = jax.random.normal(k[3], (b, s, CFG.caption_channels), jnp.float32)
+    actx = jax.random.normal(k[4], (b, s, CFG.caption_channels), jnp.float32)
+    ts_v = jax.random.uniform(k[5], (b,), jnp.float32)
+    ts_a = ts_v * 0.9
+    ropes = dit_av.prepare_av_ropes(CFG, 2, 2, 2, ta)
+    vbias = prepare_additive_mask(jnp.ones((b, s), jnp.int32))
+
+    ref_v, ref_a = dit_av.dit_av_forward(
+        params, vlat, alat, vctx, actx, ts_v, ts_a, ropes, CFG,
+        video_bias=vbias, sdpa_impl="xla")
+
+    mesh = make_pp_mesh(data=2, pipe=4)
+    out_v, out_a = dit_av_forward_pp(
+        shard_pp_params(params, mesh), vlat, alat, vctx, actx, ts_v, ts_a,
+        ropes, CFG, mesh, video_bias=vbias, n_microbatches=2,
+        sdpa_impl="xla")
+    np.testing.assert_allclose(np.asarray(out_v), np.asarray(ref_v),
+                               atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(ref_a),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_pp_av_train_step_matches_sequential():
+    """AV joint train step under TrainConfig.pp_mesh == sequential."""
+    from ltx_tpu.models import dit_av
+    from ltx_tpu.train import TrainConfig
+    from ltx_tpu.train.step import init_train_state, make_av_train_step
+
+    k = jax.random.split(jax.random.key(6), 5)
+    params = dit_av.init_params(k[0], CFG, jnp.float32)
+    b, tv, ta, s = 2, 8, 5, 8
+    vtok = jax.random.normal(k[1], (b, tv, CFG.in_channels), jnp.float32)
+    atok = jax.random.normal(k[2], (b, ta, CFG.audio_in_channels),
+                             jnp.float32)
+    vctx = jax.random.normal(k[3], (b, s, CFG.caption_channels), jnp.float32)
+    actx = jax.random.normal(k[4], (b, s, CFG.caption_channels), jnp.float32)
+    ropes = dit_av.prepare_av_ropes(CFG, 2, 2, 2, ta)
+    key = jax.random.key(7)
+
+    tc_seq = TrainConfig(learning_rate=1e-3, compute_dtype=jnp.float32,
+                         sdpa_impl="xla")
+    tr1, fr1, os1 = init_train_state(params, tc_seq)
+    step1 = make_av_train_step(CFG, tc_seq, donate=False)
+    tr1, os1, aux1 = step1(tr1, fr1, os1, vtok, atok, vctx, actx, ropes, key)
+
+    mesh = make_pp_mesh(data=1, pipe=4)
+    tc_pp = dataclasses.replace(tc_seq, pp_mesh=mesh, pp_microbatches=2)
+    tr2, fr2, os2 = init_train_state(shard_pp_params(params, mesh), tc_pp)
+    step2 = make_av_train_step(CFG, tc_pp, donate=False)
+    tr2, os2, aux2 = step2(tr2, fr2, os2, vtok, atok, vctx, actx, ropes, key)
+
+    assert float(aux2["loss"]) == pytest.approx(float(aux1["loss"]),
+                                                rel=1e-5)
+    for a, b_ in zip(jax.tree_util.tree_flatten(tr1)[0],
+                     jax.tree_util.tree_flatten(tr2)[0]):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   atol=3e-5, rtol=3e-5)
