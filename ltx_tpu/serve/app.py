@@ -86,7 +86,11 @@ class ServeApp:
     metrics: Optional[ServeMetrics] = None
 
     def close(self):
-        self.server.shutdown()
+        # shutdown() blocks until a RUNNING serve_forever loop exits and
+        # deadlocks if the loop never started (socketserver docstring) —
+        # skip it for a built-but-never-served app.
+        if getattr(self.server, "ltx_serving", False):
+            self.server.shutdown()
         self.server.server_close()
         if self.batcher is not None:
             self.batcher.close()

@@ -258,6 +258,17 @@ def make_server(
     components."""
     srv = ThreadingHTTPServer((host, port), _Handler)
     srv.daemon_threads = True
+    # socketserver.shutdown() DEADLOCKS unless serve_forever() is running
+    # (stdlib docstring); track whether it ever started so close() on a
+    # built-but-never-served app doesn't hang.
+    srv.ltx_serving = False
+    _orig_serve = srv.serve_forever
+
+    def _serve_forever(*a, **kw):
+        srv.ltx_serving = True
+        return _orig_serve(*a, **kw)
+
+    srv.serve_forever = _serve_forever
     srv.ltx_jobs = jobs
     srv.ltx_batcher = batcher
     srv.ltx_info_fn = info_fn
