@@ -82,6 +82,11 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--mesh", default=None, metavar="DATA,MODEL",
                    help="Shard over a (data, model) device mesh, e.g. 1,8 "
                         "(TP over heads/FFN; required for bf16 19B)")
+    g.add_argument("--mesh-pp", default=None, metavar="DATA,PIPE",
+                   help="Pipeline-parallel (data, pipe) mesh: the 48-block "
+                        "stack splits into PIPE GPipe stages, guidance rows "
+                        "ride as microbatches (T2V/I2V/two-stage; TP via "
+                        "--mesh is the default on one ICI slice)")
     g.add_argument("--debug", action="store_true")
     g.add_argument("--profile", action="store_true")
     g.add_argument("--dry-run", action="store_true")
@@ -271,7 +276,7 @@ def _resolve_memory(args, config):
     est = estimate_memory_gb(shape, rows, bits,
                              vae_tile_size=memory.vae_tile_size,
                              audio=args.audio)
-    if est > _USABLE_HBM_GB and not args.mesh:
+    if est > _USABLE_HBM_GB and not args.mesh and not args.mesh_pp:
         rec = recommended_memory_preset(shape, rows, bits, audio=args.audio)
         if args.memory is None and args.vae_tile_size == 0:
             # no explicit memory choice from the user: apply the
@@ -325,6 +330,10 @@ def cmd_generate(args) -> int:
         include_upscaler=args.two_stage,
     )
 
+    if args.mesh and args.mesh_pp:
+        print("error: --mesh and --mesh-pp are mutually exclusive",
+              file=sys.stderr)
+        return 2
     if args.mesh:
         from ltx_tpu.parallel.sharding import make_mesh
 
@@ -335,6 +344,16 @@ def cmd_generate(args) -> int:
                   file=sys.stderr)
             return 2
         pipe.shard(make_mesh(data=data, model=model))
+    elif args.mesh_pp:
+        from ltx_tpu.parallel.pipeline import make_pp_mesh
+
+        try:
+            data, stages = (int(x) for x in args.mesh_pp.split(","))
+        except ValueError:
+            print(f"error: --mesh-pp expects DATA,PIPE, got "
+                  f"{args.mesh_pp!r}", file=sys.stderr)
+            return 2
+        pipe.shard_pp(make_pp_mesh(data=data, pipe=stages))
 
     def on_progress(step, total, sigma):
         print(f"  step {step + 1}/{total}  sigma={sigma:.4f}", flush=True)

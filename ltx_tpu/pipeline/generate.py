@@ -134,6 +134,8 @@ class LTXPipeline:
         self.vision_params = vision_params
         self.vision_config = vision_config
         self.mesh = None
+        self.pp_mesh = None           # ("data", "pipe") mesh — shard_pp()
+        self.pp_microbatches = None
         # host originals for phase staging (utils/staging.py): filled lazily
         # by _on_device when a component arrives as a host (numpy) tree
         self._host_store = {}
@@ -216,7 +218,15 @@ class LTXPipeline:
             if tree is None or not staging.is_host_tree(tree):
                 continue
             self._host_store.setdefault(name, tree)
-            if self.mesh is not None:
+            if self.pp_mesh is not None:
+                from ltx_tpu.parallel import pipeline as pp_mod
+                from ltx_tpu.parallel import sharding as shard_mod
+
+                if name == "transformer_params":
+                    placed = pp_mod.shard_pp_params(tree, self.pp_mesh)
+                else:
+                    placed = shard_mod.replicate(tree, self.pp_mesh)
+            elif self.mesh is not None:
                 from ltx_tpu.parallel import sharding as shard_mod
 
                 if name in self._TP_SHARDED:
@@ -268,6 +278,37 @@ class LTXPipeline:
         for name in ("vae_decoder_params", "vae_encoder_params",
                      "upscaler_params", "text_encoder_params",
                      "audio_vae_params", "vocoder_params"):
+            tree = getattr(self, name)
+            if tree is not None and not staging.is_host_tree(tree):
+                setattr(self, name, shard_mod.replicate(tree, mesh))
+        return self
+
+    def shard_pp(self, mesh, n_microbatches=None):
+        """Pipeline-parallel placement over a ("data", "pipe") mesh
+        (parallel/pipeline.py): the video DiT's stacked block axis shards
+        across the pipe stages; every other component replicates; the
+        denoise step runs the GPipe schedule with guidance rows as
+        microbatches. TP (`shard`) is the default on one ICI-connected
+        slice — PP is for exhausted model axes or slower-than-ICI links
+        (docs/ARCHITECTURE.md). T2V/I2V/two-stage paths only; the AV dual
+        denoise step keeps TP. Mutually exclusive with shard()."""
+        from ltx_tpu.core.errors import InvalidConfigurationError
+        from ltx_tpu.parallel import pipeline as pp_mod
+        from ltx_tpu.parallel import sharding as shard_mod
+        from ltx_tpu.utils import staging
+
+        if self.mesh is not None:
+            raise InvalidConfigurationError(
+                "shard() and shard_pp() are mutually exclusive")
+        self.pp_mesh = mesh
+        self.pp_microbatches = n_microbatches
+        if not staging.is_host_tree(self.transformer_params):
+            self.transformer_params = pp_mod.shard_pp_params(
+                self.transformer_params, mesh)
+        for name in ("vae_decoder_params", "vae_encoder_params",
+                     "upscaler_params", "text_encoder_params",
+                     "gemma_params", "audio_vae_params", "vocoder_params",
+                     "av_transformer_params"):
             tree = getattr(self, name)
             if tree is not None and not staging.is_host_tree(tree):
                 setattr(self, name, shard_mod.replicate(tree, mesh))
@@ -473,6 +514,7 @@ class LTXPipeline:
             image_cond_noise_scale=config.image_cond_noise_scale,
             fps=config.fps, sdpa_impl=self.sdpa_impl,
             remat=self.memory.remat_blocks,
+            pp_mesh=self.pp_mesh, pp_microbatches=self.pp_microbatches,
         )
         abs_latent = jax.ShapeDtypeStruct(shape.shape, jnp.float32)
         # run_denoise_loop passes python floats -> WEAK f32 scalars; a
@@ -678,6 +720,7 @@ class LTXPipeline:
             fps=config.fps,
             sdpa_impl=self.sdpa_impl,
             remat=self.memory.remat_blocks,
+            pp_mesh=self.pp_mesh, pp_microbatches=self.pp_microbatches,
         )
 
         def on_step(i, n, sigma):
@@ -713,6 +756,7 @@ class LTXPipeline:
             fps=fps,
             sdpa_impl=self.sdpa_impl,
             remat=self.memory.remat_blocks,
+            pp_mesh=self.pp_mesh, pp_microbatches=self.pp_microbatches,
         )
 
         def on_step(i, n, sigma):

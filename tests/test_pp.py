@@ -264,3 +264,36 @@ def test_pp_av_train_step_matches_sequential():
                      jax.tree_util.tree_flatten(tr2)[0]):
         np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
                                    atol=3e-5, rtol=3e-5)
+
+
+def test_pp_pipeline_e2e_generate():
+    """LTXPipeline.shard_pp: full tiny T2V e2e through the public API on a
+    (1, 2) pipe mesh matches the unsharded pipeline (same seed) at bf16
+    tolerance."""
+    from ltx_tpu.core.config import GenerationConfig
+    from ltx_tpu.pipeline.generate import LTXPipeline
+
+    cfg = GenerationConfig(width=64, height=64, num_frames=9, num_steps=2,
+                           seed=21)
+    ref = LTXPipeline.random_tiny(seed=0).generate_video("pp e2e", cfg)
+
+    pipe = LTXPipeline.random_tiny(seed=0)
+    pipe.shard_pp(make_pp_mesh(data=1, pipe=2))
+    out = pipe.generate_video("pp e2e", cfg)
+    a, b = np.asarray(out.frames), np.asarray(ref.frames)
+    assert a.shape == b.shape == (9, 64, 64, 3)
+    assert np.isfinite(a).all()
+    # frames are [0,1] uint8-ish f32; bf16 activation rounding differs
+    # between microbatched and batched matmuls (see denoise-step test)
+    assert np.max(np.abs(a - b)) < 0.05, np.max(np.abs(a - b))
+
+
+def test_pp_shard_excludes_tp():
+    from ltx_tpu.core.errors import InvalidConfigurationError
+    from ltx_tpu.parallel.sharding import make_mesh
+    from ltx_tpu.pipeline.generate import LTXPipeline
+
+    pipe = LTXPipeline.random_tiny(seed=0)
+    pipe.shard(make_mesh(data=1, model=2))
+    with pytest.raises(InvalidConfigurationError):
+        pipe.shard_pp(make_pp_mesh(data=1, pipe=2))
