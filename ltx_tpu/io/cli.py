@@ -276,7 +276,11 @@ def _resolve_memory(args, config):
     est = estimate_memory_gb(shape, rows, bits,
                              vae_tile_size=memory.vae_tile_size,
                              audio=args.audio)
-    if est > _USABLE_HBM_GB and not args.mesh and not args.mesh_pp:
+    # --mesh-pp does NOT suppress auto-staging: PP shards only the DiT
+    # block stack; Gemma/VAE/connector stay fully replicated per chip, so
+    # phase staging is still what keeps a chip under budget (unlike TP,
+    # which shards Gemma too).
+    if est > _USABLE_HBM_GB and not args.mesh:
         rec = recommended_memory_preset(shape, rows, bits, audio=args.audio)
         if args.memory is None and args.vae_tile_size == 0:
             # no explicit memory choice from the user: apply the
@@ -304,6 +308,17 @@ def cmd_generate(args) -> int:
     except (LTXError, ValueError) as e:
         print(f"error: {e}", file=sys.stderr)
         return 2
+    if args.mesh and args.mesh_pp:
+        print("error: --mesh and --mesh-pp are mutually exclusive",
+              file=sys.stderr)
+        return 2
+    if args.mesh_pp and args.audio:
+        # the AV dual denoise step has no pipeline schedule; silently
+        # replicating the full AV transformer per chip would give the user
+        # zero parallelism (and OOM at bf16 scale)
+        print("error: --mesh-pp supports T2V/I2V/two-stage only; "
+              "use --mesh (TP) for --audio", file=sys.stderr)
+        return 2
 
     if args.dry_run:
         print("Configuration valid (dry run):")
@@ -330,10 +345,6 @@ def cmd_generate(args) -> int:
         include_upscaler=args.two_stage,
     )
 
-    if args.mesh and args.mesh_pp:
-        print("error: --mesh and --mesh-pp are mutually exclusive",
-              file=sys.stderr)
-        return 2
     if args.mesh:
         from ltx_tpu.parallel.sharding import make_mesh
 

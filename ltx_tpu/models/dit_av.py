@@ -327,22 +327,8 @@ def dit_av_forward(
         params["audio_caption_projection"], audio_latent, audio_context,
         audio_timesteps, da, cfg.timestep_scale_multiplier, b, dt)
 
-    # cross-modal modulation: 4 scale/shift + 1 gate, per token
-    # (reference: LTX2Transformer.swift:284-312)
-    ss_v, _ = adaln_single(params["av_ca_video_scale_shift_adaln_single"],
-                           scaled_v.reshape(-1))
-    gate_v, _ = adaln_single(params["av_ca_a2v_gate_adaln_single"],
-                             scaled_v.reshape(-1))
-    cross_v_ss = jnp.concatenate([
-        ss_v.reshape(b, -1, 4, dv), gate_v.reshape(b, -1, 1, dv)
-    ], axis=2).astype(dt)
-    ss_a, _ = adaln_single(params["av_ca_audio_scale_shift_adaln_single"],
-                           scaled_a.reshape(-1))
-    gate_a, _ = adaln_single(params["av_ca_v2a_gate_adaln_single"],
-                             scaled_a.reshape(-1))
-    cross_a_ss = jnp.concatenate([
-        ss_a.reshape(b, -1, 4, da), gate_a.reshape(b, -1, 1, da)
-    ], axis=2).astype(dt)
+    cross_v_ss, cross_a_ss = cross_modal_modulation(
+        params, scaled_v, scaled_a, b, dv, da, dt)
 
     def body(carry, block_params):
         vx, ax = carry
@@ -357,18 +343,43 @@ def dit_av_forward(
         body = jax.checkpoint(body)
     (video_x, audio_x), _ = lax.scan(body, (video_x, audio_x), params["blocks"])
 
-    def head(x, table, embedded, proj_p):
-        vals = (table[None, None].astype(jnp.float32)
-                + embedded[:, :, None].astype(jnp.float32))
-        shift, scale = vals[:, :, 0].astype(dt), vals[:, :, 1].astype(dt)
-        out = layer_norm_no_affine(x, eps=cfg.norm_eps) * (1 + scale) + shift
-        return linear_any(proj_p, out)
-
-    video_out = head(video_x, params["scale_shift_table"], emb_v,
-                     params["proj_out"])
-    audio_out = head(audio_x, params["audio_scale_shift_table"], emb_a,
-                     params["audio_proj_out"])
+    video_out = av_output_head(video_x, params["scale_shift_table"], emb_v,
+                               params["proj_out"], cfg)
+    audio_out = av_output_head(audio_x, params["audio_scale_shift_table"],
+                               emb_a, params["audio_proj_out"], cfg)
     return video_out, audio_out
+
+
+def cross_modal_modulation(params, scaled_v, scaled_a, batch, dv, da, dtype):
+    """Per-token cross-modal modulation: 4 scale/shift + 1 gate per stream
+    (reference: LTX2Transformer.swift:284-312). Shared by dit_av_forward
+    and the pipeline-parallel forward (parallel/pipeline.py)."""
+    ss_v, _ = adaln_single(params["av_ca_video_scale_shift_adaln_single"],
+                           scaled_v.reshape(-1))
+    gate_v, _ = adaln_single(params["av_ca_a2v_gate_adaln_single"],
+                             scaled_v.reshape(-1))
+    cross_v_ss = jnp.concatenate([
+        ss_v.reshape(batch, -1, 4, dv), gate_v.reshape(batch, -1, 1, dv)
+    ], axis=2).astype(dtype)
+    ss_a, _ = adaln_single(params["av_ca_audio_scale_shift_adaln_single"],
+                           scaled_a.reshape(-1))
+    gate_a, _ = adaln_single(params["av_ca_v2a_gate_adaln_single"],
+                             scaled_a.reshape(-1))
+    cross_a_ss = jnp.concatenate([
+        ss_a.reshape(batch, -1, 4, da), gate_a.reshape(batch, -1, 1, da)
+    ], axis=2).astype(dtype)
+    return cross_v_ss, cross_a_ss
+
+
+def av_output_head(x, table, embedded, proj_p, cfg: TransformerConfig):
+    """Final AdaLN layer-norm + projection for one AV stream (reference:
+    LTX2Transformer.swift:360-392). Shared with parallel/pipeline.py."""
+    dt = x.dtype
+    vals = (table[None, None].astype(jnp.float32)
+            + embedded[:, :, None].astype(jnp.float32))
+    shift, scale = vals[:, :, 0].astype(dt), vals[:, :, 1].astype(dt)
+    out = layer_norm_no_affine(x, eps=cfg.norm_eps) * (1 + scale) + shift
+    return linear_any(proj_p, out)
 
 
 # ---------------------------------------------------------------------------

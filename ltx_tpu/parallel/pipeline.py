@@ -276,7 +276,6 @@ def dit_av_forward_pp(
     together; numerics match `dit_av.dit_av_forward` exactly (same
     av_block_forward scan body)."""
     from ltx_tpu.models import dit_av
-    from ltx_tpu.models.dit_av import adaln_single as av_adaln_single
 
     n_data = mesh.shape["data"]
     n_stage = mesh.shape["pipe"]
@@ -325,20 +324,8 @@ def dit_av_forward_pp(
             p["audio_caption_projection"], a_lat, a_ctx_raw, ts_a_raw, da,
             cfg.timestep_scale_multiplier, b_local, dt)
 
-        ss_v, _ = av_adaln_single(
-            p["av_ca_video_scale_shift_adaln_single"], scaled_v.reshape(-1))
-        gate_v, _ = av_adaln_single(
-            p["av_ca_a2v_gate_adaln_single"], scaled_v.reshape(-1))
-        cross_v_ss = jnp.concatenate([
-            ss_v.reshape(b_local, -1, 4, dv),
-            gate_v.reshape(b_local, -1, 1, dv)], axis=2).astype(dt)
-        ss_a, _ = av_adaln_single(
-            p["av_ca_audio_scale_shift_adaln_single"], scaled_a.reshape(-1))
-        gate_a, _ = av_adaln_single(
-            p["av_ca_v2a_gate_adaln_single"], scaled_a.reshape(-1))
-        cross_a_ss = jnp.concatenate([
-            ss_a.reshape(b_local, -1, 4, da),
-            gate_a.reshape(b_local, -1, 1, da)], axis=2).astype(dt)
+        cross_v_ss, cross_a_ss = dit_av.cross_modal_modulation(
+            p, scaled_v, scaled_a, b_local, dv, da, dt)
 
         def split(a):
             return a.reshape((n_mb, mb) + a.shape[1:])
@@ -367,23 +354,11 @@ def dit_av_forward_pp(
         v_outs, a_outs = gpipe_schedule(stage_fn, xs, aux, n_mb, n_stage)
         video_full = v_outs.reshape(b_local, *v_outs.shape[2:])
         audio_full = a_outs.reshape(b_local, *a_outs.shape[2:])
-
-        from ltx_tpu.kernels.quantization import linear_any
-        from ltx_tpu.ops.normalization import layer_norm_no_affine
-
-        def head(x, table, embedded, proj_p):
-            vals = (table[None, None].astype(jnp.float32)
-                    + embedded[:, :, None].astype(jnp.float32))
-            shift = vals[:, :, 0].astype(dt)
-            scale = vals[:, :, 1].astype(dt)
-            out = layer_norm_no_affine(x, eps=cfg.norm_eps) \
-                * (1 + scale) + shift
-            return linear_any(proj_p, out)
-
-        return (head(video_full, p["scale_shift_table"], emb_v,
-                     p["proj_out"]),
-                head(audio_full, p["audio_scale_shift_table"], emb_a,
-                     p["audio_proj_out"]))
+        return (dit_av.av_output_head(video_full, p["scale_shift_table"],
+                                      emb_v, p["proj_out"], cfg),
+                dit_av.av_output_head(audio_full,
+                                      p["audio_scale_shift_table"], emb_a,
+                                      p["audio_proj_out"], cfg))
 
     fn = shard_map(body, mesh=mesh, in_specs=in_specs,
                    out_specs=(bspec, bspec), **_CHECK_KW)

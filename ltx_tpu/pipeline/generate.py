@@ -263,6 +263,11 @@ class LTXPipeline:
         from ltx_tpu.parallel import sharding as shard_mod
         from ltx_tpu.utils import staging
 
+        if self.pp_mesh is not None:
+            from ltx_tpu.core.errors import InvalidConfigurationError
+
+            raise InvalidConfigurationError(
+                "shard() and shard_pp() are mutually exclusive")
         self.mesh = mesh
         # Host (numpy) trees are left in place: _on_device shards them when
         # their phase starts (phase_staging choreography); device trees

@@ -153,10 +153,14 @@ class MicroBatcher:
                 batch = self._take_batch()
             payloads = [p for p, _k, _f in batch]
             futs = [f for _p, _k, f in batch]
+            # t0 restarts AFTER the device lock is held so the batch
+            # histogram records device time, not lock-queue wait behind a
+            # minutes-long generation job
             t0 = time.monotonic()
             try:
                 if self._device_lock is not None:
                     with self._device_lock:
+                        t0 = time.monotonic()
                         results = self._run_batch(payloads)
                 else:
                     results = self._run_batch(payloads)

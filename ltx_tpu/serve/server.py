@@ -71,12 +71,19 @@ def _json_bytes(obj) -> bytes:
     return (json.dumps(obj) + "\n").encode()
 
 
+_KNOWN_ROUTES = frozenset({
+    "/healthz", "/metrics", "/v1/metrics", "/v1/models", "/v1/stats",
+    "/v1/enhance", "/v1/generate", "/v1/jobs",
+})
+
+
 def _route_label(path: str) -> str:
-    """Collapse per-job paths to one label value (metrics label cardinality
-    must stay bounded; job ids are unbounded)."""
+    """Collapse paths to a CLOSED label set (metrics label cardinality must
+    stay bounded; job ids — and arbitrary scanned 404 paths — are not)."""
     if path.startswith("/v1/jobs/"):
         return "/v1/jobs/{id}"
-    return path.split("?", 1)[0]
+    path = path.split("?", 1)[0]
+    return path if path in _KNOWN_ROUTES else "other"
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -285,6 +292,10 @@ def make_server(
 
 
 def serve_forever_threaded(srv: ThreadingHTTPServer) -> threading.Thread:
+    # set the flag BEFORE the thread starts so a close() racing the thread
+    # still calls shutdown() (serve_forever exits promptly once entered —
+    # it checks the shutdown request every poll interval)
+    srv.ltx_serving = True
     t = threading.Thread(target=srv.serve_forever, name="ltx-http",
                          daemon=True)
     t.start()

@@ -131,15 +131,17 @@ def test_memory_auto_applied_when_over_budget():
     mem = _resolve_memory(args, _generation_config(args))
     assert not mem.phase_staging and mem.vae_tile_size == 0
 
-    # a mesh suppresses single-chip auto-staging (TP and PP alike)
+    # a TP mesh suppresses single-chip auto-staging (Gemma shards too)...
     args = parse(["generate", "x", "-w", "1216", "-H", "704", "-f", "241",
                   "--transformer-quant", "int4", "--mesh", "1,8"])
     mem = _resolve_memory(args, _generation_config(args))
     assert not mem.phase_staging
+    # ...but a PP mesh does NOT: only the DiT block stack shards; the
+    # replicated Gemma/VAE still need phase staging on each chip
     args = parse(["generate", "x", "-w", "1216", "-H", "704", "-f", "241",
                   "--transformer-quant", "int4", "--mesh-pp", "1,8"])
     mem = _resolve_memory(args, _generation_config(args))
-    assert not mem.phase_staging
+    assert mem.phase_staging
 
 
 def test_download_and_info_subcommands():

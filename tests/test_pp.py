@@ -289,6 +289,7 @@ def test_pp_pipeline_e2e_generate():
 
 
 def test_pp_shard_excludes_tp():
+    """shard()/shard_pp() mutual exclusion holds in BOTH orders."""
     from ltx_tpu.core.errors import InvalidConfigurationError
     from ltx_tpu.parallel.sharding import make_mesh
     from ltx_tpu.pipeline.generate import LTXPipeline
@@ -297,3 +298,17 @@ def test_pp_shard_excludes_tp():
     pipe.shard(make_mesh(data=1, model=2))
     with pytest.raises(InvalidConfigurationError):
         pipe.shard_pp(make_pp_mesh(data=1, pipe=2))
+
+    pipe2 = LTXPipeline.random_tiny(seed=0)
+    pipe2.shard_pp(make_pp_mesh(data=1, pipe=2))
+    with pytest.raises(InvalidConfigurationError):
+        pipe2.shard(make_mesh(data=1, model=2))
+
+
+def test_pp_cli_rejects_audio():
+    """--mesh-pp + --audio errors at the door (no AV pipeline schedule)."""
+    import ltx_tpu.io.cli as cli
+
+    rc = cli.main(["generate", "x", "--audio", "--mesh-pp", "1,2",
+                   "--dry-run"])
+    assert rc == 2
