@@ -84,9 +84,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "(TP over heads/FFN; required for bf16 19B)")
     g.add_argument("--mesh-pp", default=None, metavar="DATA,PIPE",
                    help="Pipeline-parallel (data, pipe) mesh: the 48-block "
-                        "stack splits into PIPE GPipe stages, guidance rows "
-                        "ride as microbatches (T2V/I2V/two-stage; TP via "
-                        "--mesh is the default on one ICI slice)")
+                        "stack (video DiT or dual AV transformer) splits "
+                        "into PIPE GPipe stages, guidance rows ride as "
+                        "microbatches (TP via --mesh is the default on one "
+                        "ICI slice)")
     g.add_argument("--debug", action="store_true")
     g.add_argument("--profile", action="store_true")
     g.add_argument("--dry-run", action="store_true")
@@ -311,13 +312,6 @@ def cmd_generate(args) -> int:
     if args.mesh and args.mesh_pp:
         print("error: --mesh and --mesh-pp are mutually exclusive",
               file=sys.stderr)
-        return 2
-    if args.mesh_pp and args.audio:
-        # the AV dual denoise step has no pipeline schedule; silently
-        # replicating the full AV transformer per chip would give the user
-        # zero parallelism (and OOM at bf16 scale)
-        print("error: --mesh-pp supports T2V/I2V/two-stage only; "
-              "use --mesh (TP) for --audio", file=sys.stderr)
         return 2
 
     if args.dry_run:

@@ -151,7 +151,7 @@ def requant_int8_channel_np(qp_or_w):
 
     Routes through the native C++ kernels (ltx_tpu.native) when available —
     the numpy path is scalar-loop slow on ml_dtypes bf16 (~9 s per 67M-
-    element layer measured; docs/BENCH_NOTES.md §12). Bit-exact either way.
+    element layer measured; docs/BENCH_NOTES.md §13). Bit-exact either way.
     """
     import numpy as np
 

@@ -6,7 +6,7 @@ int4/int8 quantization (+ block-plane pack), per-channel int8 (W8A8)
 requantization. numpy's ml_dtypes bfloat16 takes scalar ufunc loops —
 measured 19-38 s to int4-quantize ONE 4096x16384 layer and 1.06 s per
 transpose, i.e. ~an hour for the full 19B DiT; the C++ kernels do the same
-work at memory bandwidth (docs/BENCH_NOTES.md §12).
+work at memory bandwidth (docs/BENCH_NOTES.md §13).
 
 Bit-exactness: every kernel reproduces its numpy twin in
 kernels/quantization.py exactly (same f32 expression forms, round-half-to-

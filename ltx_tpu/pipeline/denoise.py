@@ -258,6 +258,8 @@ def make_av_denoise_step(
     sdpa_impl: str = "auto",
     remat: bool = False,
     video_euler: str = "scheduler",
+    pp_mesh=None,
+    pp_microbatches=None,
 ):
     """Dual video+audio denoise step, guidance rows batched.
 
@@ -272,6 +274,11 @@ def make_av_denoise_step(
     (stage 1 of every AV path); "plain" = x += dt * v, which is what the
     reference uses for VIDEO in stage 2 of the audio two-stage path
     (LTXPipeline.swift:1800-1816) instead of scheduler.step.
+
+    pp_mesh: a ("data", "pipe") mesh runs the dual transformer's stacked
+    block axis as a GPipe pipeline (parallel/pipeline.py::dit_av_forward_pp
+    — the (video, audio) activation pair hops stages together); guidance
+    rows microbatch. Numerics match the sequential forward exactly.
     """
     from ltx_tpu.models import dit_av
 
@@ -317,11 +324,21 @@ def make_av_denoise_step(
             ts_v = jnp.full((g,), sigma, jnp.float32)
         ts_a = jnp.full((g,), sigma, jnp.float32)
 
-        v_vel_tok, a_vel_tok = dit_av.dit_av_forward(
-            params, v_tokens, a_tokens, v_ctx, a_ctx, ts_v, ts_a, ropes,
-            tcfg, video_bias=bias, audio_bias=bias, sdpa_impl=sdpa_impl,
-            remat=remat,
-        )
+        if pp_mesh is not None:
+            from ltx_tpu.parallel.pipeline import dit_av_forward_pp
+
+            v_vel_tok, a_vel_tok = dit_av_forward_pp(
+                params, v_tokens, a_tokens, v_ctx, a_ctx, ts_v, ts_a, ropes,
+                tcfg, pp_mesh, video_bias=bias, audio_bias=bias,
+                n_microbatches=pp_microbatches, sdpa_impl=sdpa_impl,
+                remat=remat,
+            )
+        else:
+            v_vel_tok, a_vel_tok = dit_av.dit_av_forward(
+                params, v_tokens, a_tokens, v_ctx, a_ctx, ts_v, ts_a, ropes,
+                tcfg, video_bias=bias, audio_bias=bias, sdpa_impl=sdpa_impl,
+                remat=remat,
+            )
         v_rows = unpatchify(
             v_vel_tok, dataclasses.replace(shape, batch=g)
         ).astype(jnp.float32)

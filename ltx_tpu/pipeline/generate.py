@@ -222,7 +222,7 @@ class LTXPipeline:
                 from ltx_tpu.parallel import pipeline as pp_mod
                 from ltx_tpu.parallel import sharding as shard_mod
 
-                if name == "transformer_params":
+                if name in ("transformer_params", "av_transformer_params"):
                     placed = pp_mod.shard_pp_params(tree, self.pp_mesh)
                 else:
                     placed = shard_mod.replicate(tree, self.pp_mesh)
@@ -290,13 +290,13 @@ class LTXPipeline:
 
     def shard_pp(self, mesh, n_microbatches=None):
         """Pipeline-parallel placement over a ("data", "pipe") mesh
-        (parallel/pipeline.py): the video DiT's stacked block axis shards
-        across the pipe stages; every other component replicates; the
-        denoise step runs the GPipe schedule with guidance rows as
-        microbatches. TP (`shard`) is the default on one ICI-connected
-        slice — PP is for exhausted model axes or slower-than-ICI links
-        (docs/ARCHITECTURE.md). T2V/I2V/two-stage paths only; the AV dual
-        denoise step keeps TP. Mutually exclusive with shard()."""
+        (parallel/pipeline.py): the video DiT's and the dual AV
+        transformer's stacked block axes shard across the pipe stages;
+        every other component replicates; the denoise steps run the GPipe
+        schedule with guidance rows as microbatches. TP (`shard`) is the
+        default on one ICI-connected slice — PP is for exhausted model
+        axes or slower-than-ICI links (docs/ARCHITECTURE.md). Mutually
+        exclusive with shard()."""
         from ltx_tpu.core.errors import InvalidConfigurationError
         from ltx_tpu.parallel import pipeline as pp_mod
         from ltx_tpu.parallel import sharding as shard_mod
@@ -307,13 +307,13 @@ class LTXPipeline:
                 "shard() and shard_pp() are mutually exclusive")
         self.pp_mesh = mesh
         self.pp_microbatches = n_microbatches
-        if not staging.is_host_tree(self.transformer_params):
-            self.transformer_params = pp_mod.shard_pp_params(
-                self.transformer_params, mesh)
+        for name in ("transformer_params", "av_transformer_params"):
+            tree = getattr(self, name)
+            if tree is not None and not staging.is_host_tree(tree):
+                setattr(self, name, pp_mod.shard_pp_params(tree, mesh))
         for name in ("vae_decoder_params", "vae_encoder_params",
                      "upscaler_params", "text_encoder_params",
-                     "gemma_params", "audio_vae_params", "vocoder_params",
-                     "av_transformer_params"):
+                     "gemma_params", "audio_vae_params", "vocoder_params"):
             tree = getattr(self, name)
             if tree is not None and not staging.is_host_tree(tree):
                 setattr(self, name, shard_mod.replicate(tree, mesh))
@@ -1023,6 +1023,7 @@ class LTXPipeline:
             image_cond_noise_scale=config.image_cond_noise_scale,
             fps=config.fps, sdpa_impl=self.sdpa_impl,
             remat=self.memory.remat_blocks,
+            pp_mesh=self.pp_mesh, pp_microbatches=self.pp_microbatches,
         )
 
         def on_step(i, n, sigma):
@@ -1168,6 +1169,7 @@ class LTXPipeline:
             image_cond_noise_scale=config.image_cond_noise_scale,
             fps=config.fps, sdpa_impl=self.sdpa_impl,
             remat=self.memory.remat_blocks,
+            pp_mesh=self.pp_mesh, pp_microbatches=self.pp_microbatches,
         )
         on_step.t0 = time.time()
         video_latent, audio_packed = run_av_denoise_loop(
@@ -1221,6 +1223,7 @@ class LTXPipeline:
             fps=config.fps, sdpa_impl=self.sdpa_impl,
             remat=self.memory.remat_blocks,
             video_euler="plain",  # reference: LTXPipeline.swift:1800-1816
+            pp_mesh=self.pp_mesh, pp_microbatches=self.pp_microbatches,
         )
         on_step.t0 = time.time()
         video_latent, audio_packed = run_av_denoise_loop(

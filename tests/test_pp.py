@@ -305,10 +305,73 @@ def test_pp_shard_excludes_tp():
         pipe2.shard(make_mesh(data=1, model=2))
 
 
-def test_pp_cli_rejects_audio():
-    """--mesh-pp + --audio errors at the door (no AV pipeline schedule)."""
+def test_pp_av_denoise_step_matches_sequential():
+    """make_av_denoise_step(pp_mesh=...) — dual AV guidance step (CFG rows
+    as microbatches) equals the standard step."""
+    from ltx_tpu.models import dit_av
+    from ltx_tpu.ops.latents import VideoLatentShape
+    from ltx_tpu.pipeline.denoise import GuidanceSpec, make_av_denoise_step
+
+    params = dit_av.init_params(jax.random.key(31), CFG, jnp.float32)
+    guidance = GuidanceSpec(
+        use_cfg=True, cfg_scale=4.0, guidance_rescale=0.3, stg_scale=0.0,
+        stg_blocks=(), ge_gamma=0.0, cross_attention_scale=1.0)
+    shape = VideoLatentShape(1, CFG.in_channels, 2, 4, 4)
+    ta = 5
+    v_ctx = jnp.tile(jax.random.normal(
+        jax.random.key(32), (1, 8, CFG.caption_channels), jnp.float32),
+        (2, 1, 1))
+    a_ctx = v_ctx * 0.9
+    video_np = np.asarray(
+        jax.random.normal(jax.random.key(33), shape.shape))
+    audio_np = np.asarray(
+        jax.random.normal(jax.random.key(34), (1, ta, CFG.audio_in_channels)))
+
+    step = make_av_denoise_step(params, CFG, guidance, shape, ta,
+                                v_ctx, a_ctx, None, sdpa_impl="xla")
+    ref_v, ref_a = step(jnp.asarray(video_np), jnp.asarray(audio_np),
+                        0.9, 0.5, jax.random.key(35))
+
+    mesh = make_pp_mesh(data=1, pipe=4)
+    pp_step = make_av_denoise_step(
+        shard_pp_params(params, mesh), CFG, guidance, shape, ta,
+        v_ctx, a_ctx, None, sdpa_impl="xla", pp_mesh=mesh)
+    out_v, out_a = pp_step(jnp.asarray(video_np), jnp.asarray(audio_np),
+                           0.9, 0.5, jax.random.key(35))
+    # bf16 token cast in the step: microbatched (B=1) vs batched (B=2)
+    # matmuls round differently — bf16-ulp tolerance (see the video test)
+    np.testing.assert_allclose(np.asarray(out_v), np.asarray(ref_v),
+                               atol=2e-2, rtol=2e-2)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(ref_a),
+                               atol=2e-2, rtol=2e-2)
+
+
+def test_pp_pipeline_e2e_generate_audio():
+    """LTXPipeline.shard_pp with the dual AV path: tiny audio+video e2e on
+    a (1, 2) pipe mesh matches the unsharded pipeline at bf16 tolerance."""
+    from ltx_tpu.core.config import GenerationConfig
+    from ltx_tpu.pipeline.generate import LTXPipeline
+
+    cfg = GenerationConfig(width=64, height=64, num_frames=9, num_steps=2,
+                           seed=23)
+    ref = LTXPipeline.random_tiny(
+        seed=0, include_audio=True).generate_video_with_audio("pp av", cfg)
+
+    pipe = LTXPipeline.random_tiny(seed=0, include_audio=True)
+    pipe.shard_pp(make_pp_mesh(data=1, pipe=2))
+    out = pipe.generate_video_with_audio("pp av", cfg)
+    a, b = np.asarray(out.frames), np.asarray(ref.frames)
+    assert a.shape == b.shape and np.isfinite(a).all()
+    assert np.max(np.abs(a - b)) < 0.05, np.max(np.abs(a - b))
+    aa, ab = np.asarray(out.audio), np.asarray(ref.audio)
+    assert aa.shape == ab.shape and np.isfinite(aa).all()
+    assert np.max(np.abs(aa - ab)) < 0.05, np.max(np.abs(aa - ab))
+
+
+def test_pp_cli_accepts_audio():
+    """--mesh-pp + --audio is a supported combination (dry-run passes)."""
     import ltx_tpu.io.cli as cli
 
     rc = cli.main(["generate", "x", "--audio", "--mesh-pp", "1,2",
                    "--dry-run"])
-    assert rc == 2
+    assert rc == 0
