@@ -153,3 +153,16 @@ def test_metrics_endpoint_scrape(metrics_app):
                if ln.startswith("ltx_http_request_seconds_bucket")
                and 'le="+Inf"' in ln and '/v1/enhance' in ln]
     assert buckets and all(int(ln.rsplit(" ", 1)[1]) >= 1 for ln in buckets)
+
+
+def test_route_label_closed_set():
+    """Label cardinality is bounded by a CLOSED route set: job ids collapse
+    to one template and arbitrary (scanned-404) paths collapse to "other"."""
+    from ltx_tpu.serve.server import _route_label
+
+    assert _route_label("/v1/jobs/abc-123") == "/v1/jobs/{id}"
+    assert _route_label("/v1/enhance?verbose=1") == "/v1/enhance"
+    assert _route_label("/healthz") == "/healthz"
+    for probe in ("/admin", "/.env", "/etc/passwd", "/v2/whatever",
+                  "/v1/enhance/extra"):
+        assert _route_label(probe) == "other", probe
