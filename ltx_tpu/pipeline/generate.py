@@ -534,14 +534,49 @@ class LTXPipeline:
             jax.ShapeDtypeStruct((), jnp.bool_), abs_key,
         )
 
+    def _warm_vae_lowering(self, config: GenerationConfig):
+        """Lower the VAE decoder program for the decode shape the upcoming
+        generation will hit (the same `_decoder_exec` cache key + argument
+        structs `_decode_frames` produces), from abstract inputs only.
+        Mirrors decode_video's tiling dispatch: untiled full-latent f32
+        program when no tiling applies, else the main repeated tile with
+        the on-device uint8 transfer. tests/test_pipeline.py asserts this
+        lowering is IDENTICAL to the one the real decode phase traces."""
+        from ltx_tpu.models import vae as vae_mod
+
+        shape = VideoLatentShape.from_pixels(
+            1, config.num_frames, config.height, config.width,
+            channels=self.vcfg.latent_channels,
+        )
+        dt = jnp.asarray([], self.vae_decoder_params["conv_in"]["w"].dtype
+                         ).dtype
+        ts = 0.05 if self.vcfg.timestep_conditioning else None
+        tile = self.memory.vae_tile_size
+        if tile <= 0 or shape.frames <= tile:
+            tile_f, to_uint8 = shape.frames, False
+        else:
+            tile_f, to_uint8 = tile, True
+        abs_params = jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
+            self.vae_decoder_params)
+        abs_tile = jax.ShapeDtypeStruct(
+            (1, self.vcfg.latent_channels, tile_f, shape.height, shape.width),
+            dt)
+        abs_key = None
+        if ts is not None:
+            abs_key = jax.ShapeDtypeStruct((), jax.random.key(0).dtype)
+        return vae_mod._decoder_exec(self.vcfg, ts, to_uint8).lower(
+            abs_params, abs_tile, abs_key)
+
     def _start_warm_compile(self, config: GenerationConfig, guidance,
                             timings=None):
-        """AOT-compile the denoise-step executable for the upcoming shapes
-        in a background thread, so the (remote, 5-40 s) compile overlaps the
-        prompt-enhancement generate loop instead of serializing after it
-        (VERDICT r2 weak #4). Single-chip only: lowering with
-        ShapeDtypeStructs drops NamedShardings, which would warm the wrong
-        executable.
+        """AOT-compile the denoise-step AND VAE-decoder executables for the
+        upcoming shapes in a background thread, so the (remote, 5-40 s each)
+        compiles overlap the prompt-enhancement generate loop instead of
+        serializing after it (VERDICT r2 weak #4; the decoder compile alone
+        measured 26 s at the north-star shape). Single-chip only: lowering
+        with ShapeDtypeStructs drops NamedShardings, which would warm the
+        wrong executable.
 
         Returns a join() callable (records timings.warm_compile; never
         raises — a failed warm-up just means the compile happens inline
@@ -553,12 +588,19 @@ class LTXPipeline:
             t0 = time.time()
             try:
                 self._warm_lowering(config, guidance).compile()
-                if timings is not None:
-                    timings.warm_compile = time.time() - t0
                 log.info("denoise-step warm compile: %.1f s",
                          time.time() - t0)
             except Exception as e:  # pragma: no cover - depends on backend
                 log.info("warm compile skipped (%s)", e)
+            try:
+                t1 = time.time()
+                self._warm_vae_lowering(config).compile()
+                log.info("vae-decoder warm compile: %.1f s",
+                         time.time() - t1)
+            except Exception as e:  # pragma: no cover - depends on backend
+                log.info("vae warm compile skipped (%s)", e)
+            if timings is not None:
+                timings.warm_compile = time.time() - t0
 
         th = threading.Thread(target=_warm, daemon=True)
         th.start()

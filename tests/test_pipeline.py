@@ -124,6 +124,29 @@ def test_warm_compile_lowering_matches_real_step(pipe):
     assert warm_text == real_text
 
 
+def test_warm_vae_lowering_matches_real_decode(pipe):
+    """The abstract VAE-decoder lowering warmed during enhancement must be
+    IDENTICAL to the program the real decode phase traces (same
+    _decoder_exec cache key, same argument structs)."""
+    import jax
+
+    from ltx_tpu.models import vae as vae_mod
+
+    cfg = _tiny_config()
+    warm_text = pipe._warm_vae_lowering(cfg).as_text()
+
+    shape = VideoLatentShape.from_pixels(
+        1, cfg.num_frames, cfg.height, cfg.width,
+        channels=pipe.vcfg.latent_channels)
+    dt = pipe.vae_decoder_params["conv_in"]["w"].dtype
+    latent = jnp.zeros(shape.shape, jnp.float32).astype(dt)
+    ts = 0.05 if pipe.vcfg.timestep_conditioning else None
+    nkey = jax.random.key(0) if ts is not None else None
+    real_text = vae_mod._decoder_exec(pipe.vcfg, ts, False).lower(
+        pipe.vae_decoder_params, latent, nkey).as_text()
+    assert warm_text == real_text
+
+
 def test_warm_compile_thread_runs(pipe):
     """End-to-end: enhancement-overlapped warm compile records its timing
     and generation still produces frames."""
