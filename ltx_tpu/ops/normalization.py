@@ -6,9 +6,12 @@ for AdaLN and an affine-free LayerNorm for the output head
 (reference: LTXTransformer.swift:97). Statistics accumulate in float32 and
 the result is cast back to the input dtype, matching MLX's fused kernels.
 
-These are deliberately plain jnp: XLA fuses the normalize->scale->matmul
-chains on its own (profiled — no Pallas variant exists or is needed; if a
-future profile shows a missed fusion, add one in ltx_tpu.kernels then).
+Default implementation is deliberately plain jnp: XLA fuses the
+normalize->scale chain into one kernel on its own. A Pallas fused variant
+(ltx_tpu/kernels/rms_norm.py) exists behind `set_rms_impl("pallas")` so the
+"does a hand kernel beat XLA's fusion here?" question is answered by a
+measurement, not a claim — see docs/BENCH_NOTES.md (RMSNorm). The Pallas
+path is inference-only (no custom VJP); training keeps XLA.
 """
 
 from __future__ import annotations
@@ -16,12 +19,33 @@ from __future__ import annotations
 import jax.numpy as jnp
 from jax import lax
 
+_RMS_IMPL = "xla"
+
+
+def set_rms_impl(impl: str):
+    """Route rms_norm through "xla" (default) or the "pallas" fused kernel.
+
+    Read at trace time (like ops.attention's sdpa_impl toggles); re-jit after
+    switching. Pallas requires a 128-multiple last dim and is not
+    differentiable — inference only.
+    """
+    global _RMS_IMPL
+    if impl not in ("xla", "pallas"):
+        raise ValueError(f"unknown rms impl {impl!r}")
+    _RMS_IMPL = impl
+
 
 def rms_norm(x, weight=None, eps: float = 1e-6):
     """RMSNorm with float32 statistics.
 
     weight=None is the weightless variant (identity scale in input dtype).
     """
+    if _RMS_IMPL == "pallas" and x.shape[-1] % 128 == 0 and (
+            weight is None or weight.ndim == 1):
+        import jax
+        if jax.default_backend() == "tpu":   # CPU tests keep the XLA path
+            from ltx_tpu.kernels.rms_norm import rms_norm_pallas
+            return rms_norm_pallas(x, weight, eps=eps)
     dtype = x.dtype
     xf = x.astype(jnp.float32)
     inv = lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)

@@ -234,3 +234,73 @@ def test_flash_vjp_primal_matches_forward():
     out = flash_attention_vjp(q, k, v, None, None, 16, 16, True)
     ref = flash_attention(q, k, v, block_q=16, block_k=16, interpret=True)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+# ---------------------------------------------------------------- rms norm
+
+def _assert_rms_close(got, want):
+    """Same f32 expression on both paths; only the mean's reduction order
+    differs between the interpreter and XLA -> 1-2 ulp in f32, which the
+    bf16 output cast usually (not always) rounds away — allow one ulp of
+    the OUTPUT dtype."""
+    rtol = 1e-2 if got.dtype == jnp.bfloat16 else 1e-5
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        rtol=rtol, atol=1e-6)
+
+
+class TestRMSNormPallas:
+    """kernels/rms_norm.py vs ops.normalization.rms_norm (same f32
+    expression, equal up to the mean's reduction order)."""
+
+    @pytest.mark.parametrize("shape", [(4, 37, 256), (2, 8, 384), (1, 512)])
+    @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+    def test_weightless_matches_xla(self, shape, dtype):
+        from ltx_tpu.kernels.rms_norm import rms_norm_pallas
+        from ltx_tpu.ops.normalization import rms_norm
+
+        x = jax.random.normal(jax.random.key(0), shape, dtype)
+        got = rms_norm_pallas(x, interpret=True)
+        want = rms_norm(x)
+        assert got.dtype == want.dtype
+        _assert_rms_close(got, want)
+
+    @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+    def test_weighted_matches_xla(self, dtype):
+        from ltx_tpu.kernels.rms_norm import rms_norm_pallas
+        from ltx_tpu.ops.normalization import rms_norm
+
+        x = jax.random.normal(jax.random.key(1), (3, 100, 256), dtype)
+        w = jax.random.normal(jax.random.key(2), (256,), dtype)
+        got = rms_norm_pallas(x, w, interpret=True)
+        want = rms_norm(x, w)
+        _assert_rms_close(got, want)
+
+    def test_row_padding_tail(self):
+        # 5 rows with block 256 -> pads to 256, slices back
+        from ltx_tpu.kernels.rms_norm import rms_norm_pallas
+        from ltx_tpu.ops.normalization import rms_norm
+
+        x = jax.random.normal(jax.random.key(3), (5, 128), jnp.float32)
+        got = rms_norm_pallas(x, interpret=True)
+        _assert_rms_close(got, rms_norm(x))
+
+    def test_lane_misaligned_raises(self):
+        from ltx_tpu.kernels.rms_norm import rms_norm_pallas
+
+        with pytest.raises(ValueError):
+            rms_norm_pallas(jnp.ones((4, 100)), interpret=True)
+
+    def test_toggle_keeps_xla_on_cpu(self):
+        # set_rms_impl("pallas") must not break CPU runs: the dispatch
+        # requires a TPU backend and silently keeps the XLA path here.
+        from ltx_tpu.ops import normalization
+
+        x = jax.random.normal(jax.random.key(4), (2, 7, 256), jnp.bfloat16)
+        want = normalization.rms_norm(x)
+        normalization.set_rms_impl("pallas")
+        try:
+            got = normalization.rms_norm(x)
+        finally:
+            normalization.set_rms_impl("xla")
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
