@@ -88,6 +88,18 @@ def build_parser() -> argparse.ArgumentParser:
                         "into PIPE GPipe stages, guidance rows ride as "
                         "microbatches (TP via --mesh is the default on one "
                         "ICI slice)")
+    g.add_argument("--mesh-slices", type=int, default=None, metavar="N",
+                   help="Declare the devices as N DCN-connected slices: "
+                        "--mesh/--mesh-pp then lay the model/pipe axis "
+                        "inside one slice (ICI) and cross DCN only on the "
+                        "data axis (parallel/runtime.py). Auto-detected "
+                        "from the TPU topology when omitted.")
+    g.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                   help="Multi-host: jax.distributed coordinator address "
+                        "(every host runs the same command; pair with "
+                        "--num-processes/--process-id off-cloud)")
+    g.add_argument("--num-processes", type=int, default=None)
+    g.add_argument("--process-id", type=int, default=None)
     g.add_argument("--debug", action="store_true")
     g.add_argument("--profile", action="store_true")
     g.add_argument("--dry-run", action="store_true")
@@ -319,6 +331,14 @@ def cmd_generate(args) -> int:
         print(f"  {config}")
         return 0
 
+    if args.coordinator or args.num_processes:
+        # must run before any device use: afterwards jax.devices() is the
+        # GLOBAL list and --mesh spans every host of the deployment
+        from ltx_tpu.parallel.runtime import initialize_distributed
+
+        initialize_distributed(args.coordinator, args.num_processes,
+                               args.process_id)
+
     from ltx_tpu.core.config import MemoryConfig, QuantizationConfig
     from ltx_tpu.pipeline.loader import load_pipeline
 
@@ -340,7 +360,7 @@ def cmd_generate(args) -> int:
     )
 
     if args.mesh:
-        from ltx_tpu.parallel.sharding import make_mesh
+        from ltx_tpu.parallel.runtime import make_hybrid_mesh
 
         try:
             data, model = (int(x) for x in args.mesh.split(","))
@@ -348,9 +368,10 @@ def cmd_generate(args) -> int:
             print(f"error: --mesh expects DATA,MODEL, got {args.mesh!r}",
                   file=sys.stderr)
             return 2
-        pipe.shard(make_mesh(data=data, model=model))
+        pipe.shard(make_hybrid_mesh(data=data, model=model,
+                                    slices=args.mesh_slices))
     elif args.mesh_pp:
-        from ltx_tpu.parallel.pipeline import make_pp_mesh
+        from ltx_tpu.parallel.runtime import make_hybrid_mesh
 
         try:
             data, stages = (int(x) for x in args.mesh_pp.split(","))
@@ -358,7 +379,9 @@ def cmd_generate(args) -> int:
             print(f"error: --mesh-pp expects DATA,PIPE, got "
                   f"{args.mesh_pp!r}", file=sys.stderr)
             return 2
-        pipe.shard_pp(make_pp_mesh(data=data, pipe=stages))
+        pipe.shard_pp(make_hybrid_mesh(data=data, model=stages,
+                                       axis_names=("data", "pipe"),
+                                       slices=args.mesh_slices))
 
     def on_progress(step, total, sigma):
         print(f"  step {step + 1}/{total}  sigma={sigma:.4f}", flush=True)

@@ -45,6 +45,17 @@ def add_train_arguments(ap) -> None:
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--log-every", type=int, default=10)
+    ap.add_argument("--mesh", default=None, metavar="DATA,MODEL",
+                    help="dp+tp train over a device mesh (params via the "
+                         "inference partition specs, batch on the data "
+                         "axis); --batch is PER PROCESS")
+    ap.add_argument("--mesh-slices", type=int, default=None, metavar="N",
+                    help="treat devices as N DCN slices (model axis stays "
+                         "on ICI; see parallel/runtime.py)")
+    ap.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                    help="multi-host jax.distributed coordinator")
+    ap.add_argument("--num-processes", type=int, default=None)
+    ap.add_argument("--process-id", type=int, default=None)
 
 
 def _build_base_params(args, cfg, jnp):
@@ -92,11 +103,29 @@ def run(args) -> int:
     def log(msg):
         print(f"[train_lora] {msg}", file=sys.stderr, flush=True)
 
+    mesh = None
+    if getattr(args, "coordinator", None) or getattr(args, "num_processes",
+                                                     None):
+        from ltx_tpu.parallel.runtime import initialize_distributed
+
+        initialize_distributed(args.coordinator, args.num_processes,
+                               args.process_id)
+    if getattr(args, "mesh", None):
+        from ltx_tpu.parallel.runtime import make_hybrid_mesh
+
+        d, m = (int(x) for x in args.mesh.split(","))
+        mesh = make_hybrid_mesh(data=d, model=m, slices=args.mesh_slices)
+        log(f"mesh: ({d},{m}) over {d * m} devices, "
+            f"{jax.process_count()} process(es)")
+
     cfg = TransformerConfig()
     if args.random_init == "tiny":
         cfg = cfg.tiny()
 
-    ds = LatentShardDataset(args.data, args.batch, seed=args.seed)
+    # multi-host: decorrelate each process's row sampling (the global batch
+    # = per-process --batch x process_count, stitched in prefetch_to_device)
+    ds_seed = args.seed + jax.process_index() * 100003
+    ds = LatentShardDataset(args.data, args.batch, seed=ds_seed)
     f, h, w = ds.grid
     if ds.batch_size * (f * h * w) * cfg.in_channels == 0:
         raise SystemExit("empty dataset")
@@ -119,6 +148,19 @@ def run(args) -> int:
         accum_steps=args.accum,
         compute_dtype=jnp.float32 if args.compute == "f32" else jnp.bfloat16,
     )
+    batch_sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from ltx_tpu.parallel.sharding import dit_param_specs
+
+        specs = dit_param_specs(params)
+        params = jax.tree.map(
+            lambda p, s: jax.device_put(p, NamedSharding(mesh, s)),
+            params, specs)
+        batch_sharding = NamedSharding(mesh, PartitionSpec("data"))
+        log("params sharded (tp over heads/FFN; LoRA leaves outer dims)")
+
     trainable, frozen, opt_state = init_train_state(params, tc)
     step = make_train_step(cfg, tc, donate=True)
     ema = ema_init(trainable) if args.ema > 0 else None
@@ -135,7 +177,7 @@ def run(args) -> int:
 
     key = jax.random.key(args.seed + 2)
     t0 = time.time()
-    it = prefetch_to_device(iter(ds), depth=2)
+    it = prefetch_to_device(iter(ds), depth=2, sharding=batch_sharding)
     for i in range(start, args.steps):
         tokens, context, bias = next(it)
         key, sub = jax.random.split(key)
@@ -152,15 +194,35 @@ def run(args) -> int:
                 f"gnorm={float(aux['grad_norm']):.3f} "
                 f"({(time.time() - t0) / max(1, i + 1 - start):.2f} s/step)")
         if args.ckpt and (i + 1) % args.ckpt_every == 0:
-            save_train_checkpoint(args.ckpt, trainable, opt_state, i + 1)
+            save_train_checkpoint(args.ckpt, _host_tree(trainable),
+                                  _host_tree(opt_state), i + 1)
             np.save(args.ckpt + ".data.npy", ds.state(),  # noqa: allow rng
                     allow_pickle=True)
             log(f"checkpoint @ step {i + 1} -> {args.ckpt}")
 
-    export_tree = combine_params(ema if ema is not None else trainable,
-                                 frozen)
-    n = save_lora(export_tree, args.out)
-    log(f"exported {'EMA ' if ema is not None else ''}adapter: "
-        f"{n} tensors -> {args.out}")
+    export_tree = combine_params(
+        _host_tree(ema if ema is not None else trainable), frozen)
+    if jax.process_index() == 0:
+        n = save_lora(export_tree, args.out)
+        log(f"exported {'EMA ' if ema is not None else ''}adapter: "
+            f"{n} tensors -> {args.out}")
     print(f"TRAIN LORA OK: {args.steps - start} steps, adapter {args.out}")
     return 0
+
+
+def _host_tree(tree):
+    """Sharded train state -> host numpy (every leaf fully addressable).
+
+    Single-process (incl. single-host meshes) this is the identity — the
+    savers call np.asarray themselves. Multi-host it all-gathers each leaf
+    so process 0 can write the checkpoint/adapter.
+    """
+    import jax
+
+    if jax.process_count() == 1:
+        return tree
+    from jax.experimental import multihost_utils
+
+    return jax.tree.map(
+        lambda x: multihost_utils.process_allgather(x, tiled=True)
+        if isinstance(x, jax.Array) else x, tree)

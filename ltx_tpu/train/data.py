@@ -161,15 +161,38 @@ def prefetch_to_device(batches: Iterator[Batch], depth: int = 2,
 
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from ltx_tpu.ops.attention import prepare_additive_mask
 
+    # multi-host: each process holds only its rows; stitch them into one
+    # global batch-sharded array (sharding must be a NamedSharding whose
+    # spec puts the batch axis on a mesh axis)
+    multi = sharding is not None and jax.process_count() > 1
+
+    def _put(x):
+        if multi:
+            gshape = (x.shape[0] * jax.process_count(), *x.shape[1:])
+            return jax.make_array_from_process_local_data(sharding, x,
+                                                          gshape)
+        return jax.device_put(x, sharding)
+
     def put(b: Batch):
-        tokens = jax.device_put(b.tokens, sharding)
-        context = jax.device_put(b.context, sharding)
+        tokens = _put(b.tokens)
+        context = _put(b.context)
         bias = None
         if b.mask is not None:
-            bias = prepare_additive_mask(jnp.asarray(b.mask))
+            if multi:
+                # build the additive bias HOST-side: eager jnp ops on
+                # process-local slices of a global batch are not portable
+                m = np.asarray(b.mask)
+                if np.issubdtype(m.dtype, np.floating):
+                    bias = _put(m)
+                else:
+                    bias = _put(((1 - m.astype(np.float32)) * -10000.0)
+                                .reshape(m.shape[0], 1, 1, m.shape[-1]))
+            else:
+                bias = prepare_additive_mask(jnp.asarray(b.mask))
         return tokens, context, bias
 
     queue = collections.deque()

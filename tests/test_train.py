@@ -569,3 +569,31 @@ def test_train_step_dp_tp_mesh():
         t2, f2, o2, tokens, context, rope, jax.random.key(7))
     np.testing.assert_allclose(float(aux["loss"]), float(aux2["loss"]),
                                rtol=1e-4)
+
+
+def test_train_lora_cli_mesh_e2e(tmp_path):
+    """`--mesh 2,4` trains dp+tp end-to-end through the CLI: params shard
+    with the inference specs, the batch rides the data axis, and the
+    exported adapter still loads through the inference fusion path."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "train_lora", "scripts/train_lora.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    data_dir = tmp_path / "shards"
+    data_dir.mkdir()
+    _write_shards(data_dir)
+    out = tmp_path / "adapter_mesh.safetensors"
+    mod.main([
+        "--data", str(data_dir), "--out", str(out), "--steps", "3",
+        "--batch", "2", "--rank", "4", "--random-init", "tiny",
+        "--compute", "f32", "--quant", "none", "--log-every", "1",
+        "--mesh", "2,4",
+    ])
+    assert out.exists()
+    from ltx_tpu.lora import fuse
+    from ltx_tpu.weights.download import load_safetensors
+    layers = fuse.parse_lora(load_safetensors(out))
+    assert len(layers) == CFG.num_layers * 10
