@@ -74,6 +74,11 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--audio", action="store_true")
     g.add_argument("--audio-gain", type=float, default=1.0)
     g.add_argument("--fps", type=float, default=24.0)
+    g.add_argument("--codec", choices=["h264", "hevc"], default="h264",
+                   help="MP4 video codec (reference: VideoExportConfig, "
+                        "h264 default / hevc high-quality preset)")
+    g.add_argument("--export-quality", type=float, default=0.8,
+                   metavar="0..1")
     g.add_argument("--vae-tile-size", type=int, default=0)
     g.add_argument("--vae-tile-overlap", type=int, default=1)
     g.add_argument("--memory", choices=["disabled", "light", "moderate",
@@ -409,11 +414,13 @@ def cmd_generate(args) -> int:
             args.prompt, config, on_progress=on_progress,
         )
 
-    from ltx_tpu.io.video import export_video, export_wav
+    from ltx_tpu.io.video import VideoExportConfig, export_video, export_wav
 
     export_video(
         result.frames, args.output, fps=args.fps,
         audio=None if result.audio is None else result.audio,
+        config=VideoExportConfig(fps=args.fps, codec=args.codec,
+                                 quality=args.export_quality),
     )
     if result.audio is not None:
         export_wav(result.audio, args.output + ".wav")

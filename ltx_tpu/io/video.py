@@ -9,6 +9,7 @@ with an OpenCV fallback; WAV via the stdlib.
 
 from __future__ import annotations
 
+import dataclasses
 import logging
 import struct
 import wave
@@ -18,6 +19,39 @@ from typing import Optional
 import numpy as np
 
 log = logging.getLogger("ltx_tpu.io")
+
+
+@dataclasses.dataclass(frozen=True)
+class VideoExportConfig:
+    """Codec/quality/fps/pixel-format knobs for MP4 export
+    (reference: VideoExporter.swift:14-51 — fps 24, h264, quality 0.8).
+
+    quality is the reference's 0..1 scale, mapped onto imageio-ffmpeg's
+    0..10 quantizer. pixel_format defaults to yuv420p (the broadly playable
+    choice; the reference's 32ARGB is an AVFoundation input format, not the
+    encoded format).
+    """
+
+    fps: float = 24.0
+    codec: str = "h264"          # "h264" | "hevc"
+    quality: float = 0.8
+    pixel_format: str = "yuv420p"
+
+    _CODECS = {"h264": "libx264", "hevc": "libx265"}
+
+    @property
+    def ffmpeg_codec(self) -> str:
+        try:
+            return self._CODECS[self.codec]
+        except KeyError:
+            raise ValueError(
+                f"unknown codec {self.codec!r}; pick from "
+                f"{sorted(self._CODECS)}") from None
+
+    @classmethod
+    def high_quality(cls) -> "VideoExportConfig":
+        """Reference's .highQuality preset (VideoExporter.swift:44-50)."""
+        return cls(fps=24.0, codec="hevc", quality=0.95)
 
 
 def frames_to_uint8(frames) -> np.ndarray:
@@ -32,14 +66,18 @@ def export_video(
     fps: float = 24.0,
     audio: Optional[np.ndarray] = None,
     audio_sample_rate: int = 24000,
+    config: Optional[VideoExportConfig] = None,
 ) -> str:
     """Write (F, H, W, 3) [0,1] frames to MP4 (H.264 when available).
 
-    With audio (2, samples) in [-1, 1]: writes the video, a temp WAV, and
-    muxes via imageio-ffmpeg's bundled ffmpeg binary — mirroring the
-    reference's separate-tracks-then-compose design that avoids interleaving
-    deadlocks (reference: VideoExporter.swift:422-487).
+    `config` selects codec/quality (VideoExportConfig; fps there wins when
+    both are given). With audio (2, samples) in [-1, 1]: writes the video,
+    a temp WAV, and muxes via imageio-ffmpeg's bundled ffmpeg binary —
+    mirroring the reference's separate-tracks-then-compose design that
+    avoids interleaving deadlocks (reference: VideoExporter.swift:422-487).
     """
+    if config is None:
+        config = VideoExportConfig(fps=fps)
     pixels = frames_to_uint8(frames)
     path = str(path)
     Path(path).parent.mkdir(parents=True, exist_ok=True)
@@ -48,7 +86,7 @@ def export_video(
     if audio is not None:
         video_path = path + ".video.mp4"
 
-    _write_mp4(pixels, video_path, fps)
+    _write_mp4(pixels, video_path, config)
 
     if audio is not None:
         wav_path = path + ".audio.wav"
@@ -65,12 +103,15 @@ def export_video(
     return path
 
 
-def _write_mp4(pixels: np.ndarray, path: str, fps: float) -> None:
+def _write_mp4(pixels: np.ndarray, path: str,
+               config: VideoExportConfig) -> None:
+    codec = config.ffmpeg_codec  # validate before the fallback chain
     try:
         import imageio
 
-        with imageio.get_writer(path, fps=fps, codec="libx264",
-                                quality=8, pixelformat="yuv420p") as writer:
+        with imageio.get_writer(path, fps=config.fps, codec=codec,
+                                quality=config.quality * 10.0,
+                                pixelformat=config.pixel_format) as writer:
             for frame in pixels:
                 writer.append_data(frame)
         return
@@ -81,7 +122,7 @@ def _write_mp4(pixels: np.ndarray, path: str, fps: float) -> None:
 
     f, h, w, _ = pixels.shape
     fourcc = cv2.VideoWriter_fourcc(*"mp4v")
-    vw = cv2.VideoWriter(path, fourcc, fps, (w, h))
+    vw = cv2.VideoWriter(path, fourcc, config.fps, (w, h))
     if not vw.isOpened():
         from ltx_tpu.core.errors import ExportFailedError
 
