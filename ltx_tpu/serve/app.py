@@ -38,6 +38,21 @@ _GENERATE_FIELDS = (
 )
 
 
+def export_config_from_request(body: dict, fps: float):
+    """VideoExportConfig from the optional 'codec'/'export_quality' request
+    fields; raises ValueError on an unknown codec (surfaced as a 400 at
+    submission, never a failed job)."""
+    from ltx_tpu.io.video import VideoExportConfig
+
+    cfg = VideoExportConfig(
+        fps=fps,
+        codec=str(body.get("codec", "h264")),
+        quality=float(body.get("export_quality", 0.8)),
+    )
+    _ = cfg.ffmpeg_codec  # validate the codec now
+    return cfg
+
+
 def request_to_config(body: dict, image_root: Optional[Path] = None):
     """Build + validate a GenerationConfig from an untrusted request dict.
 
@@ -157,7 +172,8 @@ def build_app(
         else:  # t2v / i2v (I2V routes via cfg.image_path inside the pipeline)
             result = pipe.generate_video(prompt, cfg)
         path = str(out / f"{job.job_id}.mp4")
-        export_video(result.frames, path, fps=cfg.fps, audio=result.audio)
+        export_video(result.frames, path, fps=cfg.fps, audio=result.audio,
+                     config=export_config_from_request(job.request, cfg.fps))
         rec = {"output": path, "seed": result.seed,
                "frames": int(result.frames.shape[0]),
                "width": int(result.frames.shape[2]),
@@ -172,7 +188,8 @@ def build_app(
 
     def validate_fn(body) -> Optional[str]:
         try:
-            request_to_config(body, image_root=root)
+            cfg = request_to_config(body, image_root=root)
+            export_config_from_request(body, cfg.fps)
         except Exception as e:  # noqa: BLE001 — message back to the client
             return str(e)
         return None

@@ -433,3 +433,16 @@ def test_request_to_config_image_root_fence(tmp_path):
     cfg = request_to_config({"prompt": "x", "kind": "i2v",
                              "image_path": "/anywhere/i.png"})
     assert cfg.image_path == "/anywhere/i.png"
+
+
+def test_export_config_from_request():
+    from ltx_tpu.serve.app import export_config_from_request
+
+    cfg = export_config_from_request({}, fps=24.0)
+    assert (cfg.codec, cfg.quality, cfg.fps) == ("h264", 0.8, 24.0)
+    cfg = export_config_from_request(
+        {"codec": "hevc", "export_quality": 0.95}, fps=12.0)
+    assert (cfg.codec, cfg.quality) == ("hevc", 0.95)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown codec"):
+        export_config_from_request({"codec": "vp9"}, fps=24.0)
