@@ -354,6 +354,70 @@ def _int4_matmul_2d(x, wq, scale, bias, bm: int, bk: int, bn: int,
     )(x, wq, scale3, bias3)
 
 
+def _dequant_int4_kernel(wq_ref, scale_ref, bias_ref, o_ref, *, group):
+    packed = wq_ref[:].astype(jnp.int32)      # (bk/2, bn)
+    half = PACK_BLOCK // 2
+    d2, bn = packed.shape
+    pb = packed.reshape(d2 // half, half, bn)
+    lo = (pb & 0x0F).astype(jnp.float32)
+    hi = (pb >> 4).astype(jnp.float32)
+    q = jnp.concatenate([lo, hi], axis=1).reshape(d2 * 2, bn)
+    bk = d2 * 2
+    s = scale_ref[0]
+    b = bias_ref[0]
+    qg = q.reshape(bk // group, group, bn)
+    o_ref[:] = (qg * s[:, None] + b[:, None]).reshape(bk, bn) \
+        .astype(jnp.bfloat16)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def dequant_int4_pallas(w_q4, scale, bias, interpret: bool = False):
+    """Block-plane-packed int4 -> dense (K, N) bf16, one pass.
+
+    The unpack+affine math is byte-for-byte the fused matmul kernel's
+    (_int4_matmul_kernel); this kernel exists for the BIG-M matmul strategy
+    below, and deliberately avoids the XLA int4-dequant lowering (which
+    reproducibly crashes the axon TPU worker inside scan/while loops —
+    CLAUDE.md gotchas)."""
+    k2, n = w_q4.shape
+    k = k2 * 2
+    group = k // scale.shape[0]
+    # the kernel's f32 intermediates cost ~10 bytes/element of block —
+    # (512, 1024) stays ~5 MB of the 16 MB scoped VMEM (2048-wide blocks
+    # OOM the vmem stack at compile, measured)
+    bk = _pick_block(k, (512, 256))
+    bn = _pick_block(n, (1024, 768, 512, 256))
+    if not (bk and bn):
+        raise ValueError(f"dequant_int4_pallas cannot tile K={k} N={n}")
+    nk = k // bk
+    gpb = bk // group
+    scale3 = scale.reshape(nk, gpb, n)
+    bias3 = bias.reshape(nk, gpb, n)
+    return pl.pallas_call(
+        functools.partial(_dequant_int4_kernel, group=group),
+        grid=(nk, n // bn),
+        in_specs=[
+            pl.BlockSpec((bk // 2, bn), lambda kk, j: (kk, j)),
+            pl.BlockSpec((1, gpb, bn), lambda kk, j: (kk, 0, j)),
+            pl.BlockSpec((1, gpb, bn), lambda kk, j: (kk, 0, j)),
+        ],
+        out_specs=pl.BlockSpec((bk, bn), lambda kk, j: (kk, j)),
+        out_shape=jax.ShapeDtypeStruct((k, n), jnp.bfloat16),
+        interpret=interpret,
+    )(w_q4, scale3, bias3)
+
+
+# Token count above which int4 matmuls dequantize ONCE to a bf16 scratch and
+# run a plain MXU dot instead of the fused kernel. The fused kernel re-
+# dequantizes every weight tile per m-tile (grid m-outermost), so its VPU
+# dequant cost grows with m/bm — at parity with bf16 at m=6144 (12 tiles,
+# BENCH_NOTES §5) but ~4x the dequant work at the 19840-token stage-2 shape
+# where divisibility also forces bm=128 (155 tiles). The scratch write+read
+# (~3 bytes/weight) is ~1 ms/layer against a 47 ms/layer matmul at that m.
+# Threshold picked by on-chip measurement (scripts/int4_bigm_probe.py).
+BIG_M_DEQUANT_THRESHOLD = 8192
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _int4_mm_ste(interpret, w_q4, scale, bias, x):
     return _int4_mm_impl(interpret, w_q4, scale, bias, x)
@@ -410,6 +474,13 @@ def _int4_mm_impl(interpret, w_q4, scale, bias, x):
     for d in lead:
         m *= d
     x2 = x.reshape(m, k).astype(jnp.bfloat16)
+    if m >= BIG_M_DEQUANT_THRESHOLD:
+        w = dequant_int4_pallas(qp["w_q4"], qp["scale"], qp["bias"],
+                                interpret=interpret)
+        out = jax.lax.dot_general(
+            x2, w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+        return out.reshape(*lead, n)
     bm = _pick_block(m, (512, 256, 128))
     if not (bk and bn):
         raise ValueError(f"int4_matmul cannot tile K={k} N={n}")

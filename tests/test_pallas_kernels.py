@@ -304,3 +304,72 @@ class TestRMSNormPallas:
         finally:
             normalization.set_rms_impl("xla")
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+# --------------------------------------------------------- int4 big-m path
+
+class TestInt4BigM:
+    """Big-m strategy: dequant ONCE via the Pallas kernel + plain MXU dot
+    (the fused kernel re-dequantizes per m-tile; see
+    kernels/quantization.py::BIG_M_DEQUANT_THRESHOLD)."""
+
+    def _qp(self, k=512, n=256, seed=0):
+        w = jax.random.normal(jax.random.key(seed), (k, n), jnp.float32)
+        return quantize_weight(w, 4, k // 64)
+
+    def test_dequant_kernel_matches_xla(self):
+        from ltx_tpu.kernels.quantization import dequant_int4_pallas
+
+        qp = self._qp()
+        got = dequant_int4_pallas(qp["w_q4"], qp["scale"], qp["bias"],
+                                  interpret=True)
+        want = dequantize_weight(qp, jnp.bfloat16)
+        # same f32 affine, but XLA may fuse mul+add to an FMA -> up to one
+        # bf16 ulp after the output cast
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(want, np.float32),
+                                   rtol=1e-2, atol=1e-6)
+
+    def test_dequant_kernel_integer_exact(self):
+        """scale=1, bias=0, integer nibbles: FMA vs mul+add cannot differ —
+        any mismatch is an unpack-order regression."""
+        from ltx_tpu.kernels.quantization import (
+            dequant_int4_pallas, pack_int4,
+        )
+
+        rng = np.random.default_rng(3)
+        k, n = 512, 256
+        q8 = rng.integers(0, 16, (k, n), dtype=np.uint8)
+        got = dequant_int4_pallas(
+            jnp.asarray(pack_int4(jnp.asarray(q8))),
+            jnp.ones((k // 64, n), jnp.float32),
+            jnp.zeros((k // 64, n), jnp.float32), interpret=True)
+        np.testing.assert_array_equal(np.asarray(got, np.float32),
+                                      q8.astype(np.float32))
+
+    def test_bigm_matmul_matches_fused(self, monkeypatch):
+        from ltx_tpu.kernels import quantization as qz
+
+        qp = self._qp()
+        x = jax.random.normal(jax.random.key(1), (384, 512), jnp.bfloat16)
+        fused = int4_matmul(qp, x, interpret=True)
+        monkeypatch.setattr(qz, "BIG_M_DEQUANT_THRESHOLD", 256)
+        big = int4_matmul(qp, x, interpret=True)
+        # same bf16 weights + f32-accumulated dot; only the k-reduction
+        # ordering differs (per-tile accumulate vs one dot)
+        np.testing.assert_allclose(np.asarray(big, np.float32),
+                                   np.asarray(fused, np.float32),
+                                   rtol=2e-2, atol=2e-2)
+
+    def test_bigm_gradient_flows(self, monkeypatch):
+        from ltx_tpu.kernels import quantization as qz
+
+        monkeypatch.setattr(qz, "BIG_M_DEQUANT_THRESHOLD", 128)
+        qp = self._qp()
+        x = jax.random.normal(jax.random.key(2), (256, 512), jnp.float32)
+
+        def loss(xx):
+            return jnp.sum(int4_matmul(qp, xx, interpret=True) ** 2)
+
+        g = jax.grad(loss)(x)
+        assert np.isfinite(np.asarray(g)).all()
