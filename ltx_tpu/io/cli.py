@@ -105,6 +105,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "--num-processes/--process-id off-cloud)")
     g.add_argument("--num-processes", type=int, default=None)
     g.add_argument("--process-id", type=int, default=None)
+    g.add_argument("--no-quant-cache", action="store_true",
+                   help="Skip the quantized-weight cache (weights/qcache."
+                        "py): always re-quantize at load")
     g.add_argument("--debug", action="store_true")
     g.add_argument("--profile", action="store_true")
     g.add_argument("--dry-run", action="store_true")
@@ -187,6 +190,7 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--ltx-weights", default=None)
     s.add_argument("--models-dir", default=None)
     s.add_argument("--hf-token", default=None)
+    s.add_argument("--no-quant-cache", action="store_true")
     s.add_argument("--debug", action="store_true")
 
     t = sub.add_parser(
@@ -362,6 +366,7 @@ def cmd_generate(args) -> int:
         distilled_lora=args.distilled_lora,
         include_audio=args.audio,
         include_upscaler=args.two_stage,
+        quant_cache=not args.no_quant_cache,
     )
 
     if args.mesh:
@@ -565,6 +570,7 @@ def cmd_serve(args) -> int:
         memory=MemoryConfig.preset(args.memory),
         include_audio=args.audio,
         include_upscaler=args.upscaler,
+        quant_cache=not args.no_quant_cache,
     )
     max_batch = args.max_batch or {
         "w8a8": 6, "int4": 16, "bf16": 2}[args.gemma_quant]

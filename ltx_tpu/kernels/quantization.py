@@ -18,7 +18,11 @@ shape, so everything is static at trace time.
 
 int4 matmuls route through a fused Pallas kernel on TPU (dequant per weight
 tile in VMEM): 7.3 ms vs 10.1 ms XLA-dequant and 7.9 ms plain bf16 for a
-6144x4096 @ 4096x16384 — the kernel reads 4x less weight HBM.
+6144x4096 @ 4096x16384 — the kernel reads 4x less weight HBM. Above
+BIG_M_DEQUANT_THRESHOLD tokens the strategy flips to dequant-ONCE
+(dequant_int4_pallas) + plain bf16 MXU dot — the fused kernel re-
+dequantizes per m-tile, which costs 10% of the 19840-token AV stage-2
+step (measured; docs/BENCH_NOTES.md §17).
 """
 
 from __future__ import annotations

@@ -46,6 +46,28 @@ def load_tokenizer(gemma_dir):
     return Tokenizer.from_file(str(path))
 
 
+def _quant_signature(component: str, quantization, layers: int,
+                     audio: bool = False, lora_path=None,
+                     lora_scale: float = 1.0) -> dict:
+    """Staleness key for a quantized-weight cache entry: everything that
+    changes the quantized tree besides the source file itself (which
+    qcache records separately)."""
+    sig = {
+        "component": component,
+        "mode": quantization.mode,
+        "group": quantization.group_size,
+        "layers": layers,
+        "audio": audio,
+    }
+    if lora_path is not None:
+        import os
+
+        st = os.stat(lora_path)
+        sig["lora"] = (f"{os.path.basename(str(lora_path))}:"
+                       f"{st.st_size}:{st.st_mtime_ns}:{lora_scale}")
+    return sig
+
+
 def load_pipeline(
     model: LTXModel = LTXModel.DISTILLED,
     models_dir: Optional[str] = None,
@@ -60,8 +82,16 @@ def load_pipeline(
     include_audio: bool = False,
     include_upscaler: bool = False,
     gemma_quant: str = "w8a8",
+    quant_cache: bool = True,
 ) -> LTXPipeline:
-    """Download (if needed), load and assemble all components."""
+    """Download (if needed), load and assemble all components.
+
+    quant_cache=True persists each quantized host tree next to its source
+    checkpoint the first time (weights/qcache.py) so later loads mmap it
+    back instead of re-running load-time transpose+quantization (~45 s for
+    the int4 DiT, ~3 min for the w8a8 Gemma repack — BENCH_NOTES §13).
+    Staleness keys: source file size+mtime + the full quant/LoRA signature.
+    """
     tcfg = TransformerConfig()
 
     paths = download_all_components(
@@ -91,32 +121,55 @@ def load_pipeline(
                  paths["connector"])
         conn_raw = load_safetensors(paths["connector"])
 
-    # --- transformer
-    dit_params = keymaps.load_transformer_params(
-        {k: v for k, v in tr_raw.items()}, tcfg.num_layers,
-        include_audio=include_audio,
-    )
-    del tr_raw
-
-    # --- LoRA fusion (before quantization: merge in bf16)
-    if distilled_lora or lora_path:
-        from ltx_tpu.lora.fuse import fuse_lora_file
-
-        path = lora_path or paths["distilled_lora"]
-        log.info("Fusing LoRA: %s (scale %.2f)", path, lora_scale)
-        dit_params = fuse_lora_file(dit_params, path, scale=lora_scale,
-                                    num_layers=tcfg.num_layers)
-
-    # --- quantization (reference: LTXPipeline.swift:323-333)
+    # --- transformer (quantized runs check the qcache first: a hit skips
+    # the bf16 keymap/transpose, LoRA fusion AND quantization entirely)
+    fuse_path = (lora_path or paths.get("distilled_lora")
+                 if (distilled_lora or lora_path) else None)
+    dit_params = None
+    dit_sig = None
     if quantization.bits is not None:
-        from ltx_tpu.kernels.quantization import quantize_dit_params
+        dit_sig = _quant_signature(
+            "dit", quantization, tcfg.num_layers,
+            audio=include_audio, lora_path=fuse_path, lora_scale=lora_scale)
+        if quant_cache:
+            from ltx_tpu.weights import qcache
 
-        log.info("Quantizing transformer to int%d (group %d)",
-                 quantization.bits, quantization.group_size)
-        dit_params = quantize_dit_params(
-            dit_params, quantization.bits, quantization.group_size,
-            w8a8=quantization.mode == "w8a8",
+            dit_params = qcache.load_quantized_tree(
+                unified_path, f"dit-{quantization.mode}", dit_sig)
+    if dit_params is None:
+        dit_params = keymaps.load_transformer_params(
+            {k: v for k, v in tr_raw.items()}, tcfg.num_layers,
+            include_audio=include_audio,
         )
+        del tr_raw
+
+        # --- LoRA fusion (before quantization: merge in bf16)
+        if fuse_path is not None:
+            from ltx_tpu.lora.fuse import fuse_lora_file
+
+            log.info("Fusing LoRA: %s (scale %.2f)", fuse_path, lora_scale)
+            dit_params = fuse_lora_file(dit_params, fuse_path,
+                                        scale=lora_scale,
+                                        num_layers=tcfg.num_layers)
+
+        # --- quantization (reference: LTXPipeline.swift:323-333)
+        if quantization.bits is not None:
+            from ltx_tpu.kernels.quantization import quantize_dit_params
+
+            log.info("Quantizing transformer to int%d (group %d)",
+                     quantization.bits, quantization.group_size)
+            dit_params = quantize_dit_params(
+                dit_params, quantization.bits, quantization.group_size,
+                w8a8=quantization.mode == "w8a8",
+            )
+            if quant_cache:
+                from ltx_tpu.weights import qcache
+
+                qcache.save_quantized_tree(
+                    dit_params, unified_path,
+                    f"dit-{quantization.mode}", dit_sig)
+    else:
+        del tr_raw
 
     # --- VAE decoder (+ config flag)
     vcfg = vae.VAEConfig()
@@ -151,8 +204,22 @@ def load_pipeline(
     # w8a8 (per-channel int8, MXU dot) is the default: ~6x faster decode
     # than the fused-int4 path for prompt enhancement, ~11.5 GB resident
     # during the text phases (freed before the DiT under phase staging)
-    gemma_params = keymaps.load_gemma_params(
-        gemma_tensors, gcfg.hidden_layers, mode=gemma_quant)
+    gemma_params = None
+    gemma_sig = {"component": "gemma", "mode": gemma_quant,
+                 "layers": gcfg.hidden_layers}
+    if quant_cache and gemma_quant != "bf16":
+        from ltx_tpu.weights import qcache
+
+        gemma_params = qcache.load_quantized_tree(
+            gemma_dir, f"gemma-{gemma_quant}", gemma_sig)
+    if gemma_params is None:
+        gemma_params = keymaps.load_gemma_params(
+            gemma_tensors, gcfg.hidden_layers, mode=gemma_quant)
+        if quant_cache and gemma_quant != "bf16":
+            from ltx_tpu.weights import qcache
+
+            qcache.save_quantized_tree(gemma_params, gemma_dir,
+                                       f"gemma-{gemma_quant}", gemma_sig)
 
     # SigLIP vision tower for I2V prompt enhancement (present in the VLM
     # export the reference uses; None for text-only checkpoints)
@@ -187,23 +254,39 @@ def load_pipeline(
                 load_safetensors(paths["vocoder"]))
             extras["vocoder_config"] = av_mod.VocoderConfig()
         # dual AV transformer: re-split the unified file with audio keys
-        tensors2 = load_safetensors(unified_path)
-        av_params = keymaps.load_av_transformer_params(
-            tensors2, tcfg.num_layers)
-        del tensors2
+        av_params = None
+        av_sig = None
         if quantization.bits is not None:
-            # 19B + audio stream cannot fit one chip's ~15.5 GB HBM in
-            # bf16; the generic walker quantizes all 6 attentions + 2 FFNs
-            # per dual block (VERDICT r1 weak #2).
-            from ltx_tpu.kernels.quantization import (
-                quantize_transformer_params,
-            )
+            av_sig = _quant_signature("av", quantization, tcfg.num_layers)
+            if quant_cache:
+                from ltx_tpu.weights import qcache
 
-            log.info("Quantizing AV transformer to int%d (group %d)",
-                     quantization.bits, quantization.group_size)
-            av_params = quantize_transformer_params(
-                av_params, quantization.bits, quantization.group_size,
-                w8a8=quantization.mode == "w8a8")
+                av_params = qcache.load_quantized_tree(
+                    unified_path, f"av-{quantization.mode}", av_sig)
+        if av_params is None:
+            tensors2 = load_safetensors(unified_path)
+            av_params = keymaps.load_av_transformer_params(
+                tensors2, tcfg.num_layers)
+            del tensors2
+            if quantization.bits is not None:
+                # 19B + audio stream cannot fit one chip's ~15.5 GB HBM in
+                # bf16; the generic walker quantizes all 6 attentions +
+                # 2 FFNs per dual block (VERDICT r1 weak #2).
+                from ltx_tpu.kernels.quantization import (
+                    quantize_transformer_params,
+                )
+
+                log.info("Quantizing AV transformer to int%d (group %d)",
+                         quantization.bits, quantization.group_size)
+                av_params = quantize_transformer_params(
+                    av_params, quantization.bits, quantization.group_size,
+                    w8a8=quantization.mode == "w8a8")
+                if quant_cache:
+                    from ltx_tpu.weights import qcache
+
+                    qcache.save_quantized_tree(
+                        av_params, unified_path,
+                        f"av-{quantization.mode}", av_sig)
         extras["av_transformer_params"] = av_params
 
     return LTXPipeline(

@@ -130,8 +130,13 @@ def load_safetensors(path, to_numpy: bool = True) -> dict:
 
 
 def load_safetensors_dir(directory) -> dict:
-    """Merge all *.safetensors in a directory (sharded checkpoints)."""
+    """Merge all *.safetensors in a directory (sharded checkpoints).
+
+    Skips `*.qcache.safetensors` — those are ltx_tpu's own quantized-weight
+    caches (weights/qcache.py), not checkpoint shards."""
     out = {}
     for p in sorted(Path(directory).glob("*.safetensors")):
+        if p.name.endswith(".qcache.safetensors"):
+            continue
         out.update(load_safetensors(p))
     return out
