@@ -83,6 +83,9 @@ def load_pipeline(
     include_upscaler: bool = False,
     gemma_quant: str = "w8a8",
     quant_cache: bool = True,
+    transformer_config: Optional[TransformerConfig] = None,
+    vae_config=None,
+    text_encoder_config=None,
 ) -> LTXPipeline:
     """Download (if needed), load and assemble all components.
 
@@ -91,8 +94,12 @@ def load_pipeline(
     back instead of re-running load-time transpose+quantization (~45 s for
     the int4 DiT, ~3 min for the w8a8 Gemma repack — BENCH_NOTES §13).
     Staleness keys: source file size+mtime + the full quant/LoRA signature.
+
+    The *_config overrides exist for synthetic tiny end-to-end tests
+    (tests/test_load_pipeline_e2e.py) — production always uses the real
+    model constants.
     """
-    tcfg = TransformerConfig()
+    tcfg = transformer_config or TransformerConfig()
 
     paths = download_all_components(
         model, models_dir=models_dir, hf_token=hf_token,
@@ -172,7 +179,7 @@ def load_pipeline(
         del tr_raw
 
     # --- VAE decoder (+ config flag)
-    vcfg = vae.VAEConfig()
+    vcfg = vae_config or vae.VAEConfig()
     cfg_path = paths.get("vae_config")
     if cfg_path and Path(cfg_path).exists():
         with open(cfg_path) as f:
@@ -298,7 +305,8 @@ def load_pipeline(
         gemma_params=gemma_params,
         gemma_config=gcfg,
         text_encoder_params=te_params,
-        text_encoder_config=text_encoder.TextEncoderConfig(),
+        text_encoder_config=(text_encoder_config
+                             or text_encoder.TextEncoderConfig()),
         tokenizer=tokenizer,
         vae_encoder_params=vae_enc,
         memory=memory,

@@ -1,0 +1,212 @@
+"""FULL file-to-frames integration: synthetic checkpoints in the real
+on-disk layout -> load_pipeline -> generate_video.
+
+This is the strongest offline evidence for the weight-loading surface:
+every file the reference's ModelDownloader lays out (unified transformer +
+VAE + connector, Gemma snapshot with config.json + tokenizer.json) is
+materialized at tiny-but-structurally-real shapes from the independently-
+transcribed fixture specs (tests/weight_fixtures.py), then the PRODUCTION
+loader assembles a pipeline from the FILES and runs an actual generation.
+Also proves the quantized-weight cache end-to-end (a second int4 load must
+not re-quantize).
+"""
+
+import dataclasses
+import json
+
+import numpy as np
+import pytest
+from safetensors.numpy import save_file
+
+import tests.weight_fixtures as wf
+from ltx_tpu.core.config import (
+    GenerationConfig,
+    LTXModel,
+    MemoryConfig,
+    QuantizationConfig,
+    TransformerConfig,
+)
+from ltx_tpu.models import gemma3, text_encoder, vae
+
+
+def _tiny_configs():
+    tcfg = TransformerConfig().tiny()
+    gcfg = gemma3.Gemma3Config().tiny()
+    tecfg = dataclasses.replace(
+        text_encoder.TextEncoderConfig().tiny(),
+        hidden_dim=gcfg.hidden_size,
+        num_gemma_layers=gcfg.hidden_layers + 1,
+        connector_heads=4,
+        connector_head_dim=gcfg.hidden_size // 4,
+    )
+    tcfg = dataclasses.replace(tcfg, caption_channels=tecfg.inner_dim)
+    vcfg = dataclasses.replace(vae.VAEConfig().tiny(),
+                               latent_channels=tcfg.in_channels)
+    return tcfg, gcfg, tecfg, vcfg
+
+
+def _write_models_dir(tmp_path):
+    """The exact on-disk layout download_all_components produces, with
+    synthetic checkpoints (skip-if-exists caching then avoids all
+    network)."""
+    tcfg, gcfg, tecfg, vcfg = _tiny_configs()
+    base = tmp_path / "models"
+
+    # --- unified file: video DiT + VAE decoder + connector (fmt 2)
+    unified = {}
+    vspec = wf.video_transformer_spec(
+        num_layers=tcfg.num_layers, inner=tcfg.inner_dim,
+        in_channels=tcfg.in_channels, out_channels=tcfg.out_channels,
+        cross_dim=tcfg.cross_attention_dim,
+        caption_dim=tcfg.caption_channels)
+    for k, v in wf.materialize(vspec, seed=1).items():
+        unified[f"model.diffusion_model.{k}"] = v
+    cspec = wf.connector_spec(
+        fmt=2, dim=tecfg.hidden_dim, gemma_layers=tecfg.num_gemma_layers,
+        layers=2, registers=tecfg.num_registers)
+    for k, v in wf.materialize(cspec, seed=2).items():
+        unified[f"model.diffusion_model.{k}"] = v
+    dspec = wf.vae_decoder_spec(base=vcfg.base_channels,
+                                latent=vcfg.latent_channels,
+                                blocks_per_group=vcfg.blocks_per_group,
+                                layout="unified")
+    for k, v in wf.materialize(dspec, seed=3).items():
+        # safetensors needs ndarrays; scalar spec entries (e.g.
+        # timestep_scale_multiplier, shape ()) materialize as numpy scalars
+        unified[f"vae.{k}"] = np.asarray(v)
+    variant = base / "ltx-distilled"
+    variant.mkdir(parents=True)
+    save_file(unified, str(
+        variant / LTXModel.DISTILLED.unified_weights_filename))
+
+    # --- gemma snapshot (config.json + tokenizer.json + weights)
+    gdir = base / "vlm-gemma"
+    gdir.mkdir()
+    gspec = wf.gemma_spec(
+        layers=gcfg.hidden_layers, hidden=gcfg.hidden_size,
+        heads=gcfg.attention_heads, kv_heads=gcfg.kv_heads,
+        head_dim=gcfg.head_dim, intermediate=gcfg.intermediate_size,
+        vocab=gcfg.vocab_size)
+    save_file(wf.materialize(gspec, seed=4),
+              str(gdir / "model.safetensors"))
+    (gdir / "config.json").write_text(json.dumps({
+        "hidden_size": gcfg.hidden_size,
+        "num_hidden_layers": gcfg.hidden_layers,
+        "intermediate_size": gcfg.intermediate_size,
+        "num_attention_heads": gcfg.attention_heads,
+        "head_dim": gcfg.head_dim,
+        "vocab_size": gcfg.vocab_size,
+        "num_key_value_heads": gcfg.kv_heads,
+        "query_pre_attn_scalar": gcfg.query_pre_attn_scalar,
+        "sliding_window": gcfg.sliding_window,
+        "sliding_window_pattern": gcfg.sliding_window_pattern,
+    }))
+    from tokenizers import Tokenizer, models, pre_tokenizers, processors
+
+    vocab = {"<pad>": 0, "<eos>": 1, "<bos>": 2}
+    vocab.update({w: i + 4 for i, w in enumerate(
+        ["a", "cat", "plays", "piano", "dog"])})
+    tok = Tokenizer(models.WordLevel(vocab, unk_token="<eos>"))
+    tok.pre_tokenizer = pre_tokenizers.Whitespace()
+    tok.post_processor = processors.TemplateProcessing(
+        single="<bos> $A", special_tokens=[("<bos>", 2)])
+    tok.save(str(gdir / "tokenizer.json"))
+
+    # --- standalone connector/VAE/LoRA placeholders (valid safetensors;
+    # the loader only opens the VAE one, to look for encoder keys)
+    for d in ("ltx-connector", "ltx-vae", "ltx-lora"):
+        (base / d).mkdir()
+    save_file({"placeholder": np.zeros((1,), np.float32)},
+              str(base / "ltx-connector" / "diffusion_pytorch_model"
+                  ".safetensors"))
+    save_file({"decoder.placeholder": np.zeros((1,), np.float32)},
+              str(base / "ltx-vae" / "diffusion_pytorch_model.safetensors"))
+    (base / "ltx-vae" / "config.json").write_text(
+        json.dumps({"timestep_conditioning": False}))
+    from ltx_tpu.weights.download import DISTILLED_LORA_FILE
+    from pathlib import Path as _P
+
+    save_file({"dummy.lora_down.weight": np.zeros((2, 4), np.float32),
+               "dummy.lora_up.weight": np.zeros((4, 2), np.float32)},
+              str(base / "ltx-lora" / _P(DISTILLED_LORA_FILE).name))
+    return base, (tcfg, gcfg, tecfg, vcfg)
+
+
+def _load(base, cfgs, **kw):
+    from ltx_tpu.pipeline.loader import load_pipeline
+
+    tcfg, gcfg, tecfg, vcfg = cfgs
+    return load_pipeline(
+        model=LTXModel.DISTILLED,
+        models_dir=str(base),
+        memory=MemoryConfig(offload_text_encoder=False),
+        transformer_config=tcfg,
+        vae_config=vcfg,
+        text_encoder_config=tecfg,
+        **kw,
+    )
+
+
+@pytest.fixture(scope="module")
+def models_dir(tmp_path_factory):
+    return _write_models_dir(tmp_path_factory.mktemp("ckpt"))
+
+
+def test_files_to_frames_bf16(models_dir):
+    base, cfgs = models_dir
+    pipe = _load(base, cfgs, gemma_quant="bf16")
+    cfg = GenerationConfig(width=64, height=64, num_frames=9, num_steps=2,
+                           seed=7)
+    result = pipe.generate_video("a cat plays piano", cfg)
+    frames = np.asarray(result.frames)
+    assert frames.shape == (9, 64, 64, 3)
+    assert np.isfinite(frames).all()
+
+
+def test_files_to_frames_w8a8_gemma(models_dir):
+    base, cfgs = models_dir
+    pipe = _load(base, cfgs, gemma_quant="w8a8", quant_cache=False)
+    cfg = GenerationConfig(width=64, height=64, num_frames=9, num_steps=2,
+                           seed=8)
+    result = pipe.generate_video("a dog", cfg)
+    assert np.isfinite(np.asarray(result.frames)).all()
+
+
+def test_int4_quant_cache_hit_skips_requantize(models_dir, monkeypatch):
+    base, cfgs = models_dir
+    q = QuantizationConfig(mode="int4")
+    pipe1 = _load(base, cfgs, quantization=q, gemma_quant="bf16")
+    from ltx_tpu.weights import qcache
+
+    unified = (base / "ltx-distilled"
+               / LTXModel.DISTILLED.unified_weights_filename)
+    assert qcache.cache_path(unified, "dit-int4").exists()
+    gcache = qcache.cache_path(base / "vlm-gemma", "gemma-bf16")
+    assert not gcache.exists()  # bf16 gemma is never cached
+
+    # second load MUST come from the cache: re-quantizing now fails loudly
+    import ltx_tpu.kernels.quantization as qz
+
+    def boom(*a, **kw):
+        raise AssertionError("cache miss: quantize_dit_params re-ran")
+
+    monkeypatch.setattr(qz, "quantize_dit_params", boom)
+    import ltx_tpu.pipeline.loader as loader_mod
+
+    monkeypatch.setattr(loader_mod, "quantize_dit_params", boom,
+                        raising=False)
+    pipe2 = _load(base, cfgs, quantization=q, gemma_quant="bf16")
+
+    # cached tree == freshly quantized tree, leaf for leaf
+    import jax
+
+    for a, b in zip(jax.tree.leaves(pipe1.transformer_params),
+                    jax.tree.leaves(pipe2.transformer_params)):
+        np.testing.assert_array_equal(
+            np.asarray(a, np.float32), np.asarray(b, np.float32))
+
+    # and the cached pipeline still generates
+    cfg = GenerationConfig(width=64, height=64, num_frames=9, num_steps=2,
+                           seed=9)
+    assert np.isfinite(np.asarray(
+        pipe2.generate_video("a cat", cfg).frames)).all()
