@@ -144,9 +144,13 @@ def load_pipeline(
             dit_params = qcache.load_quantized_tree(
                 unified_path, f"dit-{quantization.mode}", dit_sig)
     if dit_params is None:
+        # the VIDEO model never wants the dual checkpoint's audio keys:
+        # include_audio=False drops them (plus the dual-only learnable
+        # norm1/2/3 — a bug the file-to-frames e2e caught: passing True
+        # here fed audio block keys into the video assembler)
         dit_params = keymaps.load_transformer_params(
             {k: v for k, v in tr_raw.items()}, tcfg.num_layers,
-            include_audio=include_audio,
+            include_audio=False,
         )
         del tr_raw
 

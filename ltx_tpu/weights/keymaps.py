@@ -85,8 +85,17 @@ def map_transformer_key(key: str, include_audio: bool = False) -> Optional[str]:
     if not include_audio:
         if (key.startswith("audio_") or ".audio_" in key
                 or key.startswith("av_cross_attn_")
+                or key.startswith("av_ca_")  # resolved AV spellings
                 or "video_to_audio" in key or "video_a2v" in key
                 or "a2v_ca" in key or "scale_shift_table_a2v" in key):
+            return None
+        # dual-AV-block-only leaves: the video model's adaln norms are
+        # weightless (LTXTransformerBlock.swift:72-83), so a video DiT
+        # extracted from an AV checkpoint (which carries LEARNABLE
+        # norm1/2/3 per dual block, LTX2TransformerBlock.swift:71-86)
+        # drops them — exactly what the reference's drop-unmatched apply
+        # does (ModelDownloader.swift:990-1003).
+        if re.search(r"(^|\.)norm[123]\.", key):
             return None
 
     k = key

@@ -210,3 +210,127 @@ def test_int4_quant_cache_hit_skips_requantize(models_dir, monkeypatch):
                            seed=9)
     assert np.isfinite(np.asarray(
         pipe2.generate_video("a cat", cfg).frames)).all()
+
+
+# ------------------------------------------------- audio / two-stage / i2v
+
+
+def _write_full_models_dir(tmp_path):
+    """Superset layout: AV unified file + upscaler + audio VAE + vocoder +
+    VAE-encoder standalone — every optional component the loader can
+    assemble, at tiny-but-structurally-real shapes."""
+    from pathlib import Path as _P
+
+    from ltx_tpu.models import audio_vae as av_mod
+    from ltx_tpu.models import upscaler as up_mod
+    from ltx_tpu.weights.download import (
+        AUDIO_VAE_FILE, UPSCALER_FILE, VOCODER_FILE,
+    )
+
+    base, (tcfg, gcfg, tecfg, vcfg) = _write_models_dir(tmp_path)
+
+    # rebuild the unified file with the DUAL AV transformer (superset of
+    # the video keys) + audio connector
+    unified = {}
+    avspec = wf.av_transformer_spec(
+        num_layers=tcfg.num_layers, inner=tcfg.inner_dim,
+        audio_inner=tcfg.audio_inner_dim, in_channels=tcfg.in_channels,
+        out_channels=tcfg.out_channels, cross_dim=tcfg.cross_attention_dim,
+        caption_dim=tcfg.caption_channels, audio_in=tcfg.audio_in_channels,
+        audio_out=tcfg.audio_out_channels)
+    for k, v in wf.materialize(avspec, seed=11).items():
+        unified[f"model.diffusion_model.{k}"] = np.asarray(v)
+    cspec = wf.connector_spec(
+        fmt=2, include_audio=True, dim=tecfg.hidden_dim,
+        gemma_layers=tecfg.num_gemma_layers, layers=2,
+        registers=tecfg.num_registers)
+    for k, v in wf.materialize(cspec, seed=12).items():
+        unified[f"model.diffusion_model.{k}"] = np.asarray(v)
+    dspec = wf.vae_decoder_spec(base=vcfg.base_channels,
+                                latent=vcfg.latent_channels,
+                                blocks_per_group=vcfg.blocks_per_group,
+                                layout="unified")
+    for k, v in wf.materialize(dspec, seed=13).items():
+        unified[f"vae.{k}"] = np.asarray(v)
+    save_file(unified, str(base / "ltx-distilled"
+                           / LTXModel.DISTILLED.unified_weights_filename))
+
+    # standalone VAE file now carries the ENCODER (loader reads it for I2V)
+    # encoder base == latent channels: conv_out emits base+1 and the
+    # encoder keeps the first `base` (mean-only) as the latent
+    encspec = wf.vae_encoder_spec(base=vcfg.latent_channels)
+    save_file({k: np.asarray(v)
+               for k, v in wf.materialize(encspec, seed=14).items()},
+              str(base / "ltx-vae" / "diffusion_pytorch_model.safetensors"))
+    b = vcfg.latent_channels
+    vcfg = dataclasses.replace(
+        vcfg, encoder_channels=(b, 2 * b, 4 * b, 8 * b, 16 * b),
+        encoder_resnets=(4, 6, 6, 2))
+
+    # upscaler / audio VAE / vocoder at tiny-config shapes
+    ucfg = dataclasses.replace(up_mod.UpscalerConfig().tiny(),
+                               in_channels=tcfg.in_channels)
+    (base / "ltx-upscaler").mkdir()
+    uspec = wf.upscaler_spec(in_ch=ucfg.in_channels, mid=ucfg.mid_channels,
+                             blocks_per_stage=ucfg.blocks_per_stage)
+    save_file({k: np.asarray(v)
+               for k, v in wf.materialize(uspec, seed=15).items()},
+              str(base / "ltx-upscaler" / _P(UPSCALER_FILE).name))
+
+    avcfg = av_mod.AudioVAEConfig().tiny()
+    voccfg = av_mod.VocoderConfig().tiny()
+    (base / "ltx-audio-vae").mkdir()
+    aspec = wf.audio_vae_spec(
+        latent=avcfg.latent_channels, base=avcfg.base_channels,
+        num_res=avcfg.num_res_blocks,
+        mel_bins_packed=avcfg.latent_channels * avcfg.mel_latent_bins)
+    save_file({k: np.asarray(v)
+               for k, v in wf.materialize(aspec, seed=16).items()},
+              str(base / "ltx-audio-vae" / _P(AUDIO_VAE_FILE).name))
+    (base / "ltx-vocoder").mkdir()
+    vospec = wf.vocoder_spec(
+        in_ch=voccfg.in_channels, hidden=voccfg.hidden_channels,
+        up_factors=voccfg.upsample_factors,
+        up_kernels=voccfg.upsample_kernels,
+        res_kernels=voccfg.resnet_kernels,
+        dils_per_res=len(voccfg.resnet_dilations[0]))
+    save_file({k: np.asarray(v)
+               for k, v in wf.materialize(vospec, seed=17).items()},
+              str(base / "ltx-vocoder" / _P(VOCODER_FILE).name))
+    return base, (tcfg, gcfg, tecfg, vcfg), (ucfg, avcfg, voccfg)
+
+
+@pytest.fixture(scope="module")
+def full_models_dir(tmp_path_factory):
+    return _write_full_models_dir(tmp_path_factory.mktemp("ckpt_full"))
+
+
+def test_files_to_frames_audio(full_models_dir):
+    base, cfgs, (ucfg, avcfg, voccfg) = full_models_dir
+    pipe = _load(base, cfgs, gemma_quant="bf16", include_audio=True)
+    pipe.audio_vae_config = avcfg
+    pipe.vocoder_config = voccfg
+    cfg = GenerationConfig(width=64, height=64, num_frames=9, num_steps=2,
+                           seed=10)
+    result = pipe.generate_video_with_audio("a cat plays piano", cfg)
+    assert np.isfinite(np.asarray(result.frames)).all()
+    assert result.audio is not None
+    assert np.isfinite(np.asarray(result.audio)).all()
+
+
+def test_files_to_frames_two_stage_i2v(full_models_dir, tmp_path):
+    from PIL import Image
+
+    base, cfgs, (ucfg, avcfg, voccfg) = full_models_dir
+    pipe = _load(base, cfgs, gemma_quant="bf16", include_upscaler=True)
+    pipe.upscaler_config = ucfg
+    img = tmp_path / "cond.png"
+    Image.fromarray(
+        (np.random.default_rng(0).random((64, 64, 3)) * 255).astype(
+            np.uint8)).save(img)
+    cfg = GenerationConfig(width=64, height=64, num_frames=9, num_steps=2,
+                           seed=11, two_stage=True, image_path=str(img))
+    result = pipe.generate_video_two_stage("a cat", cfg)
+    frames = np.asarray(result.frames)
+    assert frames.shape == (9, 64, 64, 3)
+    assert np.isfinite(frames).all()

@@ -110,14 +110,19 @@ def test_av_dit_mapping_total_and_collision_free():
               "transformer_blocks.0.scale_shift_table_a2v_ca_video",
               "transformer_blocks.0.scale_shift_table_a2v_ca_audio"):
         assert keymaps.map_transformer_key(k) is None, k
-    # ...but NOT the av_ca_* top-level singles or the AV blocks' norm1-3
-    # (none of the reference's patterns match them; the reference instead
-    # drops them later as unmatched module keys) — pinned so we notice if
-    # we ever diverge from that quirk.
+    # ...and ALSO the av_ca_* top-level singles and the AV blocks'
+    # learnable norm1-3. The reference's skip patterns don't match these —
+    # it drops them LATER as unmatched module keys
+    # (ModelDownloader.swift:990-1003); our assembler is STRICT (no
+    # drop-unmatched stage), so the video mapping drops them here instead.
+    # Same end state: a video DiT built from an AV checkpoint carries
+    # neither (its adaln norms are weightless, LTXTransformerBlock.swift:
+    # 72-83). Caught by tests/test_load_pipeline_e2e.py.
     for k in ("av_ca_video_scale_shift_adaln_single.linear.weight",
               "av_ca_a2v_gate_adaln_single.linear.weight",
               "transformer_blocks.0.norm1.weight"):
-        assert keymaps.map_transformer_key(k) is not None, k
+        assert keymaps.map_transformer_key(k) is None, k
+        assert keymaps.map_transformer_key(k, include_audio=True) is not None, k
 
 
 def test_av_dit_loader_consumes_everything():
