@@ -102,3 +102,39 @@ def test_sp_av_denoise_matches_unsharded(sp_mesh):
     np.testing.assert_allclose(np.asarray(ar, np.float32),
                                np.asarray(ab, np.float32),
                                atol=2e-2, rtol=2e-2)
+
+
+def test_sp_av_denoise_matches_unsharded(sp_mesh):
+    """The dual AV transformer rides the same global SP toggle: its video
+    self-attention rings over the mesh; audio self-attention and the
+    cross-modal attentions (Tq != Tk) fall back correctly."""
+    from ltx_tpu.pipeline.denoise import make_av_denoise_step
+
+    pipe = LTXPipeline.random_tiny(seed=0, include_audio=True)
+    shape = VideoLatentShape(1, pipe.tcfg.in_channels, 2, 4, 4)  # 32 tok
+    audio_frames = 8
+    g = GuidanceSpec(False, 1.0, 0.0, 0.0, (29,), 0.0, 1.0)
+    ctx = jnp.ones((1, 8, pipe.tcfg.caption_channels), jnp.bfloat16)
+    vlat = jax.random.normal(jax.random.key(0), shape.shape)
+    alat = jax.random.normal(jax.random.key(1),
+                             (1, audio_frames, pipe.tcfg.audio_in_channels))
+
+    step_ring = make_av_denoise_step(
+        pipe.av_transformer_params, pipe.tcfg, g, shape, audio_frames,
+        ctx, ctx, None, sdpa_impl="ring")
+    vr, ar = step_ring(jnp.array(vlat), jnp.array(alat), 0.9, 0.5,
+                       jax.random.key(2))
+
+    set_sequence_parallel(None)
+    step_base = make_av_denoise_step(
+        pipe.av_transformer_params, pipe.tcfg, g, shape, audio_frames,
+        ctx, ctx, None, sdpa_impl="xla")
+    vb, ab = step_base(jnp.array(vlat), jnp.array(alat), 0.9, 0.5,
+                       jax.random.key(2))
+
+    np.testing.assert_allclose(np.asarray(vr, np.float32),
+                               np.asarray(vb, np.float32),
+                               atol=2e-2, rtol=2e-2)
+    np.testing.assert_allclose(np.asarray(ar, np.float32),
+                               np.asarray(ab, np.float32),
+                               atol=2e-2, rtol=2e-2)
