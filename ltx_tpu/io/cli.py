@@ -143,6 +143,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "(0 disables)")
     e.add_argument("--json", action="store_true",
                    help="Emit a JSON list instead of one prompt per line")
+    e.add_argument("--kv-quant", choices=["bf16", "int8"], default="bf16",
+                   help="int8 halves the KV cache per row (B ceiling "
+                        "6->7 w8a8 measured; opt-in numerics change)")
     e.add_argument("--max-batch", type=int, default=0,
                    help="Rows per compiled micro-batch (0 = auto from the "
                         "quant mode's HBM bound: w8a8 6, int4 16, bf16 2)")
@@ -183,6 +186,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Enhance rows per compiled micro-batch (0 = auto "
                         "from the Gemma quant mode's HBM bound)")
     s.add_argument("--spec-k", type=int, default=8)
+    s.add_argument("--kv-quant", choices=["bf16", "int8"], default="bf16",
+                   help="int8 halves the enhance KV cache per row -> ~2x "
+                        "the --max-batch ceiling (opt-in numerics change)")
     s.add_argument("--batch-window-ms", type=float, default=50.0,
                    help="How long the first enhance request waits to "
                         "coalesce with concurrent arrivals")
@@ -530,6 +536,13 @@ def cmd_enhance(args) -> int:
     # at the 1024-slot enhancement shape (gemma3.py batched docstring)
     max_batch = args.max_batch or {
         "w8a8": 6, "int4": 16, "bf16": 2}[args.gemma_quant]
+    if getattr(args, "kv_quant", "bf16") == "int8" and not args.max_batch:
+        # int8 KV halves the per-row cache. MEASURED ceiling for w8a8:
+        # B=7 fits, B=8 misses HBM by 35 MB (the bf16 embedding table +
+        # program temps bound it, not the cache — BENCH_NOTES §18);
+        # int4's 24 is arithmetic (6.2 GB weights + 24 x ~0.21 GB/row),
+        # not measured.
+        max_batch = {"w8a8": 7, "int4": 24, "bf16": 2}[args.gemma_quant]
 
     t0 = time.time()
     try:
@@ -537,7 +550,7 @@ def cmd_enhance(args) -> int:
             params, gcfg, tokenizer, prompts, is_i2v=args.i2v,
             max_tokens=args.max_tokens, temperature=args.temperature,
             seed=args.seed, spec_k=args.spec_k, max_batch=max_batch,
-            strict=True)
+            strict=True, kv_quant=getattr(args, "kv_quant", "bf16"))
     except Exception as e:  # noqa: BLE001 — surface, don't fake success
         print(f"error: enhancement failed: {e}", file=sys.stderr)
         return 1
@@ -574,9 +587,16 @@ def cmd_serve(args) -> int:
     )
     max_batch = args.max_batch or {
         "w8a8": 6, "int4": 16, "bf16": 2}[args.gemma_quant]
+    if getattr(args, "kv_quant", "bf16") == "int8" and not args.max_batch:
+        # int8 KV halves the per-row cache. MEASURED ceiling for w8a8:
+        # B=7 fits, B=8 misses HBM by 35 MB (the bf16 embedding table +
+        # program temps bound it, not the cache — BENCH_NOTES §18);
+        # int4's 24 is arithmetic (6.2 GB weights + 24 x ~0.21 GB/row),
+        # not measured.
+        max_batch = {"w8a8": 7, "int4": 24, "bf16": 2}[args.gemma_quant]
     app = build_app(
         pipe, output_dir=args.output_dir, host=args.host, port=args.port,
-        max_batch=max_batch, spec_k=args.spec_k,
+        max_batch=max_batch, spec_k=args.spec_k, kv_quant=args.kv_quant,
         batch_window_s=args.batch_window_ms / 1000.0,
         image_root=args.image_root,
         info={"model": args.model, "transformer_quant":

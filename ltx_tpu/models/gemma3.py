@@ -194,6 +194,24 @@ def init_params(key, cfg: Gemma3Config, dtype=jnp.bfloat16):
 # ---------------------------------------------------------------------------
 
 
+def _quantize_kv(x):
+    """(..., D) -> per-row int8 values + f32 scale over the last axis."""
+    xf = x.astype(jnp.float32)
+    s = jnp.max(jnp.abs(xf), axis=-1) / 127.0
+    s = jnp.where(s == 0, 1.0, s)
+    q = jnp.clip(jnp.round(xf / s[..., None]), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def _kv_cache_init(kv_quant: str, shape, dtype):
+    """Cache leaves for one stream (K or V). bf16: a plain array;
+    int8: {"q", "s"} with the scale axis dropped from the head dim."""
+    if kv_quant == "int8":
+        return {"q": jnp.zeros(shape, jnp.int8),
+                "s": jnp.ones(shape[:-1], jnp.float32)}
+    return jnp.zeros(shape, dtype)
+
+
 def _attention(p, x, bias, cos, sin, cfg: Gemma3Config, kv_cache=None,
                cache_index=None):
     b, t, _ = x.shape
@@ -214,18 +232,51 @@ def _attention(p, x, bias, cos, sin, cfg: Gemma3Config, kv_cache=None,
     new_cache = None
     if kv_cache is not None:
         ck, cv = kv_cache
-        if getattr(cache_index, "ndim", 0) == 1:
-            # (B,) per-row write offsets (batched speculative decoding:
-            # rows commit different counts, so bundle bases diverge)
-            upd = jax.vmap(
-                lambda c, n, i: lax.dynamic_update_slice(c, n, (0, i, 0)))
-            ck = upd(ck, k, cache_index)
-            cv = upd(cv, v, cache_index)
+        per_row = getattr(cache_index, "ndim", 0) == 1
+        if isinstance(ck, dict):
+            # int8 KV cache ({"q": int8 (B,Hkv,T,D), "s": f32 (B,Hkv,T)}):
+            # halves cache HBM -> ~2x serving batch ceiling; the dequant
+            # multiply fuses into the attention dots. Per-(row,head,pos)
+            # scales; decode is weight-DMA bound so the extra VPU work is
+            # ~free (BENCH_NOTES §18).
+            kq, ks = _quantize_kv(k)
+            vq, vs = _quantize_kv(v)
+            if per_row:
+                upd4 = jax.vmap(
+                    lambda c, n, i: lax.dynamic_update_slice(c, n, (0, i, 0)))
+                upd3 = jax.vmap(
+                    lambda c, n, i: lax.dynamic_update_slice(c, n, (0, i)))
+                ck = {"q": upd4(ck["q"], kq, cache_index),
+                      "s": upd3(ck["s"], ks, cache_index)}
+                cv = {"q": upd4(cv["q"], vq, cache_index),
+                      "s": upd3(cv["s"], vs, cache_index)}
+            else:
+                ck = {"q": lax.dynamic_update_slice(
+                          ck["q"], kq, (0, 0, cache_index, 0)),
+                      "s": lax.dynamic_update_slice(
+                          ck["s"], ks, (0, 0, cache_index))}
+                cv = {"q": lax.dynamic_update_slice(
+                          cv["q"], vq, (0, 0, cache_index, 0)),
+                      "s": lax.dynamic_update_slice(
+                          cv["s"], vs, (0, 0, cache_index))}
+            new_cache = (ck, cv)
+            k = (ck["q"].astype(jnp.float32)
+                 * ck["s"][..., None]).astype(x.dtype)
+            v = (cv["q"].astype(jnp.float32)
+                 * cv["s"][..., None]).astype(x.dtype)
         else:
-            ck = lax.dynamic_update_slice(ck, k, (0, 0, cache_index, 0))
-            cv = lax.dynamic_update_slice(cv, v, (0, 0, cache_index, 0))
-        k, v = ck, cv
-        new_cache = (ck, cv)
+            if per_row:
+                # (B,) per-row write offsets (batched speculative decoding:
+                # rows commit different counts, so bundle bases diverge)
+                upd = jax.vmap(
+                    lambda c, n, i: lax.dynamic_update_slice(c, n, (0, i, 0)))
+                ck = upd(ck, k, cache_index)
+                cv = upd(cv, v, cache_index)
+            else:
+                ck = lax.dynamic_update_slice(ck, k, (0, 0, cache_index, 0))
+                cv = lax.dynamic_update_slice(cv, v, (0, 0, cache_index, 0))
+            k, v = ck, cv
+            new_cache = (ck, cv)
 
     scale = cfg.query_pre_attn_scalar**-0.5
     out = sdpa(q, k, v, bias=bias, scale=scale)
@@ -362,6 +413,7 @@ def generate_tokens(
     top_k: int = 0,
     spec_k: int = 0,
     spec_ngram: int = 3,
+    kv_quant: str = "bf16",
 ):
     """KV-cached autoregressive sampling, fully device-side.
 
@@ -421,6 +473,7 @@ def generate_tokens(
         float(repetition_penalty), int(repetition_context),
         with_embeds=embeds_padded is not None, top_k=int(top_k),
         spec_k=int(spec_k), spec_ngram=int(spec_ngram),
+        kv_quant=str(kv_quant),
     )
     out, n_gen = fn(params, jnp.asarray(ids_padded), embeds_padded,
                     jnp.asarray(pad, jnp.int32), stop_arr, tables, key)
@@ -434,7 +487,8 @@ def _build_generate_fn(cfg: Gemma3Config, t_pad: int, max_new_tokens: int,
                        temperature: float, top_p: float,
                        repetition_penalty: float, repetition_context: int,
                        with_embeds: bool, top_k: int = 64,
-                       spec_k: int = 0, spec_ngram: int = 3):
+                       spec_k: int = 0, spec_ngram: int = 3,
+                       kv_quant: str = "bf16"):
     """Compile-cached generation program for one (config, bucket) pair."""
     nl, nkv, hd = cfg.hidden_layers, cfg.kv_heads, cfg.head_dim
     vocab = cfg.vocab_size
@@ -467,8 +521,8 @@ def _build_generate_fn(cfg: Gemma3Config, t_pad: int, max_new_tokens: int,
         pcos_g, psin_g = cos_g[pos_ids], sin_g[pos_ids]
         pcos_l, psin_l = cos_l[pos_ids], sin_l[pos_ids]
 
-        ck0 = jnp.zeros((nl, 1, nkv, cache_len, hd), dtype)
-        cv0 = jnp.zeros((nl, 1, nkv, cache_len, hd), dtype)
+        ck0 = _kv_cache_init(kv_quant, (nl, 1, nkv, cache_len, hd), dtype)
+        cv0 = _kv_cache_init(kv_quant, (nl, 1, nkv, cache_len, hd), dtype)
 
         def prefill_layer(carry, scanned):
             h = carry
@@ -620,6 +674,7 @@ def generate_tokens_batched(
     top_k: int = 0,
     spec_k: int = 0,
     spec_ngram: int = 3,
+    kv_quant: str = "bf16",
 ):
     """B prompts through ONE compiled KV-cached sampling program.
 
@@ -682,7 +737,7 @@ def generate_tokens_batched(
     fn = _build_generate_batched_fn(
         cfg, b, t_pad, max_new_tokens, float(temperature), float(top_p),
         float(repetition_penalty), int(repetition_context), int(top_k),
-        int(spec_k), int(spec_ngram))
+        int(spec_k), int(spec_ngram), kv_quant=str(kv_quant))
     out, n_gen = fn(params, jnp.asarray(ids_padded), jnp.asarray(pads),
                     stop_arr, tables, key)
     out, n_gen = np.asarray(out), np.asarray(n_gen)
@@ -694,7 +749,8 @@ def _build_generate_batched_fn(cfg: Gemma3Config, batch: int, t_pad: int,
                                max_new_tokens: int, temperature: float,
                                top_p: float, repetition_penalty: float,
                                repetition_context: int, top_k: int,
-                               spec_k: int = 0, spec_ngram: int = 3):
+                               spec_k: int = 0, spec_ngram: int = 3,
+                               kv_quant: str = "bf16"):
     """Compile-cached batched generation program (one (config, B, bucket)).
 
     DELIBERATE twin of _build_generate_fn: delegating generate_tokens to
@@ -730,8 +786,10 @@ def _build_generate_batched_fn(cfg: Gemma3Config, batch: int, t_pad: int,
         pcos_g, psin_g = cos_g[pos_ids], sin_g[pos_ids]  # (B, t_pad, hd/2)
         pcos_l, psin_l = cos_l[pos_ids], sin_l[pos_ids]
 
-        ck0 = jnp.zeros((nl, batch, nkv, cache_len, hd), dtype)
-        cv0 = jnp.zeros((nl, batch, nkv, cache_len, hd), dtype)
+        ck0 = _kv_cache_init(kv_quant, (nl, batch, nkv, cache_len, hd),
+                             dtype)
+        cv0 = _kv_cache_init(kv_quant, (nl, batch, nkv, cache_len, hd),
+                             dtype)
 
         def prefill_layer(carry, scanned):
             h = carry

@@ -209,6 +209,7 @@ def enhance_prompts(
     spec_k: int = 0,
     max_batch: int = 0,
     strict: bool = False,
+    kv_quant: str = "bf16",
 ) -> List[str]:
     """Batched (text-only) enhancement for serving front-ends.
 
@@ -222,7 +223,9 @@ def enhance_prompts(
     KV cache costs ~0.4 GB/row at the 1024-slot enhancement shape, so a
     single 15.5 GB chip bounds B≈6 under w8a8 Gemma (12.7 GB resident) —
     callers that can see the quant mode should pass the matching cap
-    (io/cli.py::cmd_enhance does).
+    (io/cli.py::cmd_enhance does). kv_quant="int8" halves the per-row
+    cache (~0.2 GB/row -> B≈12 w8a8): per-position int8 K/V — a small
+    numerics change, opt-in for capacity.
 
     strict=False (the in-pipeline default) returns the raw prompts on any
     failure — enhancement must never break generation; strict=True
@@ -248,7 +251,7 @@ def enhance_prompts(
                 max_new_tokens=max_tokens,
                 temperature=temperature, top_p=0.95,
                 repetition_penalty=1.1, stop_tokens=tuple(stop_ids),
-                spec_k=spec_k,
+                spec_k=spec_k, kv_quant=kv_quant,
             )
         return [clean_enhanced_prompt(tokenizer.decode(t)) or p
                 for t, p in zip(outs, prompts)]

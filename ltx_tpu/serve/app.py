@@ -123,6 +123,7 @@ def build_app(
     enhance_timeout_s: float = 600.0,
     info: Optional[dict] = None,
     image_root: Optional[str] = None,
+    kv_quant: str = "bf16",
 ) -> ServeApp:
     """Wire a loaded LTXPipeline into JobQueue + MicroBatcher + HTTP server.
 
@@ -146,7 +147,7 @@ def build_app(
                 [p["prompt"] for p in payloads],
                 is_i2v=bool(p0["i2v"]), max_tokens=int(p0["max_tokens"]),
                 temperature=float(p0["temperature"]), seed=int(p0["seed"]),
-                spec_k=spec_k, strict=True)
+                spec_k=spec_k, strict=True, kv_quant=kv_quant)
 
         batcher = MicroBatcher(
             run_enhance_batch, max_batch=max_batch,

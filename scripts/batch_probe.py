@@ -33,6 +33,9 @@ def main():
                     help="also measure the batched speculative path: "
                          "full-accept ceiling (spiked embeddings) and "
                          "zero-accept floor (random weights), at each B")
+    ap.add_argument("--kv-quant", choices=("bf16", "int8"), default="bf16",
+                    help="int8 KV cache: halves cache HBM per row "
+                         "(serving capacity; BENCH_NOTES \u00a718)")
     args = ap.parse_args()
 
     from e2e_bench import build_gemma_int4, sync
@@ -72,7 +75,7 @@ def main():
         ts = {}
         for n in (args.n1, args.n2):
             kw = dict(max_new_tokens=n, temperature=0.7, stop_tokens=(),
-                      spec_k=spec_k)
+                      spec_k=spec_k, kv_quant=args.kv_quant)
             t0 = time.time()
             out = gemma3.generate_tokens_batched(
                 params, prompts, cfg, jax.random.key(key0), **kw)
