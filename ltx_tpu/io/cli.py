@@ -146,6 +146,8 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--kv-quant", choices=["bf16", "int8"], default="bf16",
                    help="int8 halves the KV cache per row (B ceiling "
                         "6->7 w8a8 measured; opt-in numerics change)")
+    e.add_argument("--embed-int8", action="store_true",
+                   help="int8 Gemma embedding table (frees ~1 GB)")
     e.add_argument("--max-batch", type=int, default=0,
                    help="Rows per compiled micro-batch (0 = auto from the "
                         "quant mode's HBM bound: w8a8 6, int4 16, bf16 2)")
@@ -187,8 +189,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "from the Gemma quant mode's HBM bound)")
     s.add_argument("--spec-k", type=int, default=8)
     s.add_argument("--kv-quant", choices=["bf16", "int8"], default="bf16",
-                   help="int8 halves the enhance KV cache per row -> ~2x "
-                        "the --max-batch ceiling (opt-in numerics change)")
+                   help="int8 halves the enhance KV cache per row (opt-in "
+                        "numerics change; measured caps in cmd_serve)")
+    s.add_argument("--embed-int8", action="store_true",
+                   help="int8 Gemma embedding TABLE (per-token-row scales; "
+                        "the QAT source embedding is 4-bit, so int8 is "
+                        "strictly finer) — frees ~1 GB for batch rows")
     s.add_argument("--batch-window-ms", type=float, default=50.0,
                    help="How long the first enhance request waits to "
                         "coalesce with concurrent arrivals")
@@ -530,19 +536,22 @@ def cmd_enhance(args) -> int:
     log.info("Loading Gemma (%s) from %s", args.gemma_quant, gemma_dir)
     params = keymaps.load_gemma_params(
         load_safetensors_dir(gemma_dir), gcfg.hidden_layers,
-        mode=args.gemma_quant)
+        mode=args.gemma_quant,
+        embed_int8=getattr(args, "embed_int8", False))
 
     # HBM bound: 15.5 GB/chip minus resident weights over ~0.4 GB KV/row
     # at the 1024-slot enhancement shape (gemma3.py batched docstring)
     max_batch = args.max_batch or {
         "w8a8": 6, "int4": 16, "bf16": 2}[args.gemma_quant]
     if getattr(args, "kv_quant", "bf16") == "int8" and not args.max_batch:
-        # int8 KV halves the per-row cache. MEASURED ceiling for w8a8:
-        # B=7 fits, B=8 misses HBM by 35 MB (the bf16 embedding table +
-        # program temps bound it, not the cache — BENCH_NOTES §18);
-        # int4's 24 is arithmetic (6.2 GB weights + 24 x ~0.21 GB/row),
-        # not measured.
+        # int8 KV halves the per-row cache. MEASURED ceilings for w8a8
+        # (BENCH_NOTES §18): B=7 (B=8 misses HBM by 35 MB on the bf16
+        # embedding table + temps); with --embed-int8 replacing that
+        # table, B=11 fits (317 tok/s measured). int4's caps are
+        # arithmetic, not measured.
         max_batch = {"w8a8": 7, "int4": 24, "bf16": 2}[args.gemma_quant]
+        if getattr(args, "embed_int8", False):
+            max_batch = {"w8a8": 11, "int4": 28, "bf16": 2}[args.gemma_quant]
 
     t0 = time.time()
     try:
@@ -580,6 +589,7 @@ def cmd_serve(args) -> int:
         unified_weights_path=args.ltx_weights,
         quantization=QuantizationConfig(mode=args.transformer_quant),
         gemma_quant=args.gemma_quant,
+        gemma_embed_int8=args.embed_int8,
         memory=MemoryConfig.preset(args.memory),
         include_audio=args.audio,
         include_upscaler=args.upscaler,
@@ -588,12 +598,14 @@ def cmd_serve(args) -> int:
     max_batch = args.max_batch or {
         "w8a8": 6, "int4": 16, "bf16": 2}[args.gemma_quant]
     if getattr(args, "kv_quant", "bf16") == "int8" and not args.max_batch:
-        # int8 KV halves the per-row cache. MEASURED ceiling for w8a8:
-        # B=7 fits, B=8 misses HBM by 35 MB (the bf16 embedding table +
-        # program temps bound it, not the cache — BENCH_NOTES §18);
-        # int4's 24 is arithmetic (6.2 GB weights + 24 x ~0.21 GB/row),
-        # not measured.
+        # int8 KV halves the per-row cache. MEASURED ceilings for w8a8
+        # (BENCH_NOTES §18): B=7 (B=8 misses HBM by 35 MB on the bf16
+        # embedding table + temps); with --embed-int8 replacing that
+        # table, B=11 fits (317 tok/s measured). int4's caps are
+        # arithmetic, not measured.
         max_batch = {"w8a8": 7, "int4": 24, "bf16": 2}[args.gemma_quant]
+        if getattr(args, "embed_int8", False):
+            max_batch = {"w8a8": 11, "int4": 28, "bf16": 2}[args.gemma_quant]
     app = build_app(
         pipe, output_dir=args.output_dir, host=args.host, port=args.port,
         max_batch=max_batch, spec_k=args.spec_k, kv_quant=args.kv_quant,

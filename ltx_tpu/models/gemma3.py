@@ -328,9 +328,9 @@ def forward_hidden_states(params, input_ids, attention_mask, cfg: Gemma3Config):
     layers on this path (text-encoder parity).
     """
     b, t = input_ids.shape
-    emb_w = params["embed_tokens"]["w"]
-    dtype = emb_w.dtype
-    h = emb_w[input_ids] * jnp.asarray(np.sqrt(cfg.hidden_size), dtype)
+    dtype = embed_dtype(params)
+    h = (_embed_lookup(params, input_ids)
+         * jnp.asarray(np.sqrt(cfg.hidden_size), dtype))
 
     bias = _additive_causal_mask(attention_mask, t, dtype)
 
@@ -501,7 +501,7 @@ def _build_generate_fn(cfg: Gemma3Config, t_pad: int, max_new_tokens: int,
 
     def run(params, ids, embeds, pad, stop_arr, tables, key):
         cos_g, sin_g, cos_l, sin_l = tables
-        dtype = params["embed_tokens"]["w"].dtype
+        dtype = embed_dtype(params)
 
         if with_embeds:
             h = embeds.astype(dtype)
@@ -769,7 +769,7 @@ def _build_generate_batched_fn(cfg: Gemma3Config, batch: int, t_pad: int,
 
     def run(params, ids, pads, stop_arr, tables, key):
         cos_g, sin_g, cos_l, sin_l = tables
-        dtype = params["embed_tokens"]["w"].dtype
+        dtype = embed_dtype(params)
         h = _embed_lookup(params, ids) * jnp.asarray(scale_emb, dtype)
 
         # --- prefill biases: (B, 1, t_pad, cache_len), per-row left pad
@@ -1148,17 +1148,45 @@ def _spec_loop_batched(ids, pads, key, caches, logits0, decode,
     return out, n_gen
 
 
+def embed_dtype(params):
+    """Activation dtype implied by the embedding table (bf16 when the
+    table itself is int8-quantized)."""
+    e = params["embed_tokens"]
+    return e["w"].dtype if "w" in e else jnp.bfloat16
+
+
 def _embed_lookup(params, ids):
-    return params["embed_tokens"]["w"][ids]
+    e = params["embed_tokens"]
+    if "w8r" in e:
+        # int8 table with per-ROW (per-token) scales: gather + dequant.
+        # The source checkpoint's embedding is 4-bit QAT, so the int8
+        # grid is strictly finer than the values' native precision.
+        rows = e["w8r"][ids].astype(jnp.float32) * e["sr"][ids][..., None]
+        return rows.astype(jnp.bfloat16)
+    return e["w"][ids]
 
 
 def _lm_head(params, h):
     """Tied embeddings as lm_head (reference: Gemma3Model.swift:434).
 
-    Stays bf16 even under w8a8: an int8 tied head was measured NEUTRAL on
-    decode rate while costing +1 GB HBM (see weights/keymaps.py note)."""
-    return jnp.dot(h, params["embed_tokens"]["w"].T,
-                   preferred_element_type=jnp.float32)
+    bf16 table: plain bf16 matmul (an int8 tied head ALONGSIDE the bf16
+    table was measured neutral on decode rate while costing +1 GB — see
+    weights/keymaps.py note). int8 table (embed_int8 load option): the
+    per-row scales make rows output channels, so the logits run the int8
+    MXU path with dynamically int8-quantized activations — and the 2 GB
+    bf16 table is REPLACED, freeing ~1 GB for serving batch
+    (BENCH_NOTES §18)."""
+    e = params["embed_tokens"]
+    if "w8r" in e:
+        from ltx_tpu.kernels.quantization import quantize_act_int8
+
+        h8, sx = quantize_act_int8(h)
+        acc = jax.lax.dot_general(
+            h8, e["w8r"], (((h8.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        # sx keeps a trailing singleton; sr broadcasts over the vocab axis
+        return acc.astype(jnp.float32) * sx * e["sr"]
+    return jnp.dot(h, e["w"].T, preferred_element_type=jnp.float32)
 
 
 # Compiled entry point for the pipeline's text-encoding phase: eager

@@ -161,13 +161,14 @@ def enhance_prompt(
             body = (f"{system}\n\nUser Raw Input Prompt: {prompt}."
                     f"<end_of_turn>\n<start_of_turn>model\n")
             body_ids = tokenizer.encode(body).ids
-            emb_w = gemma_params["embed_tokens"]["w"]
-            scale = jnp.asarray(np.sqrt(gemma_config.hidden_size),
-                                emb_w.dtype)
-            pre = emb_w[jnp.asarray(prefix_ids)][None] * scale
-            post = emb_w[jnp.asarray(body_ids)][None] * scale
+            edtype = gemma3.embed_dtype(gemma_params)
+            scale = jnp.asarray(np.sqrt(gemma_config.hidden_size), edtype)
+            pre = gemma3._embed_lookup(
+                gemma_params, jnp.asarray(prefix_ids))[None] * scale
+            post = gemma3._embed_lookup(
+                gemma_params, jnp.asarray(body_ids))[None] * scale
             input_embeds = jnp.concatenate(
-                [pre, image_embeds.astype(emb_w.dtype), post], axis=1)
+                [pre, image_embeds.astype(edtype), post], axis=1)
             ids = [0] * input_embeds.shape[1]
         else:
             ids = tokenizer.encode(chat).ids

@@ -82,6 +82,7 @@ def load_pipeline(
     include_audio: bool = False,
     include_upscaler: bool = False,
     gemma_quant: str = "w8a8",
+    gemma_embed_int8: bool = False,
     quant_cache: bool = True,
     transformer_config: Optional[TransformerConfig] = None,
     vae_config=None,
@@ -217,7 +218,8 @@ def load_pipeline(
     # during the text phases (freed before the DiT under phase staging)
     gemma_params = None
     gemma_sig = {"component": "gemma", "mode": gemma_quant,
-                 "layers": gcfg.hidden_layers}
+                 "layers": gcfg.hidden_layers,
+                 "embed_int8": gemma_embed_int8}
     if quant_cache and gemma_quant != "bf16":
         from ltx_tpu.weights import qcache
 
@@ -225,7 +227,8 @@ def load_pipeline(
             gemma_dir, f"gemma-{gemma_quant}", gemma_sig)
     if gemma_params is None:
         gemma_params = keymaps.load_gemma_params(
-            gemma_tensors, gcfg.hidden_layers, mode=gemma_quant)
+            gemma_tensors, gcfg.hidden_layers, mode=gemma_quant,
+            embed_int8=gemma_embed_int8)
         if quant_cache and gemma_quant != "bf16":
             from ltx_tpu.weights import qcache
 

@@ -697,7 +697,8 @@ def _repack_mlx_4bit(tensors: Tensors, key: str, bits: int = 4):
 def load_gemma_params(tensors: Tensors, num_layers: int,
                       quant_group_size: int = 64, quant_bits: int = 4,
                       keep_quantized: bool = True,
-                      strict: bool = True, mode: str = "int4") -> dict:
+                      strict: bool = True, mode: str = "int4",
+                      embed_int8: bool = False) -> dict:
     """HF/MLX Gemma-3 weights -> models/gemma3.py stacked pytree.
 
     Sanitize rules (reference: Gemma3Model.swift:347-370): strip
@@ -778,8 +779,22 @@ def load_gemma_params(tensors: Tensors, num_layers: int,
                                       quant_group_size, quant_bits)
     else:
         emb = src.pop("model.embed_tokens.weight")
+    if embed_int8:
+        # int8 table with per-ROW (per-token) scales, replacing the 2 GB
+        # bf16 table (~1 GB freed; the QAT source embedding is 4-bit, so
+        # the int8 grid is strictly finer). Gather dequants per row;
+        # the tied lm_head runs the int8 MXU dot (gemma3._lm_head).
+        # One-time f32 cast is slow on ml_dtypes bf16 — the quantized
+        # cache (weights/qcache.py) makes it a first-load-only cost.
+        embf = np.asarray(emb, np.float32)
+        sr = np.abs(embf).max(axis=1) / 127.0
+        sr = np.where(sr == 0, 1.0, sr).astype(np.float32)
+        w8r = np.clip(np.rint(embf / sr[:, None]), -127, 127).astype(np.int8)
+        embed_leaf = {"w8r": w8r, "sr": sr}
+    else:
+        embed_leaf = {"w": _bf16(emb)}
     params = {
-        "embed_tokens": {"w": _bf16(emb)},
+        "embed_tokens": embed_leaf,
         "layers": jax.tree.map(lambda *xs: np.stack(xs), *layers),
         "norm": norm("model.norm"),
     }

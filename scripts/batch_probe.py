@@ -36,13 +36,26 @@ def main():
     ap.add_argument("--kv-quant", choices=("bf16", "int8"), default="bf16",
                     help="int8 KV cache: halves cache HBM per row "
                          "(serving capacity; BENCH_NOTES \u00a718)")
+    ap.add_argument("--embed-int8", action="store_true",
+                    help="int8 embedding table (replaces the 2 GB bf16 "
+                         "table; frees ~1 GB for batch rows)")
     args = ap.parse_args()
+    if args.embed_int8 and args.spec_k:
+        raise SystemExit("--embed-int8 + --spec-k: the spiked-embedding "
+                         "ceiling fixture rebuilds the bf16 table; probe "
+                         "them separately")
 
     from e2e_bench import build_gemma_int4, sync
     from ltx_tpu.models import gemma3
 
     cfg = gemma3.Gemma3Config()
     params = build_gemma_int4(cfg, mode=args.mode)
+    if args.embed_int8:
+        import jax.numpy as jnp
+        params["embed_tokens"] = {
+            "w8r": jnp.zeros((cfg.vocab_size, cfg.hidden_size), jnp.int8),
+            "sr": jnp.ones((cfg.vocab_size,), jnp.float32),
+        }
     sync(params["norm"]["w"])
     base = np.full((500,), 7, np.int32)  # t_pad 512, the bench prompt size
 

@@ -334,7 +334,7 @@ def test_cmd_enhance_batched_dispatch(tmp_path, monkeypatch, capsys):
     monkeypatch.setattr("ltx_tpu.weights.download.load_safetensors_dir",
                         lambda d: {"raw": True})
     monkeypatch.setattr(keymaps, "load_gemma_params",
-                        lambda tensors, nl, mode: params)
+                        lambda tensors, nl, mode, **kw: params)
 
     pfile = tmp_path / "prompts.txt"
     pfile.write_text("a dog on a hill\n\n")

@@ -95,3 +95,90 @@ def test_int8_roundtrip_exact_when_representable():
     np.testing.assert_array_equal(
         np.asarray(q, np.float32) * np.asarray(s)[..., None],
         np.asarray(x))
+
+
+# --------------------------------------------------------- int8 embeddings
+
+
+def _int8_embed(params):
+    w = np.asarray(params["embed_tokens"]["w"], np.float32)
+    sr = np.abs(w).max(axis=1) / 127.0
+    sr = np.where(sr == 0, 1.0, sr).astype(np.float32)
+    w8r = np.clip(np.rint(w / sr[:, None]), -127, 127).astype(np.int8)
+    return {**params, "embed_tokens": {"w8r": jnp.asarray(w8r),
+                                       "sr": jnp.asarray(sr)}}
+
+
+def test_embed_int8_lookup_and_lm_head_close(params):
+    q = _int8_embed(params)
+    ids = jnp.asarray([[3, 7, 200]])
+    base = gemma3._embed_lookup(params, ids)
+    got = gemma3._embed_lookup(q, ids)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(base, np.float32),
+                               rtol=2e-2, atol=2e-3)
+    h = jax.random.normal(jax.random.key(6), (2, CFG.hidden_size),
+                          jnp.float32)
+    lb = gemma3._lm_head(params, h)
+    lq = gemma3._lm_head(q, h)
+    assert lq.shape == lb.shape == (2, CFG.vocab_size)
+    # int8 weights AND int8 activations: ~1% relative on the logits
+    np.testing.assert_allclose(np.asarray(lq), np.asarray(lb),
+                               rtol=0.15, atol=0.05)
+
+
+def test_generate_with_int8_embed_and_kv(params):
+    q = _int8_embed(params)
+    ids = np.arange(5, 20)[None].astype(np.int32)
+    toks = gemma3.generate_tokens(q, ids, CFG, jax.random.key(7),
+                                  max_new_tokens=6, stop_tokens=(),
+                                  bucket=16, kv_quant="int8")
+    assert len(toks) == 6
+
+
+def test_hidden_states_with_int8_embed(params):
+    q = _int8_embed(params)
+    ids = jnp.asarray(np.arange(5, 13)[None].astype(np.int32))
+    mask = jnp.ones_like(ids)
+    hs = gemma3.forward_hidden_states(q, ids, mask, CFG)
+    assert hs.shape[0] == CFG.hidden_layers + 1  # 49-state convention
+    assert np.isfinite(np.asarray(hs, np.float32)).all()
+
+
+def test_load_gemma_params_embed_int8(tmp_path):
+    import tests.weight_fixtures as wf
+    from ltx_tpu.weights import keymaps
+
+    spec = wf.gemma_spec(layers=CFG.hidden_layers, hidden=CFG.hidden_size,
+                         heads=CFG.attention_heads, kv_heads=CFG.kv_heads,
+                         head_dim=CFG.head_dim,
+                         intermediate=CFG.intermediate_size,
+                         vocab=CFG.vocab_size)
+    tensors = wf.materialize(spec, seed=8)
+    ref = keymaps.load_gemma_params(dict(tensors), CFG.hidden_layers,
+                                    mode="w8a8")
+    got = keymaps.load_gemma_params(dict(tensors), CFG.hidden_layers,
+                                    mode="w8a8", embed_int8=True)
+    e = got["embed_tokens"]
+    assert set(e) == {"w8r", "sr"}
+    assert e["w8r"].dtype == np.int8 and e["w8r"].shape == (
+        CFG.vocab_size, CFG.hidden_size)
+    deq = e["w8r"].astype(np.float32) * e["sr"][:, None]
+    np.testing.assert_allclose(
+        deq, np.asarray(ref["embed_tokens"]["w"], np.float32),
+        rtol=2e-2, atol=2e-3)
+
+
+def test_generate_batched_with_int8_embed(params):
+    # the batched decode hands _lm_head a 3-D (B, m, hidden) activation —
+    # caught on-chip by scripts/batch_probe.py --embed-int8
+    q = _int8_embed(params)
+    prompts = [list(range(5, 12)), list(range(30, 34))]
+    outs = gemma3.generate_tokens_batched(
+        q, prompts, CFG, jax.random.key(8), max_new_tokens=5,
+        stop_tokens=(), bucket=16, kv_quant="int8")
+    assert [len(o) for o in outs] == [5, 5]
+    outs2 = gemma3.generate_tokens_batched(
+        q, prompts, CFG, jax.random.key(8), max_new_tokens=5,
+        stop_tokens=(), bucket=16, kv_quant="int8", spec_k=3)
+    assert [len(o) for o in outs2] == [5, 5]
