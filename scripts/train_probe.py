@@ -43,7 +43,22 @@ def build_w8a8_linear(layers, d_in, d_out, bias=True):
     return p
 
 
-def build_w8a8_dit(cfg):
+def build_int4_linear(layers, d_in, d_out, bias=True):
+    """Device-tiled stacked int4 leaf (block-plane packed, values
+    irrelevant to speed)."""
+    host = np.empty((d_in // 2, d_out), np.uint8)
+    host[:] = 137
+    wq = jax.jit(lambda a: jnp.tile(a[None], (layers, 1, 1)))(
+        jnp.asarray(host))
+    p = {"w_q4": wq,
+         "scale": jnp.full((layers, d_in // 64, d_out), 2e-3, jnp.float32),
+         "bias": jnp.full((layers, d_in // 64, d_out), -0.25, jnp.float32)}
+    if bias:
+        p["b"] = jnp.zeros((layers, d_out), jnp.bfloat16)
+    return p
+
+
+def build_w8a8_dit(cfg, quant_linear=build_w8a8_linear):
     d, nl = cfg.inner_dim, cfg.num_layers
     key = jax.random.key(0)
 
@@ -55,10 +70,10 @@ def build_w8a8_dit(cfg):
 
     def attn():
         return {
-            "to_q": build_w8a8_linear(nl, d, d),
-            "to_k": build_w8a8_linear(nl, d, d),
-            "to_v": build_w8a8_linear(nl, d, d),
-            "to_out": build_w8a8_linear(nl, d, d),
+            "to_q": quant_linear(nl, d, d),
+            "to_k": quant_linear(nl, d, d),
+            "to_v": quant_linear(nl, d, d),
+            "to_out": quant_linear(nl, d, d),
             "q_norm": {"w": jnp.ones((nl, d), jnp.bfloat16)},
             "k_norm": {"w": jnp.ones((nl, d), jnp.bfloat16)},
         }
@@ -78,8 +93,8 @@ def build_w8a8_dit(cfg):
             "attn1": attn(),
             "attn2": attn(),
             "ff": {
-                "project_in": build_w8a8_linear(nl, d, cfg.ffn_dim),
-                "project_out": build_w8a8_linear(nl, cfg.ffn_dim, d),
+                "project_in": quant_linear(nl, d, cfg.ffn_dim),
+                "project_out": quant_linear(nl, cfg.ffn_dim, d),
             },
             "scale_shift_table": jnp.zeros((nl, 6, d), jnp.float32),
         },
@@ -101,7 +116,12 @@ def main():
     ap.add_argument("--sdpa", choices=("xla", "pallas"), default="xla",
                     help="pallas = Pallas flash fwd+bwd kernels (no "
                     "(T,T) logits remat buffer — longer seqs fit)")
-    ap.add_argument("--base", choices=("w8a8", "bf16"), default="w8a8")
+    ap.add_argument("--base", choices=("w8a8", "int4", "bf16"),
+                    default="w8a8",
+                    help="int4 (6.5 GB frozen base) is what lets T=6144 "
+                         "(121f) training fit ONE chip: w8a8's 12.9 GB + "
+                         "the 2.25 GB per-layer scan residuals exceed HBM "
+                         "even with the flash backward")
     args = ap.parse_args()
 
     from ltx_tpu.core.config import TransformerConfig
@@ -117,15 +137,19 @@ def main():
     f, h, w = grids[args.tokens]
 
     t0 = time.time()
-    if args.base != "w8a8":
-        raise SystemExit("bf16 full base exceeds one chip; use w8a8 "
+    if args.base == "bf16":
+        raise SystemExit("bf16 full base exceeds one chip; use w8a8/int4 "
                          "(38 GB bf16 vs 15.5 GB HBM — bf16 training is "
                          "the dp+tp mesh path, see dryrun_multichip)")
-    params = build_w8a8_dit(cfg)
+    params = build_w8a8_dit(
+        cfg, quant_linear=(build_int4_linear if args.base == "int4"
+                           else build_w8a8_linear))
     params = add_lora(params, jax.random.key(1), rank=args.rank)
-    float(params["blocks"]["attn1"]["to_q"]["w8"].astype(jnp.float32)[0, 0]
+    qk = "w8" if args.base == "w8a8" else "w_q4"
+    float(params["blocks"]["attn1"]["to_q"][qk].astype(jnp.float32)[0, 0]
           .sum())  # sync fixture build
-    log(f"W8A8 DiT + rank-{args.rank} LoRA fixtures: {time.time()-t0:.1f} s")
+    log(f"{args.base} DiT + rank-{args.rank} LoRA fixtures: "
+        f"{time.time()-t0:.1f} s")
 
     b = args.batch
     tokens = jax.random.normal(jax.random.key(2),
