@@ -255,6 +255,7 @@ def dit_forward(
     cross_attn_scale=None,   # scalar or (L,) per-block
     sdpa_impl: str = "auto",
     remat: bool = False,
+    remat_segments: int = 0,
 ):
     """Velocity prediction (B, T, C) -> (B, T, C).
 
@@ -290,10 +291,42 @@ def dit_forward(
         )
         return out, None
 
+    xs = (params["blocks"], skip_self_attn, skip_ff, cas)
+    if remat_segments and remat_segments > 1:
+        # Segmented ("sqrt") remat: per-block remat still makes the scan
+        # save every block's INPUT as a residual — L x (B, T, D) bf16 =
+        # 2.25 GB at T=6144 (the one-chip training blocker once the flash
+        # backward removed the (T, T) logits term; BENCH_NOTES §19/21).
+        # Checkpointing SEGMENTS of L/S blocks instead stores S boundary
+        # activations, and each segment's backward re-forward stores L/S —
+        # peak S + L/S residuals (minimized near sqrt(L)) at the cost of
+        # one extra forward (already paid by per-block remat).
+        s = remat_segments
+        if num_layers % s:
+            raise ValueError(
+                f"remat_segments {s} must divide num_layers {num_layers}")
+        per = num_layers // s
+        xs_seg = jax.tree.map(
+            lambda a: a.reshape(s, per, *a.shape[1:]), xs)
+
+        # the inner body must ALSO be checkpointed: the segment's
+        # backward re-forward otherwise saves every block's full
+        # intermediates (16384-wide FFN activations — measured 24.4 GB at
+        # T=6144, WORSE than flat remat). Two nested checkpoints = two
+        # extra forwards, the price of the S + L/S residual footprint.
+        inner = jax.checkpoint(body)
+
+        def seg_body(carry, seg_xs):
+            out, _ = lax.scan(inner, carry, seg_xs)
+            return out, None
+
+        x, _ = lax.scan(jax.checkpoint(seg_body), x, xs_seg)
+        return output_head(params, x, embedded_ts, cfg)
+
     if remat:
         body = jax.checkpoint(body)
 
-    x, _ = lax.scan(body, x, (params["blocks"], skip_self_attn, skip_ff, cas))
+    x, _ = lax.scan(body, x, xs)
 
     return output_head(params, x, embedded_ts, cfg)
 

@@ -311,6 +311,7 @@ def dit_av_forward(
     audio_bias=None,
     sdpa_impl: str = "auto",
     remat: bool = False,
+    remat_segments: int = 0,
 ):
     """(video velocity (B, Tv, C), audio velocity (B, Ta, C_audio))
     (reference: LTX2Transformer.swift:254-392)."""
@@ -339,9 +340,29 @@ def dit_av_forward(
         )
         return (vx, ax), None
 
-    if remat:
-        body = jax.checkpoint(body)
-    (video_x, audio_x), _ = lax.scan(body, (video_x, audio_x), params["blocks"])
+    if remat_segments and remat_segments > 1:
+        # segmented ("sqrt") remat — see models/dit.py::dit_forward
+        seg = remat_segments
+        if cfg.num_layers % seg:
+            raise ValueError(f"remat_segments {seg} must divide "
+                             f"num_layers {cfg.num_layers}")
+        per = cfg.num_layers // seg
+        blocks_seg = jax.tree.map(
+            lambda a: a.reshape(seg, per, *a.shape[1:]), params["blocks"])
+
+        inner = jax.checkpoint(body)  # see models/dit.py
+
+        def seg_body(carry, seg_blocks):
+            out, _ = lax.scan(inner, carry, seg_blocks)
+            return out, None
+
+        (video_x, audio_x), _ = lax.scan(
+            jax.checkpoint(seg_body), (video_x, audio_x), blocks_seg)
+    else:
+        if remat:
+            body = jax.checkpoint(body)
+        (video_x, audio_x), _ = lax.scan(body, (video_x, audio_x),
+                                         params["blocks"])
 
     video_out = av_output_head(video_x, params["scale_shift_table"], emb_v,
                                params["proj_out"], cfg)

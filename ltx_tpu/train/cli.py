@@ -31,6 +31,10 @@ def add_train_arguments(ap) -> None:
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--warmup", type=int, default=0)
     ap.add_argument("--accum", type=int, default=1)
+    ap.add_argument("--remat-segments", type=int, default=0,
+                    help="segmented (sqrt) remat over the 48-block scan: "
+                         "peak residuals S + 48/S activations instead of "
+                         "48 (one-chip long-sequence/bigger-batch headroom)")
     ap.add_argument("--ema", type=float, default=0.0,
                     help="EMA decay (0 = off); exports the EMA adapter")
     ap.add_argument("--quant", choices=("none", "w8a8", "int4"),
@@ -146,6 +150,7 @@ def run(args) -> int:
     tc = TrainConfig(
         learning_rate=args.lr, warmup_steps=args.warmup, lora_only=True,
         accum_steps=args.accum,
+        remat_segments=getattr(args, "remat_segments", 0),
         compute_dtype=jnp.float32 if args.compute == "f32" else jnp.bfloat16,
     )
     batch_sharding = None

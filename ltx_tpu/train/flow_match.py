@@ -52,6 +52,7 @@ def flow_match_loss(
     sigma_scheme: str = "logit_normal",
     sdpa_impl: str = "auto",
     remat: bool = True,
+    remat_segments: int = 0,
     compute_dtype=jnp.bfloat16,
     pp_mesh=None,
     pp_microbatches=None,
@@ -85,6 +86,7 @@ def flow_match_loss(
         v_pred = dit.dit_forward(
             params, x_t.astype(compute_dtype), context, sigma, rope, cfg,
             context_bias=context_bias, sdpa_impl=sdpa_impl, remat=remat,
+            remat_segments=remat_segments,
         ).astype(jnp.float32)
 
     err = v_pred - target
@@ -107,6 +109,7 @@ def av_flow_match_loss(
     sigma_scheme: str = "logit_normal",
     sdpa_impl: str = "auto",
     remat: bool = True,
+    remat_segments: int = 0,
     compute_dtype=jnp.bfloat16,
     pp_mesh=None,
     pp_microbatches=None,
@@ -148,6 +151,7 @@ def av_flow_match_loss(
             video_context, audio_context, sigma_v, sigma_a, ropes, cfg,
             video_bias=video_bias, audio_bias=audio_bias,
             sdpa_impl=sdpa_impl, remat=remat,
+            remat_segments=remat_segments,
         )
     loss_v = jnp.mean(jnp.square(v_pred.astype(jnp.float32)
                                  - velocity_target(v0, noise_v)))

@@ -50,6 +50,10 @@ class TrainConfig:
     # required for long-sequence one-chip training, BENCH_NOTES §11).
     sdpa_impl: str = "xla"
     remat: bool = True
+    # Segmented ("sqrt") remat: checkpoint groups of num_layers/S blocks
+    # instead of every block — peak scan residuals drop from L to S + L/S
+    # activations (models/dit.py; BENCH_NOTES §21). 0 = per-block remat.
+    remat_segments: int = 0
     compute_dtype: Any = jnp.bfloat16
     # Gradient accumulation: params update every accum_steps calls with the
     # mean of the accumulated grads (optax.MultiSteps) — one-chip training
@@ -143,7 +147,7 @@ def make_train_step(cfg: TransformerConfig, tc: TrainConfig,
             return flow_match_loss(
                 p, tokens, context, rope, key, cfg,
                 context_bias=context_bias, sigma_scheme=tc.sigma_scheme,
-                sdpa_impl=tc.sdpa_impl, remat=tc.remat,
+                sdpa_impl=tc.sdpa_impl, remat=tc.remat, remat_segments=tc.remat_segments,
                 compute_dtype=tc.compute_dtype,
                 pp_mesh=tc.pp_mesh, pp_microbatches=tc.pp_microbatches,
             )
@@ -209,7 +213,7 @@ def make_av_train_step(cfg: TransformerConfig, tc: TrainConfig,
                 p, video_tokens, audio_tokens, video_context, audio_context,
                 ropes, key, cfg, audio_loss_weight=audio_loss_weight,
                 sigma_scheme=tc.sigma_scheme, sdpa_impl=tc.sdpa_impl,
-                remat=tc.remat, compute_dtype=tc.compute_dtype,
+                remat=tc.remat, remat_segments=tc.remat_segments, compute_dtype=tc.compute_dtype,
                 pp_mesh=tc.pp_mesh, pp_microbatches=tc.pp_microbatches,
             )
 

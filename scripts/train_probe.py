@@ -113,6 +113,10 @@ def main():
     ap.add_argument("--ctx", type=int, default=256,
                     help="caption token count (training captions are short; "
                     "1024 is the inference worst case)")
+    ap.add_argument("--remat-segments", type=int, default=0,
+                    help="segmented (sqrt) remat: checkpoint groups of "
+                         "48/S blocks; peak scan residuals S + 48/S "
+                         "instead of 48 (models/dit.py)")
     ap.add_argument("--sdpa", choices=("xla", "pallas"), default="xla",
                     help="pallas = Pallas flash fwd+bwd kernels (no "
                     "(T,T) logits remat buffer — longer seqs fit)")
@@ -161,7 +165,8 @@ def main():
     rope = (jnp.asarray(cos), jnp.asarray(sin))
 
     tc = TrainConfig(learning_rate=1e-4, lora_only=True, remat=True,
-                     compute_dtype=jnp.bfloat16, sdpa_impl=args.sdpa)
+                     compute_dtype=jnp.bfloat16, sdpa_impl=args.sdpa,
+                     remat_segments=args.remat_segments)
     # donate trainable+opt_state: the step's outputs alias them (~1 GB at
     # rank 16 — without donation the step does not fit next to the 12.9 GB
     # frozen base)

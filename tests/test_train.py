@@ -597,3 +597,84 @@ def test_train_lora_cli_mesh_e2e(tmp_path):
     from ltx_tpu.weights.download import load_safetensors
     layers = fuse.parse_lora(load_safetensors(out))
     assert len(layers) == CFG.num_layers * 10
+
+
+def test_segmented_remat_matches_per_block():
+    """remat_segments groups the scan without changing math: forward AND
+    LoRA grads must match per-block remat exactly (same op order)."""
+    import jax.numpy as jnp
+
+    from ltx_tpu.models import dit
+    from ltx_tpu.ops import rope as rope_ops
+    from ltx_tpu.train import TrainConfig, add_lora
+    from ltx_tpu.train.flow_match import flow_match_loss
+
+    cfg = CFG  # tiny, num_layers=2
+    params = add_lora(dit.init_params(jax.random.key(0), cfg, jnp.float32),
+                      jax.random.key(1), rank=4)
+    f, h, w = 2, 4, 4
+    tokens = jax.random.normal(jax.random.key(2),
+                               (1, f * h * w, cfg.in_channels), jnp.float32)
+    ctx = jax.random.normal(jax.random.key(3),
+                            (1, 8, cfg.caption_channels), jnp.float32)
+    cos, sin = rope_ops.video_rope(f, h, w, cfg.inner_dim, cfg.num_heads)
+    rope = (jnp.asarray(cos), jnp.asarray(sin))
+
+    def loss(p, segs):
+        out, _aux = flow_match_loss(p, tokens, ctx, rope, jax.random.key(4),
+                                    cfg, remat=(segs == 0),
+                                    remat_segments=segs,
+                                    compute_dtype=jnp.float32)
+        return out
+
+    base, gbase = jax.value_and_grad(loss)(params, 0)
+    seg, gseg = jax.value_and_grad(loss)(params, 2)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(seg))
+    for a, b in zip(jax.tree.leaves(gbase), jax.tree.leaves(gseg)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_segmented_remat_av_matches():
+    import jax.numpy as jnp
+
+    from ltx_tpu.models import dit_av
+    from ltx_tpu.pipeline.generate import LTXPipeline
+
+    pipe = LTXPipeline.random_tiny(seed=0, include_audio=True)
+    cfg = pipe.tcfg
+    b, tv, ta = 1, 16, 5
+    v = jax.random.normal(jax.random.key(0), (b, tv, cfg.in_channels),
+                          jnp.float32)
+    a = jax.random.normal(jax.random.key(1),
+                          (b, ta, cfg.audio_in_channels), jnp.float32)
+    ctx = jnp.ones((b, 8, cfg.caption_channels), jnp.float32)
+    ropes = dit_av.prepare_av_ropes(cfg, 2, 2, 4, ta, fps=24.0)
+    sv = jnp.full((b,), 0.7, jnp.float32)
+
+    vp, ap_ = dit_av.dit_av_forward(
+        pipe.av_transformer_params, v, a, ctx, ctx, sv, sv, ropes, cfg,
+        remat=True)
+    vs, as_ = dit_av.dit_av_forward(
+        pipe.av_transformer_params, v, a, ctx, ctx, sv, sv, ropes, cfg,
+        remat_segments=2)
+    np.testing.assert_array_equal(np.asarray(vp), np.asarray(vs))
+    np.testing.assert_array_equal(np.asarray(ap_), np.asarray(as_))
+
+
+def test_segmented_remat_invalid_segments():
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    from ltx_tpu.models import dit
+    from ltx_tpu.ops import rope as rope_ops
+
+    cfg = CFG
+    params = dit.init_params(jax.random.key(0), cfg, jnp.float32)
+    cos, sin = rope_ops.video_rope(2, 4, 4, cfg.inner_dim, cfg.num_heads)
+    x = jnp.zeros((1, 32, cfg.in_channels), jnp.float32)
+    ctx = jnp.zeros((1, 8, cfg.caption_channels), jnp.float32)
+    with _pytest.raises(ValueError, match="divide"):
+        dit.dit_forward(params, x, ctx, jnp.full((1,), 0.5),
+                        (jnp.asarray(cos), jnp.asarray(sin)), cfg,
+                        remat_segments=7)
