@@ -91,7 +91,10 @@ def save_quantized_tree(tree, source_path, tag: str,
         log.info("quantized cache skipped: %s", e)
         return None
     path = cache_path(source_path, tag)
-    tmp = path.with_name(path.name + ".tmp")
+    # pid-unique tmp: two concurrent loaders racing the same cache would
+    # otherwise interleave writes into one tmp file; os.replace keeps the
+    # final rename atomic either way
+    tmp = path.with_name(f"{path.name}.{os.getpid()}.tmp")
     try:
         save_file(flat, str(tmp), metadata=_signature(source_path,
                                                       quant_sig))
