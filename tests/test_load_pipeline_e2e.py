@@ -334,3 +334,22 @@ def test_files_to_frames_two_stage_i2v(full_models_dir, tmp_path):
     frames = np.asarray(result.frames)
     assert frames.shape == (9, 64, 64, 3)
     assert np.isfinite(frames).all()
+
+
+def test_files_to_frames_tp_sharded(models_dir):
+    """File-loaded pipeline -> TP shard over a virtual mesh -> generate:
+    the load+shard COMPOSITION (each side is tested separately elsewhere;
+    a real multi-chip deployment always runs both)."""
+    import jax
+
+    from ltx_tpu.parallel.sharding import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    base, cfgs = models_dir
+    pipe = _load(base, cfgs, gemma_quant="bf16")
+    pipe.shard(make_mesh(data=2, model=4))
+    cfg = GenerationConfig(width=64, height=64, num_frames=9, num_steps=2,
+                           seed=12)
+    frames = np.asarray(pipe.generate_video("a cat", cfg).frames)
+    assert frames.shape == (9, 64, 64, 3) and np.isfinite(frames).all()
