@@ -39,6 +39,13 @@ class VideoExportConfig:
 
     _CODECS = {"h264": "libx264", "hevc": "libx265"}
 
+    def __post_init__(self):
+        if not 0.0 <= self.quality <= 1.0:
+            # the reference's 0..1 scale; out-of-range would otherwise
+            # fail inside imageio and silently degrade to the cv2 fallback
+            raise ValueError(
+                f"export quality {self.quality} must be in [0, 1]")
+
     @property
     def ffmpeg_codec(self) -> str:
         try:

@@ -63,3 +63,8 @@ def test_frames_to_uint8_rounding():
     x = np.array([[[[0.0, 0.5, 1.0]]]], np.float32)
     np.testing.assert_array_equal(frames_to_uint8(x)[0, 0, 0],
                                   [0, 128, 255])
+
+
+def test_quality_out_of_range_rejected():
+    with pytest.raises(ValueError, match="quality"):
+        VideoExportConfig(quality=8.0)  # someone assuming the 0..10 scale
