@@ -55,6 +55,14 @@ class VideoExportConfig:
                 f"unknown codec {self.codec!r}; pick from "
                 f"{sorted(self._CODECS)}") from None
 
+    def requires_ffmpeg(self) -> bool:
+        """True when the caller asked for non-default codec/quality/pixfmt —
+        settings the cv2 mp4v fallback cannot honor, so export must fail
+        loudly rather than silently re-encode (fps is fine: cv2 honors it).
+        """
+        return (self.codec != "h264" or self.quality != 0.8
+                or self.pixel_format != "yuv420p")
+
     @classmethod
     def high_quality(cls) -> "VideoExportConfig":
         """Reference's .highQuality preset (VideoExporter.swift:44-50)."""
@@ -123,7 +131,21 @@ def _write_mp4(pixels: np.ndarray, path: str,
                 writer.append_data(frame)
         return
     except Exception as e:  # imageio-ffmpeg missing or codec unavailable
-        log.warning("imageio mp4 writer failed (%s); trying OpenCV", e)
+        # The cv2 fallback encodes mp4v at default quality — it cannot
+        # honor explicit codec/quality/pixel_format. If the caller asked
+        # for non-defaults (e.g. a serve request that was validated and
+        # 200'd), failing loudly beats silently shipping a different
+        # encoding; defaults degrade gracefully (smoke/test environments).
+        if config.requires_ffmpeg():
+            from ltx_tpu.core.errors import ExportFailedError
+
+            raise ExportFailedError(
+                f"ffmpeg mp4 writer failed ({e}) and the requested "
+                f"codec={config.codec} quality={config.quality} "
+                f"pixel_format={config.pixel_format} cannot be honored by "
+                "the OpenCV fallback (mp4v, fixed quality)") from e
+        log.warning("imageio mp4 writer failed (%s); falling back to "
+                    "OpenCV mp4v at default quality", e)
 
     import cv2
 

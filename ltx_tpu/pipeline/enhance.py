@@ -7,9 +7,10 @@ github.com/Lightricks/LTX-2 packages/ltx-core .../prompts/), fixed seed 42,
 temperature 0.7, top-p 0.95, repetition penalty 1.1, max 512 tokens, stop at
 <end_of_turn>/<eos>.
 
-The T2V prompt is text-only; the reference's I2V path feeds the conditioning
-image through the VLM vision tower. Round 1 implements the text path; the
-I2V system prompt is wired but runs text-only until the vision tower lands.
+The T2V prompt is text-only; the I2V path feeds the conditioning image
+through the SigLIP vision tower (models/siglip.py) into 256 soft tokens
+that prefix the Gemma context — wired in pipeline/generate.py (enhance
+with image=...), matching the reference's VLM-conditioned enhancement.
 """
 
 from __future__ import annotations
@@ -123,6 +124,7 @@ def enhance_prompt(
     vision_config=None,
     spec_k: int = 8,
     spec_ngram: int = 3,
+    mesh=None,
 ) -> str:
     """Enhance a prompt with the Gemma text model. Returns the original
     prompt unchanged if anything fails (enhancement is best-effort).
@@ -188,7 +190,7 @@ def enhance_prompt(
             max_new_tokens=max_tokens, temperature=temperature,
             top_p=0.95, repetition_penalty=1.1,
             stop_tokens=tuple(stop_ids), input_embeds=input_embeds,
-            spec_k=spec_k, spec_ngram=spec_ngram,
+            spec_k=spec_k, spec_ngram=spec_ngram, mesh=mesh,
         )
         text = tokenizer.decode(tokens)
         cleaned = clean_enhanced_prompt(text)
@@ -211,6 +213,7 @@ def enhance_prompts(
     max_batch: int = 0,
     strict: bool = False,
     kv_quant: str = "bf16",
+    mesh=None,
 ) -> List[str]:
     """Batched (text-only) enhancement for serving front-ends.
 
@@ -252,7 +255,7 @@ def enhance_prompts(
                 max_new_tokens=max_tokens,
                 temperature=temperature, top_p=0.95,
                 repetition_penalty=1.1, stop_tokens=tuple(stop_ids),
-                spec_k=spec_k, kv_quant=kv_quant,
+                spec_k=spec_k, kv_quant=kv_quant, mesh=mesh,
             )
         return [clean_enhanced_prompt(tokenizer.decode(t)) or p
                 for t, p in zip(outs, prompts)]

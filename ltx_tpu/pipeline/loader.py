@@ -136,9 +136,12 @@ def load_pipeline(
     dit_params = None
     dit_sig = None
     if quantization.bits is not None:
+        # audio pinned False: the cached video-DiT tree is identical either
+        # way (extraction always runs include_audio=False below), so keying
+        # on the flag would spuriously re-quantize ~45 s on --audio toggles
         dit_sig = _quant_signature(
             "dit", quantization, tcfg.num_layers,
-            audio=include_audio, lora_path=fuse_path, lora_scale=lora_scale)
+            audio=False, lora_path=fuse_path, lora_scale=lora_scale)
         if quant_cache:
             from ltx_tpu.weights import qcache
 

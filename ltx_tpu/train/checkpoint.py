@@ -47,12 +47,25 @@ def _restore(tree, store: dict, prefix: str):
 
 def save_train_checkpoint(path, trainable, opt_state, step: int) -> int:
     """Write trainable + opt_state + step to `path` (.npz). Returns the
-    number of stored arrays."""
+    number of stored arrays.
+
+    Atomic: writes a pid-unique temp file then os.replace, so a crash
+    mid-write (or a concurrent writer on shared storage) never leaves a
+    truncated .npz at `path`.
+    """
+    import os
+
     store = {"__step__": np.asarray(step, np.int64)}
     store.update(_flatten(trainable, "t"))
     store.update(_flatten(opt_state, "o"))
-    with open(path, "wb") as f:
-        np.savez(f, **store)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    try:
+        with open(tmp, "wb") as f:
+            np.savez(f, **store)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
     return len(store)
 
 

@@ -171,13 +171,42 @@ def run(args) -> int:
     ema = ema_init(trainable) if args.ema > 0 else None
     ema_upd = make_ema_update(args.ema) if args.ema > 0 else None
 
+    # dataset cursor is per process (multi-host: each process samples its
+    # own decorrelated rows, so each saves/restores its own RNG state)
+    dstate_path = (args.ckpt + f".data.{jax.process_index()}.npy"
+                   if args.ckpt else None)
+
     start = 0
     if args.resume and args.ckpt and os.path.exists(args.ckpt):
         trainable, opt_state, start = load_train_checkpoint(
             args.ckpt, trainable, opt_state)
-        dstate_path = args.ckpt + ".data.npy"
-        if os.path.exists(dstate_path):
-            ds.restore(np.load(dstate_path, allow_pickle=True).item())
+        if mesh is not None:
+            # load_train_checkpoint rebuilds host/replicated arrays; re-apply
+            # the train-state shardings so the first post-resume step doesn't
+            # run (and hold HBM) with replicated placement. The opt_state
+            # sharding template comes from tx.init on the re-sharded
+            # trainable (mu/nu inherit the leaf shardings; adapter-sized, so
+            # the extra init is cheap).
+            from jax.sharding import NamedSharding
+
+            from ltx_tpu.parallel.sharding import dit_param_specs
+            from ltx_tpu.train.step import make_optimizer
+
+            t_specs = dit_param_specs(trainable)
+            trainable = jax.tree.map(
+                lambda p, s: jax.device_put(p, NamedSharding(mesh, s)),
+                trainable, t_specs)
+            fresh_opt = make_optimizer(tc).init(trainable)
+            opt_state = jax.tree.map(
+                lambda old, new: jax.device_put(
+                    np.asarray(old), new.sharding)
+                if isinstance(new, jax.Array) and new.ndim > 0 else old,
+                opt_state, fresh_opt)
+        # legacy single-file cursor (pre-round-4 checkpoints) as fallback
+        legacy = args.ckpt + ".data.npy"
+        cursor = dstate_path if os.path.exists(dstate_path) else legacy
+        if os.path.exists(cursor):
+            ds.restore(np.load(cursor, allow_pickle=True).item())
         log(f"resumed from {args.ckpt} at step {start}")
 
     key = jax.random.key(args.seed + 2)
@@ -199,10 +228,13 @@ def run(args) -> int:
                 f"gnorm={float(aux['grad_norm']):.3f} "
                 f"({(time.time() - t0) / max(1, i + 1 - start):.2f} s/step)")
         if args.ckpt and (i + 1) % args.ckpt_every == 0:
-            save_train_checkpoint(args.ckpt, _host_tree(trainable),
-                                  _host_tree(opt_state), i + 1)
-            np.save(args.ckpt + ".data.npy", ds.state(),  # noqa: allow rng
-                    allow_pickle=True)
+            # train state: process 0 only (all processes hold identical
+            # gathered values; concurrent writers would race on shared
+            # storage). Dataset cursor: per process (decorrelated sampling).
+            host_t, host_o = _host_tree(trainable), _host_tree(opt_state)
+            if jax.process_index() == 0:
+                save_train_checkpoint(args.ckpt, host_t, host_o, i + 1)
+            _atomic_np_save(dstate_path, ds.state())
             log(f"checkpoint @ step {i + 1} -> {args.ckpt}")
 
     export_tree = combine_params(
@@ -213,6 +245,20 @@ def run(args) -> int:
             f"{n} tensors -> {args.out}")
     print(f"TRAIN LORA OK: {args.steps - start} steps, adapter {args.out}")
     return 0
+
+
+def _atomic_np_save(path, obj):
+    """np.save via pid-unique tmp + os.replace (np.save appends .npy to a
+    bare prefix, so write the tmp with an explicit .npy suffix)."""
+    import numpy as np
+
+    tmp = f"{path}.tmp.{os.getpid()}.npy"
+    try:
+        np.save(tmp, obj, allow_pickle=True)  # noqa: allow rng state
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
 
 
 def _host_tree(tree):
