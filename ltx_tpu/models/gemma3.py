@@ -212,6 +212,28 @@ def _kv_cache_init(kv_quant: str, shape, dtype):
     return jnp.zeros(shape, dtype)
 
 
+def _kv_constrain(cache, mesh):
+    """Pin the KV cache's kv-head axis to the mesh "model" axis.
+
+    Under TP (params sharded via parallel/sharding.shard_gemma_params) the
+    k/v activations come out head-sharded, but the while_loop carry takes
+    its sharding from the INITIAL cache value — zeros with no producer
+    constraint — so without this GSPMD is free to replicate the cache and
+    insert per-step all-gathers. Leaves are (nl, B, nkv, T[, hd]); axis 2
+    is the kv-head axis for both bf16 arrays and int8 {"q","s"} dicts."""
+    if mesh is None:
+        return cache
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    def leaf(a):
+        axes = [None] * a.ndim
+        axes[2] = "model"
+        return jax.lax.with_sharding_constraint(
+            a, NamedSharding(mesh, PartitionSpec(*axes)))
+
+    return jax.tree.map(leaf, cache)
+
+
 def _attention(p, x, bias, cos, sin, cfg: Gemma3Config, kv_cache=None,
                cache_index=None):
     b, t, _ = x.shape
@@ -414,6 +436,7 @@ def generate_tokens(
     spec_k: int = 0,
     spec_ngram: int = 3,
     kv_quant: str = "bf16",
+    mesh=None,
 ):
     """KV-cached autoregressive sampling, fully device-side.
 
@@ -428,6 +451,10 @@ def generate_tokens(
     verify step (0 = off). Distribution-preserving (see module comment);
     worst case (no n-gram ever matches) decodes 1 token/step at the same
     per-step latency. spec_ngram: lookup pattern length.
+    mesh: TP decode — params must already be sharded on this mesh via
+    parallel/sharding.shard_gemma_params; the per-token weight-DMA chain
+    (the decode bottleneck, docs/BENCH_NOTES.md §3-4) splits across the
+    "model" axis. Greedy output is token-identical to mesh=None (tested).
     Returns the generated token list (without the prompt).
     """
     if top_k <= 0:
@@ -473,7 +500,7 @@ def generate_tokens(
         float(repetition_penalty), int(repetition_context),
         with_embeds=embeds_padded is not None, top_k=int(top_k),
         spec_k=int(spec_k), spec_ngram=int(spec_ngram),
-        kv_quant=str(kv_quant),
+        kv_quant=str(kv_quant), mesh=mesh,
     )
     out, n_gen = fn(params, jnp.asarray(ids_padded), embeds_padded,
                     jnp.asarray(pad, jnp.int32), stop_arr, tables, key)
@@ -488,8 +515,13 @@ def _build_generate_fn(cfg: Gemma3Config, t_pad: int, max_new_tokens: int,
                        repetition_penalty: float, repetition_context: int,
                        with_embeds: bool, top_k: int = 64,
                        spec_k: int = 0, spec_ngram: int = 3,
-                       kv_quant: str = "bf16"):
-    """Compile-cached generation program for one (config, bucket) pair."""
+                       kv_quant: str = "bf16", mesh=None):
+    """Compile-cached generation program for one (config, bucket) pair.
+
+    mesh: TP — the program body is mesh-agnostic (GSPMD propagates layer
+    shardings from the param NamedShardings); the only explicit annotation
+    is the KV-cache carry (_kv_constrain). jax.sharding.Mesh is hashable,
+    so it participates in the compile cache key."""
     nl, nkv, hd = cfg.hidden_layers, cfg.kv_heads, cfg.head_dim
     vocab = cfg.vocab_size
     max_len = t_pad + max_new_tokens
@@ -521,8 +553,12 @@ def _build_generate_fn(cfg: Gemma3Config, t_pad: int, max_new_tokens: int,
         pcos_g, psin_g = cos_g[pos_ids], sin_g[pos_ids]
         pcos_l, psin_l = cos_l[pos_ids], sin_l[pos_ids]
 
-        ck0 = _kv_cache_init(kv_quant, (nl, 1, nkv, cache_len, hd), dtype)
-        cv0 = _kv_cache_init(kv_quant, (nl, 1, nkv, cache_len, hd), dtype)
+        ck0 = _kv_constrain(
+            _kv_cache_init(kv_quant, (nl, 1, nkv, cache_len, hd), dtype),
+            mesh)
+        cv0 = _kv_constrain(
+            _kv_cache_init(kv_quant, (nl, 1, nkv, cache_len, hd), dtype),
+            mesh)
 
         def prefill_layer(carry, scanned):
             h = carry
@@ -536,6 +572,7 @@ def _build_generate_fn(cfg: Gemma3Config, t_pad: int, max_new_tokens: int,
 
         h, (cks, cvs) = lax.scan(
             prefill_layer, h, (params["layers"], is_global, ck0, cv0))
+        cks, cvs = _kv_constrain(cks, mesh), _kv_constrain(cvs, mesh)
         h = gemma_rms_norm(h, params["norm"]["w"], cfg.rms_norm_eps)
         logits0 = _lm_head(params, h[:, -1])  # (1, vocab) f32
 
@@ -675,6 +712,7 @@ def generate_tokens_batched(
     spec_k: int = 0,
     spec_ngram: int = 3,
     kv_quant: str = "bf16",
+    mesh=None,
 ):
     """B prompts through ONE compiled KV-cached sampling program.
 
@@ -737,7 +775,7 @@ def generate_tokens_batched(
     fn = _build_generate_batched_fn(
         cfg, b, t_pad, max_new_tokens, float(temperature), float(top_p),
         float(repetition_penalty), int(repetition_context), int(top_k),
-        int(spec_k), int(spec_ngram), kv_quant=str(kv_quant))
+        int(spec_k), int(spec_ngram), kv_quant=str(kv_quant), mesh=mesh)
     out, n_gen = fn(params, jnp.asarray(ids_padded), jnp.asarray(pads),
                     stop_arr, tables, key)
     out, n_gen = np.asarray(out), np.asarray(n_gen)
@@ -750,7 +788,7 @@ def _build_generate_batched_fn(cfg: Gemma3Config, batch: int, t_pad: int,
                                top_p: float, repetition_penalty: float,
                                repetition_context: int, top_k: int,
                                spec_k: int = 0, spec_ngram: int = 3,
-                               kv_quant: str = "bf16"):
+                               kv_quant: str = "bf16", mesh=None):
     """Compile-cached batched generation program (one (config, B, bucket)).
 
     DELIBERATE twin of _build_generate_fn: delegating generate_tokens to
@@ -786,10 +824,12 @@ def _build_generate_batched_fn(cfg: Gemma3Config, batch: int, t_pad: int,
         pcos_g, psin_g = cos_g[pos_ids], sin_g[pos_ids]  # (B, t_pad, hd/2)
         pcos_l, psin_l = cos_l[pos_ids], sin_l[pos_ids]
 
-        ck0 = _kv_cache_init(kv_quant, (nl, batch, nkv, cache_len, hd),
-                             dtype)
-        cv0 = _kv_cache_init(kv_quant, (nl, batch, nkv, cache_len, hd),
-                             dtype)
+        ck0 = _kv_constrain(
+            _kv_cache_init(kv_quant, (nl, batch, nkv, cache_len, hd),
+                           dtype), mesh)
+        cv0 = _kv_constrain(
+            _kv_cache_init(kv_quant, (nl, batch, nkv, cache_len, hd),
+                           dtype), mesh)
 
         def prefill_layer(carry, scanned):
             h = carry
@@ -803,6 +843,7 @@ def _build_generate_batched_fn(cfg: Gemma3Config, batch: int, t_pad: int,
 
         h, (cks, cvs) = lax.scan(
             prefill_layer, h, (params["layers"], is_global, ck0, cv0))
+        cks, cvs = _kv_constrain(cks, mesh), _kv_constrain(cvs, mesh)
         h = gemma_rms_norm(h, params["norm"]["w"], cfg.rms_norm_eps)
         logits0 = _lm_head(params, h[:, -1])  # (B, vocab) f32
 

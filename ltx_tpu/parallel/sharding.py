@@ -162,6 +162,41 @@ def shard_transformer_params(params, mesh: Mesh):
 shard_dit_params = shard_transformer_params
 
 
+def gemma_param_specs(params) -> dict:
+    """Gemma spec tree: layer leaves via the generic walker PLUS the
+    embedding table sharded over the VOCAB axis.
+
+    Decode is weight-DMA bound (docs/BENCH_NOTES.md §3-4, §14): every token
+    streams the full weight set once, so TP's speedup is the DMA split. The
+    embedding/lm_head table is ~2 GB bf16 (262k x 3840) — replicating it
+    would leave the largest single tensor unsplit. Vocab-sharding splits
+    both the tied lm_head matmul (output logits sharded, gathered once for
+    the top-k) and the table residency; the embed gather becomes a
+    GSPMD-partitioned gather. Leaves: {"w"} bf16 or {"w8r","sr"} int8 —
+    all shard axis 0 (vocab).
+    """
+    specs = transformer_param_specs(params)
+    emb = params.get("embed_tokens")
+    if isinstance(emb, dict):
+        specs["embed_tokens"] = {
+            k: P(*(["model"] + [None] * (np.ndim(v) - 1)))
+            for k, v in emb.items()
+        }
+    return specs
+
+
+def shard_gemma_params(params, mesh: Mesh):
+    """Place a Gemma pytree on the mesh: megatron TP over layers + vocab-
+    sharded embeddings (see gemma_param_specs)."""
+    from ltx_tpu.kernels.quantization import set_tensor_parallel
+
+    set_tensor_parallel(True)
+    specs = gemma_param_specs(params)
+    return jax.tree.map(
+        lambda p, s: jax.device_put(p, NamedSharding(mesh, s)), params, specs
+    )
+
+
 def replicate(tree, mesh: Mesh):
     return jax.tree.map(
         lambda p: jax.device_put(p, NamedSharding(mesh, P())), tree

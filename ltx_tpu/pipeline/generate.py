@@ -229,7 +229,12 @@ class LTXPipeline:
             elif self.mesh is not None:
                 from ltx_tpu.parallel import sharding as shard_mod
 
-                if name in self._TP_SHARDED:
+                if name == "gemma_params":
+                    # vocab-sharded embeddings on top of layer TP: decode is
+                    # weight-DMA bound and the tied embed/lm_head table is
+                    # the largest single tensor (parallel/sharding.py)
+                    placed = shard_mod.shard_gemma_params(tree, self.mesh)
+                elif name in self._TP_SHARDED:
                     placed = shard_mod.shard_transformer_params(tree, self.mesh)
                 else:
                     placed = shard_mod.replicate(tree, self.mesh)
@@ -275,11 +280,13 @@ class LTXPipeline:
         if not staging.is_host_tree(self.transformer_params):
             self.transformer_params = shard_mod.shard_transformer_params(
                 self.transformer_params, mesh)
-        for tp_name in ("av_transformer_params", "gemma_params"):
-            tree = getattr(self, tp_name)
-            if tree is not None and not staging.is_host_tree(tree):
-                setattr(self, tp_name,
-                        shard_mod.shard_transformer_params(tree, mesh))
+        tree = self.av_transformer_params
+        if tree is not None and not staging.is_host_tree(tree):
+            self.av_transformer_params = shard_mod.shard_transformer_params(
+                tree, mesh)
+        tree = self.gemma_params
+        if tree is not None and not staging.is_host_tree(tree):
+            self.gemma_params = shard_mod.shard_gemma_params(tree, mesh)
         for name in ("vae_decoder_params", "vae_encoder_params",
                      "upscaler_params", "text_encoder_params",
                      "audio_vae_params", "vocoder_params"):
@@ -490,6 +497,7 @@ class LTXPipeline:
             vision_params=self.vision_params,
             vision_config=self.vision_config,
             spec_k=config.enhancement_spec_k,
+            mesh=self.mesh,  # TP decode: per-token weight DMA splits ~8x
         )
         if timings is not None:
             timings.enhancement = time.time() - t0

@@ -147,7 +147,8 @@ def build_app(
                 [p["prompt"] for p in payloads],
                 is_i2v=bool(p0["i2v"]), max_tokens=int(p0["max_tokens"]),
                 temperature=float(p0["temperature"]), seed=int(p0["seed"]),
-                spec_k=spec_k, strict=True, kv_quant=kv_quant)
+                spec_k=spec_k, strict=True, kv_quant=kv_quant,
+                mesh=pipe.mesh)
 
         batcher = MicroBatcher(
             run_enhance_batch, max_batch=max_batch,
