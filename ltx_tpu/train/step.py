@@ -46,8 +46,11 @@ class TrainConfig:
     lora_only: bool = False
     sigma_scheme: str = "logit_normal"
     # "xla" (differentiable SDPA; backward remats f32 (T, T) logits per
-    # layer) or "pallas" (FA-2 Pallas fwd+bwd kernels, no logits buffer —
-    # required for long-sequence one-chip training, BENCH_NOTES §11).
+    # layer), "pallas" (FA-2 Pallas fwd+bwd kernels, no logits buffer —
+    # required for long-sequence one-chip training, BENCH_NOTES §11), or
+    # "ring" (sequence-parallel: token axis sharded over the mesh set via
+    # ops.attention.set_sequence_parallel; forward AND backward ring the
+    # flash kernels — parallel/ring_attention.py custom VJP).
     sdpa_impl: str = "xla"
     remat: bool = True
     # Segmented ("sqrt") remat: checkpoint groups of num_layers/S blocks

@@ -147,3 +147,66 @@ def test_ring_output_stays_sequence_sharded(mesh):
     v = jax.device_put(v, sharding)
     out = sequence_parallel_sdpa(q, k, v, mesh)
     assert out.sharding.spec == P(None, None, "model", None)
+
+# ---------------------------------------------------------------------------
+# Differentiability (round 4): the ring is a custom VJP whose backward makes
+# a second K/V loop with traveling dK/dV accumulators — gradients must match
+# the plain XLA SDPA's on every path.
+# ---------------------------------------------------------------------------
+
+
+def _grad_ref(q, k, v, bias4=None):
+    def loss(q, k, v):
+        o = _xla_sdpa(q, k, v, bias=bias4)
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+
+def test_ring_grads_match_sdpa(mesh):
+    q, k, v = _qkv(jax.random.key(5))
+    dq_r, dk_r, dv_r = _grad_ref(q, k, v)
+
+    def loss(q, k, v):
+        o = sequence_parallel_sdpa(q, k, v, mesh)
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    dq, dk, dv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    for got, ref in ((dq, dq_r), (dk, dk_r), (dv, dv_r)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=5e-4, rtol=1e-3)
+
+
+def test_ring_grads_with_key_bias(mesh):
+    q, k, v = _qkv(jax.random.key(6))
+    t = q.shape[2]
+    bias = jnp.where(jnp.arange(t)[None] < t - 64, 0.0, -1e9
+                     ).astype(jnp.float32)
+    dq_r, dk_r, dv_r = _grad_ref(q, k, v, bias4=bias[:, None, None, :])
+
+    def loss(q, k, v):
+        o = sequence_parallel_sdpa(q, k, v, mesh, bias=bias)
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    dq, dk, dv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    for got, ref in ((dq, dq_r), (dk, dk_r), (dv, dv_r)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=5e-4, rtol=1e-3)
+
+
+def test_ring_flash_grads_match_sdpa(mesh):
+    """The FLASH ring backward (FA-2 Pallas dq + dk/dv kernels inside the
+    rotating loop, interpret mode on CPU) matches plain SDPA grads — the
+    long-sequence training configuration (TrainConfig.sdpa_impl='ring')."""
+    q, k, v = _qkv(jax.random.key(7), t=128)
+    dq_r, dk_r, dv_r = _grad_ref(q, k, v)
+
+    def loss(q, k, v):
+        o = sequence_parallel_sdpa(q, k, v, mesh, use_flash=True,
+                                   interpret=True)
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    dq, dk, dv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    for got, ref in ((dq, dq_r), (dk, dk_r), (dv, dv_r)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=5e-4, rtol=1e-3)
