@@ -198,6 +198,11 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--batch-window-ms", type=float, default=50.0,
                    help="How long the first enhance request waits to "
                         "coalesce with concurrent arrivals")
+    s.add_argument("--gen-batch", type=int, default=1,
+                   help="Coalesce queued SAME-CONFIG t2v jobs into one "
+                        "batched denoise program (per-job seeds/outputs "
+                        "preserved); denoise+decode HBM scales with B — "
+                        "25f@768x512 int4 fits B=4 on one chip")
     s.add_argument("--gemma-path", default=None)
     s.add_argument("--ltx-weights", default=None)
     s.add_argument("--models-dir", default=None)
@@ -610,7 +615,7 @@ def cmd_serve(args) -> int:
         pipe, output_dir=args.output_dir, host=args.host, port=args.port,
         max_batch=max_batch, spec_k=args.spec_k, kv_quant=args.kv_quant,
         batch_window_s=args.batch_window_ms / 1000.0,
-        image_root=args.image_root,
+        image_root=args.image_root, gen_batch=args.gen_batch,
         info={"model": args.model, "transformer_quant":
               args.transformer_quant, "gemma_quant": args.gemma_quant,
               "audio": args.audio, "upscaler": args.upscaler},

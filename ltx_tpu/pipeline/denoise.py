@@ -108,6 +108,34 @@ def build_guidance_context(guidance: GuidanceSpec, pos_embeddings, pos_mask,
     return context, prepare_additive_mask(mask)
 
 
+def build_guidance_context_batched(guidance: GuidanceSpec, pos_embeddings,
+                                   pos_mask, neg_embeddings=None,
+                                   neg_mask=None):
+    """B-prompt guidance rows, B-MAJOR: sample i's rows at i*G..i*G+G-1.
+
+    pos/neg embeddings: (B, S, D); masks: (B, S). Returns
+    (context (B*G, S, D), bias (B*G, 1, 1, S) or None) — the layout
+    make_denoise_step's batched path (shape.batch=B) expects. Serving jobs
+    batch with per-job prompts but SHARED guidance config (the step is
+    compiled per GuidanceSpec)."""
+    per = []
+    if guidance.use_cfg:
+        if neg_embeddings is None:
+            raise InvalidConfigurationError(
+                "CFG requires negative-prompt embeddings")
+        per.append((neg_embeddings, neg_mask))
+    per.append((pos_embeddings, pos_mask))
+    if guidance.use_stg:
+        per.append((pos_embeddings, pos_mask))
+    b, s, d = pos_embeddings.shape
+    g = len(per)
+    context = jnp.stack([e for e, _ in per], axis=1).reshape(b * g, s, d)
+    if per[0][1] is None:
+        return context, None
+    mask = jnp.stack([m for _, m in per], axis=1).reshape(b * g, s)
+    return context, prepare_additive_mask(mask)
+
+
 def make_denoise_step(
     dit_params,
     tcfg: TransformerConfig,
@@ -128,6 +156,12 @@ def make_denoise_step(
     Returns step(latent, sigma, sigma_next, prev_velocity, has_prev, key)
       -> (new_latent, velocity); latent/velocity are f32 (B, C, F, H, W).
 
+    shape.batch > 1 batches B PROMPTS through one compiled step (serving:
+    queued jobs with identical shape/params stack like enhance rows do) —
+    context must then be (B*G, S, D) B-major from
+    build_guidance_context_batched; per-sample numerics match the B=1 step
+    (tests/test_serve_batch.py). The B=1 program is unchanged.
+
     pp_mesh: a ("data", "pipe") mesh (parallel/pipeline.py) runs the DiT
     forward as a GPipe pipeline — guidance rows become the microbatches;
     place dit_params with shard_pp_params first. Numerics identical to the
@@ -135,6 +169,7 @@ def make_denoise_step(
     ("data", "model") sharding path.
     """
     g = guidance.num_rows
+    b = shape.batch  # B>1: serving batch — B prompts' rows stack B-major
     cos, sin = rope_ops.video_rope(
         shape.frames, shape.height, shape.width, tcfg.inner_dim,
         tcfg.num_heads, theta=tcfg.rope_theta, max_pos=tcfg.max_pos, fps=fps,
@@ -144,7 +179,8 @@ def make_denoise_step(
     skip_sa = skip_ff = None
     if guidance.use_stg:
         skip_sa, skip_ff = dit.stg_skip_masks(
-            tcfg, g, guidance.stg_blocks, perturbed_rows=[g - 1]
+            tcfg, b * g, guidance.stg_blocks,
+            perturbed_rows=[i * g + g - 1 for i in range(b)]
         )
 
     cond_mask = None
@@ -172,14 +208,19 @@ def make_denoise_step(
             noised = frame0 + image_cond_noise_scale * noise * sigma**2
             latent = latent.at[:, :, :1].set(noised)
 
-        tokens = patchify(latent).astype(jnp.bfloat16)  # (1, T, C)
-        tokens_g = jnp.tile(tokens, (g, 1, 1))
+        tokens = patchify(latent).astype(jnp.bfloat16)  # (B, T, C)
+        if b == 1:
+            tokens_g = jnp.tile(tokens, (g, 1, 1))
+        else:
+            # B-major rows: sample i's guidance rows at i*g .. i*g+g-1
+            # (matches build_guidance_context_batched's context layout)
+            tokens_g = jnp.repeat(tokens, g, axis=0)
 
         if cond_mask is not None:
             # per-token timestep: frame-0 tokens sigma=0 (clean)
-            timesteps = jnp.tile(sigma * (1 - cond_mask), (g, 1))  # (G, T)
+            timesteps = jnp.tile(sigma * (1 - cond_mask), (b * g, 1))
         else:
-            timesteps = jnp.full((g,), sigma, jnp.float32)
+            timesteps = jnp.full((b * g,), sigma, jnp.float32)
 
         if pp_mesh is not None:
             from ltx_tpu.parallel.pipeline import dit_forward_pp
@@ -201,21 +242,30 @@ def make_denoise_step(
 
         rows = unpatchify(
             vel_tokens,
-            dataclasses.replace(shape, batch=g),
-        ).astype(jnp.float32)  # (G, C, F, H, W)
+            dataclasses.replace(shape, batch=b * g),
+        ).astype(jnp.float32)  # (B*G, C, F, H, W)
+
+        if b == 1:
+            def row(j):  # keeps the B=1 lowering byte-identical
+                return rows[j: j + 1]
+        else:
+            rr = rows.reshape(b, g, *rows.shape[1:])
+
+            def row(j):  # (B, C, F, H, W): row j of every sample
+                return rr[:, j]
 
         if guidance.use_cfg:
-            uncond, cond = rows[0:1], rows[1:2]
+            uncond, cond = row(0), row(1)
             velocity = apply_cfg(uncond, cond, guidance.cfg_scale)
             if guidance.guidance_rescale > 0:
                 velocity = apply_guidance_rescale(
                     velocity, cond, guidance.guidance_rescale
                 )
         else:
-            velocity = rows[0:1]
+            velocity = row(0)
 
         if guidance.use_stg:
-            perturbed = rows[g - 1 : g]
+            perturbed = row(g - 1)
             velocity = velocity + guidance.stg_scale * (velocity - perturbed)
 
         if guidance.ge_gamma > 0:

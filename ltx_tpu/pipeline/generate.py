@@ -504,23 +504,75 @@ class LTXPipeline:
         log.info("Enhanced prompt: %s", enhanced)
         return enhanced
 
+    def _abs_param_tree(self, tree, replicated: bool = False,
+                        specs_fn=None):
+        """ShapeDtypeStruct tree for AOT lowering. On a mesh the structs
+        carry the SAME NamedShardings the real call's committed params have
+        (live device arrays' .sharding when already placed; otherwise the
+        spec walker / replication the upcoming _on_device will apply) —
+        bare structs drop the shardings and warm a program never hit."""
+        mesh = self.mesh or self.pp_mesh
+        if mesh is None:
+            return jax.tree.map(
+                lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), tree)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ltx_tpu.utils import staging
+
+        if not staging.is_host_tree(tree):
+            # already placed: mirror the live shardings exactly
+            return jax.tree.map(
+                lambda a: jax.ShapeDtypeStruct(
+                    a.shape, a.dtype, sharding=getattr(a, "sharding", None)),
+                tree)
+        if replicated or specs_fn is None:
+            return jax.tree.map(
+                lambda a: jax.ShapeDtypeStruct(
+                    a.shape, a.dtype, sharding=NamedSharding(mesh, P())),
+                tree)
+        specs = specs_fn(tree)
+        return jax.tree.map(
+            lambda a, s: jax.ShapeDtypeStruct(
+                a.shape, a.dtype, sharding=NamedSharding(mesh, s)),
+            tree, specs)
+
+    def _transformer_specs_fn(self):
+        """The spec walker _on_device will apply to transformer_params."""
+        if self.pp_mesh is not None:
+            from ltx_tpu.parallel.pipeline import pp_param_specs
+
+            return pp_param_specs
+        from ltx_tpu.parallel.sharding import transformer_param_specs
+
+        return transformer_param_specs
+
     def _warm_lowering(self, config: GenerationConfig, guidance):
         """Lower the T2V denoise step for the upcoming shapes from abstract
         inputs only — no params touch the device (enhancement owns the HBM
         under phase staging). tests/test_pipeline.py asserts this lowering
-        is IDENTICAL to the one the real denoise phase traces."""
+        is IDENTICAL to the one the real denoise phase traces — single-chip
+        AND mesh (sharding-annotated abstract values)."""
         shape = VideoLatentShape.from_pixels(
             1, config.num_frames, config.height, config.width,
             channels=self.tcfg.in_channels,
         )
         g = guidance.num_rows
         s = self.tecfg.max_length
+        # on a mesh the real context/bias are COMMITTED replicated arrays
+        # (encode_prompt runs with replicated text-encoder params), so the
+        # abstract values must carry the same sharding annotation
+        repl = None
+        mesh = self.mesh or self.pp_mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            repl = NamedSharding(mesh, PartitionSpec())
         abs_ctx = jax.ShapeDtypeStruct((g, s, self.tcfg.caption_channels),
-                                       jnp.bfloat16)
-        abs_bias = jax.ShapeDtypeStruct((g, 1, 1, s), jnp.float32)
-        abs_params = jax.tree.map(
-            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
-            self.transformer_params)
+                                       jnp.bfloat16, sharding=repl)
+        abs_bias = jax.ShapeDtypeStruct((g, 1, 1, s), jnp.float32,
+                                        sharding=repl)
+        abs_params = self._abs_param_tree(
+            self.transformer_params, specs_fn=self._transformer_specs_fn())
         step = make_denoise_step(
             abs_params, self.tcfg, guidance, shape,
             abs_ctx, abs_bias,
@@ -564,9 +616,8 @@ class LTXPipeline:
             tile_f, to_uint8 = shape.frames, False
         else:
             tile_f, to_uint8 = tile, True
-        abs_params = jax.tree.map(
-            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
-            self.vae_decoder_params)
+        abs_params = self._abs_param_tree(self.vae_decoder_params,
+                                          replicated=True)
         abs_tile = jax.ShapeDtypeStruct(
             (1, self.vcfg.latent_channels, tile_f, shape.height, shape.width),
             dt)
@@ -582,15 +633,27 @@ class LTXPipeline:
         upcoming shapes in a background thread, so the (remote, 5-40 s each)
         compiles overlap the prompt-enhancement generate loop instead of
         serializing after it (VERDICT r2 weak #4; the decoder compile alone
-        measured 26 s at the north-star shape). Single-chip only: lowering
-        with ShapeDtypeStructs drops NamedShardings, which would warm the
-        wrong executable.
+        measured 26 s at the north-star shape). Mesh runs warm too
+        (round 4): the abstract params carry the real call's NamedShardings
+        (_abs_param_tree), so the lowered program is the one GSPMD traces.
+        The VAE warm is skipped only when the mesh decode will route
+        through decode_video_sharded (a shard_map program with its own
+        dispatch — warming the tiled executable would compile a program
+        that is never hit).
 
         Returns a join() callable (records timings.warm_compile; never
         raises — a failed warm-up just means the compile happens inline
         later, which is the status quo).
         """
         import threading
+
+        warm_vae = True
+        if self.mesh is not None and self.mesh.shape.get("model", 1) > 1:
+            lat_f = VideoLatentShape.from_pixels(
+                1, config.num_frames, config.height, config.width,
+                channels=self.vcfg.latent_channels).frames
+            if lat_f >= self.mesh.shape["model"]:
+                warm_vae = False  # real decode takes decode_video_sharded
 
         def _warm():
             t0 = time.time()
@@ -600,13 +663,14 @@ class LTXPipeline:
                          time.time() - t0)
             except Exception as e:  # pragma: no cover - depends on backend
                 log.info("warm compile skipped (%s)", e)
-            try:
-                t1 = time.time()
-                self._warm_vae_lowering(config).compile()
-                log.info("vae-decoder warm compile: %.1f s",
-                         time.time() - t1)
-            except Exception as e:  # pragma: no cover - depends on backend
-                log.info("vae warm compile skipped (%s)", e)
+            if warm_vae:
+                try:
+                    t1 = time.time()
+                    self._warm_vae_lowering(config).compile()
+                    log.info("vae-decoder warm compile: %.1f s",
+                             time.time() - t1)
+                except Exception as e:  # pragma: no cover
+                    log.info("vae warm compile skipped (%s)", e)
             if timings is not None:
                 timings.warm_compile = time.time() - t0
 
@@ -708,10 +772,10 @@ class LTXPipeline:
         # proceeds concurrently on the host/compile-server)
         join_warm = None
         if (config.enhance_prompt and self.gemma_params is not None
-                and self.mesh is None and not is_i2v
-                and precomputed_embeddings is None):
+                and not is_i2v and precomputed_embeddings is None):
             # (I2V traces a different step program — conditioning mask —
-            # so only the T2V shape is warmed)
+            # so only the T2V shape is warmed; mesh runs warm with
+            # sharding-annotated abstract values, round 4)
             join_warm = self._start_warm_compile(config, guidance, timings)
         prompt = self._maybe_enhance(prompt, config, is_i2v=is_i2v,
                                      timings=timings)
@@ -797,6 +861,119 @@ class LTXPipeline:
         frames = frames[: config.num_frames]
         timings.total = time.time() - total_start
         return VideoGenerationResult(frames=frames, timings=timings, seed=seed)
+
+    def generate_videos(self, prompts, config: GenerationConfig,
+                        seeds=None) -> list:
+        """B prompts through ONE compiled batched denoise program (serving
+        throughput path; no reference analog — the Swift pipeline is
+        strictly one generation at a time).
+
+        The denoise step is compute-bound at production token counts, but
+        small-to-mid shapes leave MXU headroom and every step's weight
+        streaming is shared across the batch — queued jobs with identical
+        (shape, guidance, steps) stack on the batch axis exactly like
+        enhance rows do (serve/jobs.py drains compatible T2V jobs
+        together). Per-job isolation: each prompt keeps its own seed,
+        noise, context rows, and decode; per-sample numerics match the
+        B=1 path (tests/test_serve_batch.py).
+
+        seeds: optional per-prompt seeds (default config.seed, config.seed+1,
+        ...). T2V only. Returns a list of VideoGenerationResult.
+        """
+        from ltx_tpu.pipeline.denoise import build_guidance_context_batched
+
+        config.validate()
+        b = len(prompts)
+        if b == 0:
+            return []
+        total_start = time.time()
+        if seeds is None:
+            base = config.seed if config.seed is not None else int(time.time())
+            seeds = [base + i for i in range(b)]
+        if len(seeds) != b:
+            from ltx_tpu.core.errors import InvalidConfigurationError
+
+            raise InvalidConfigurationError(
+                f"{len(seeds)} seeds for {b} prompts")
+        guidance = GuidanceSpec.from_config(config)
+
+        if config.enhance_prompt and self.gemma_params is not None:
+            from ltx_tpu.pipeline.enhance import enhance_prompts
+
+            self._on_device("gemma_params")
+            prompts = enhance_prompts(
+                self.gemma_params, self.gcfg, self.tokenizer, list(prompts),
+                spec_k=config.enhancement_spec_k, mesh=self.mesh)
+
+        # --- batched text encoding (one staged Gemma/connector pass)
+        t0 = time.time()
+        pos_rows = self.encode_prompts(list(prompts))
+        pos_v = jnp.concatenate([r["video"] for r in pos_rows], axis=0)
+        pos_m = jnp.concatenate([r["mask"] for r in pos_rows], axis=0)
+        neg_v = neg_m = None
+        if guidance.use_cfg:
+            neg = self.encode_prompt(
+                config.negative_prompt or DEFAULT_NEGATIVE_PROMPT)
+            neg_v = jnp.tile(neg["video"], (b, 1, 1))
+            neg_m = jnp.tile(neg["mask"], (b, 1))
+        if self.memory.offload_text_encoder:
+            self.offload_text_encoder()
+        context, bias = build_guidance_context_batched(
+            guidance, pos_v, pos_m, neg_v, neg_m)
+
+        # --- per-prompt noise on the shared shape
+        shape = VideoLatentShape.from_pixels(
+            b, config.num_frames, config.height, config.width,
+            channels=self.tcfg.in_channels,
+        )
+        one = dataclasses.replace(shape, batch=1)
+        sigmas = self._sigmas(config, shape)
+        # EXACTLY the B=1 key derivation per sample (generate_video:
+        # key->nkey, then dkey, then vkey) so each row's noise and decode
+        # match a solo run of the same seed
+        keys = []
+        for s in seeds:
+            k = jax.random.key(s)
+            k, nkey = jax.random.split(k)
+            k, dkey = jax.random.split(k)
+            k, vkey = jax.random.split(k)
+            keys.append((nkey, dkey, vkey))
+        latent = jnp.concatenate(
+            [generate_noise(k[0], one) for k in keys], axis=0
+        ) * float(sigmas[0])
+
+        timings = GenerationTimings()
+        timings.text_encoding = time.time() - t0
+        self._on_device("transformer_params")
+        step_fn = make_denoise_step(
+            self.transformer_params, self.tcfg, guidance, shape,
+            context, bias, fps=config.fps, sdpa_impl=self.sdpa_impl,
+            remat=self.memory.remat_blocks,
+            pp_mesh=self.pp_mesh, pp_microbatches=self.pp_microbatches,
+        )
+
+        def on_step(i, n, sigma):
+            timings.denoise_steps.append(time.time() - on_step.t0)
+            on_step.t0 = time.time()
+
+        on_step.t0 = time.time()
+        # one shared denoise key stream: per-sample noise isolation comes
+        # from the initial latents; the step's own key draws are only used
+        # on the I2V re-noise path (not taken here)
+        latent = run_denoise_loop(step_fn, latent, sigmas,
+                                  key=keys[0][1], on_step=on_step)
+
+        results = []
+        for i in range(b):
+            t_i = GenerationTimings()
+            t_i.text_encoding = timings.text_encoding / b
+            t_i.denoise_steps = [d / b for d in timings.denoise_steps]
+            frames = self._decode_frames(latent[i: i + 1], keys[i][2], t_i)
+            t_i.total = time.time() - total_start
+            results.append(VideoGenerationResult(
+                frames=frames[: config.num_frames], timings=t_i,
+                seed=seeds[i]))
+        return results
 
     def _denoise(self, latent, sigmas, shape, guidance, context, bias,
                  conditioning_mask, cond_noise_scale, fps, key, timings,

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import logging
 import threading
+import time
 from dataclasses import dataclass
 from pathlib import Path
 from typing import Optional
@@ -124,11 +125,19 @@ def build_app(
     info: Optional[dict] = None,
     image_root: Optional[str] = None,
     kv_quant: str = "bf16",
+    gen_batch: int = 1,
 ) -> ServeApp:
     """Wire a loaded LTXPipeline into JobQueue + MicroBatcher + HTTP server.
 
     The server is constructed but NOT started; call
     serve_forever_threaded(app.server) or app.server.serve_forever().
+
+    gen_batch > 1 coalesces queued SAME-CONFIG text-to-video jobs into one
+    batched denoise program (pipeline.generate_videos) — per-job seeds,
+    outputs and failure isolation are preserved. The denoise batch
+    multiplies activation + decode HBM by B, so caps are resolution-bound:
+    25f@768x512 int4 fits B=4 on one chip; raise cautiously at larger
+    shapes (the flagship 241f@1024x640 stays B=1).
     """
     out = Path(output_dir)
     out.mkdir(parents=True, exist_ok=True)
@@ -185,8 +194,53 @@ def build_app(
             rec["audio"] = path + ".wav"
         return rec
 
+    def _export_one(job: Job, result, cfg) -> dict:
+        from ltx_tpu.io.video import export_video, export_wav
+
+        path = str(out / f"{job.job_id}.mp4")
+        export_video(result.frames, path, fps=cfg.fps, audio=result.audio,
+                     config=export_config_from_request(job.request, cfg.fps))
+        rec = {"output": path, "seed": result.seed,
+               "frames": int(result.frames.shape[0]),
+               "width": int(result.frames.shape[2]),
+               "height": int(result.frames.shape[1])}
+        if result.audio is not None:
+            export_wav(result.audio, path + ".wav")
+            rec["audio"] = path + ".wav"
+        return rec
+
+    def generate_batch_key(job: Job):
+        """Hashable coalescing key for plain T2V jobs: the FULL generation
+        config minus the seed (per-job), or None (run solo) for any other
+        kind / I2V / unparseable request."""
+        if job.kind != "t2v":
+            return None
+        import dataclasses as _dc
+
+        cfg = request_to_config(job.request, image_root=root)
+        if cfg.image_path is not None or cfg.enhance_prompt:
+            # enhanced prompts run through the single-job path: batched
+            # enhancement belongs to the MicroBatcher, and interleaving it
+            # here would double-hold Gemma HBM mid-batch
+            return None
+        return _dc.replace(cfg, seed=0)
+
+    def run_generate_batch(batch) -> list:
+        cfgs = [request_to_config(j.request, image_root=root) for j in batch]
+        seeds = []
+        for i, c in enumerate(cfgs):
+            seeds.append(c.seed if c.seed is not None
+                         else int(time.time()) + i)
+        results = pipe.generate_videos(
+            [j.request["prompt"] for j in batch], cfgs[0], seeds=seeds)
+        return [_export_one(j, r, c)
+                for j, r, c in zip(batch, results, cfgs)]
+
     jobs = JobQueue(run_job, device_lock=device_lock,
-                    on_job=metrics.on_job)
+                    on_job=metrics.on_job,
+                    run_batch=run_generate_batch if gen_batch > 1 else None,
+                    batch_key=generate_batch_key if gen_batch > 1 else None,
+                    max_batch=gen_batch)
 
     def validate_fn(body) -> Optional[str]:
         try:

@@ -66,6 +66,13 @@ class JobQueue:
         take the process down with one bad request).
     device_lock: optional shared single-chip execution lock.
     keep: completed-job records retained (oldest evicted beyond this).
+    run_batch/batch_key/max_batch (round 4): pending jobs whose batch_key
+        matches the head job's coalesce into ONE run_batch([jobs]) ->
+        [result, ...] call — same-shape T2V prompts share one batched
+        denoise program (pipeline.generate_videos). batch_key returning
+        None (or raising) keeps a job solo; per-job isolation (seed,
+        output, failure) is preserved — a batch failure fails exactly its
+        own jobs.
     """
 
     def __init__(
@@ -74,11 +81,21 @@ class JobQueue:
         device_lock: Optional[threading.Lock] = None,
         keep: int = 256,
         on_job: Optional[Callable[[str, str, float], None]] = None,
+        run_batch: Optional[Callable[[List[Job]], List[dict]]] = None,
+        batch_key: Optional[Callable[[Job], Any]] = None,
+        max_batch: int = 4,
     ):
         self._run_job = run_job
         self._device_lock = device_lock
         self._keep = keep
         self._on_job = on_job  # (kind, final_state, seconds) — metrics hook
+        # batched drain: when batch_key(job) is not None, pending jobs with
+        # the SAME key coalesce (up to max_batch) into one run_batch call —
+        # queued same-shape T2V prompts stack on the denoise batch axis
+        # like enhance rows do (pipeline.generate_videos).
+        self._run_batch = run_batch
+        self._batch_key = batch_key
+        self._max_batch = max(1, int(max_batch))
         self._jobs: Dict[str, Job] = {}
         self._order: deque = deque()  # job ids, submission order
         self._queue: deque = deque()  # pending job ids
@@ -150,6 +167,33 @@ class JobQueue:
             self._order.popleft()
             self._jobs.pop(jid, None)
 
+    def _collect_batch(self, first: Job) -> List[Job]:
+        """Under self._lock: pop pending jobs sharing first's batch key
+        (submission order preserved for the rest of the queue)."""
+        batch = [first]
+        if self._run_batch is None or self._batch_key is None:
+            return batch
+        try:
+            key = self._batch_key(first)
+        except Exception:  # noqa: BLE001 — an unkeyable job runs solo
+            return batch
+        if key is None:
+            return batch
+        kept = deque()
+        while self._queue and len(batch) < self._max_batch:
+            jid = self._queue.popleft()
+            job = self._jobs[jid]
+            try:
+                match = self._batch_key(job) == key
+            except Exception:  # noqa: BLE001
+                match = False
+            if match:
+                batch.append(job)
+            else:
+                kept.append(jid)
+        self._queue.extendleft(reversed(kept))
+        return batch
+
     def _loop(self):
         while True:
             with self._lock:
@@ -157,32 +201,48 @@ class JobQueue:
                     self._has_work.wait()
                 if not self._queue:
                     return
-                job = self._jobs[self._queue.popleft()]
-                job.state = RUNNING
-                job.started_at = time.time()
+                first = self._jobs[self._queue.popleft()]
+                batch = self._collect_batch(first)
+                now = time.time()
+                for job in batch:
+                    job.state = RUNNING
+                    job.started_at = now
             try:
+                def _run():
+                    if len(batch) == 1:
+                        return [self._run_job(batch[0])]
+                    return self._run_batch(batch)
+
                 if self._device_lock is not None:
                     with self._device_lock:
-                        result = self._run_job(job)
+                        results = _run()
                 else:
-                    result = self._run_job(job)
+                    results = _run()
+                if len(results) != len(batch):
+                    raise RuntimeError(
+                        f"run_batch returned {len(results)} results for "
+                        f"{len(batch)} jobs")
                 with self._lock:
-                    job.result = result if isinstance(result, dict) else {
-                        "value": result}
-                    job.state = DONE
-                    job.finished_at = time.time()
+                    for job, result in zip(batch, results):
+                        job.result = result if isinstance(result, dict) \
+                            else {"value": result}
+                        job.state = DONE
+                        job.finished_at = time.time()
             except Exception as e:  # noqa: BLE001 — record, keep serving
                 with self._lock:
-                    job.error = "".join(traceback.format_exception_only(
+                    err = "".join(traceback.format_exception_only(
                         type(e), e)).strip()
-                    job.state = FAILED
-                    job.finished_at = time.time()
+                    for job in batch:
+                        job.error = err
+                        job.state = FAILED
+                        job.finished_at = time.time()
             if self._on_job is not None:
-                try:
-                    self._on_job(job.kind, job.state,
-                                 job.finished_at - job.started_at)
-                except Exception:  # noqa: BLE001 — metrics never fail work
-                    pass
+                for job in batch:
+                    try:
+                        self._on_job(job.kind, job.state,
+                                     job.finished_at - job.started_at)
+                    except Exception:  # noqa: BLE001 — metrics never fail
+                        pass
 
     def wait(self, job_id: str, timeout: float = 60.0,
              poll_s: float = 0.01) -> dict:

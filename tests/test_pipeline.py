@@ -342,3 +342,63 @@ def test_encode_prompts_staged_releases_gemma(pipe):
         pipe.memory = old_mem
         pipe.gemma_params = old_gemma
         pipe._host_store.pop("gemma_params", None)
+
+
+def test_warm_compile_lowering_matches_real_step_on_mesh():
+    """MESH warm compile (round 4): the abstract-input lowering now carries
+    the real call's NamedShardings (sharding-annotated ShapeDtypeStructs),
+    so v5e-8 runs overlap their denoise compile with enhancement exactly
+    like single-chip — the lowered program must be IDENTICAL to what the
+    sharded denoise phase traces."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from ltx_tpu.parallel.sharding import make_mesh
+
+    mpipe = LTXPipeline.random_tiny(seed=3)
+    mpipe.shard(make_mesh(data=2, model=4))
+    cfg = _tiny_config()
+    guidance = GuidanceSpec.from_config(cfg)
+    warm_text = mpipe._warm_lowering(cfg, guidance).as_text()
+
+    pos = mpipe.encode_prompt("a cat")
+    context, bias = build_guidance_context(guidance, pos["video"],
+                                           pos["mask"])
+    shape = VideoLatentShape.from_pixels(1, cfg.num_frames, cfg.height,
+                                         cfg.width,
+                                         channels=mpipe.tcfg.in_channels)
+    step = make_denoise_step(mpipe.transformer_params, mpipe.tcfg, guidance,
+                             shape, context, bias, fps=cfg.fps,
+                             sdpa_impl=mpipe.sdpa_impl)
+    latent = jnp.zeros(shape.shape, jnp.float32)
+    real_text = step._jit.lower(
+        mpipe.transformer_params, context, bias, step._pe,
+        latent, 0.9, 0.5, jnp.zeros_like(latent), jnp.asarray(False),
+        jax.random.key(0),
+    ).as_text()
+    assert warm_text == real_text
+
+
+def test_warm_vae_lowering_matches_real_decode_on_mesh():
+    """Replicated-VAE mesh case: when the mesh decode stays on the tiled
+    _decoder_exec path, the warm lowering (replicated-sharding structs)
+    matches the real decode's program."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from ltx_tpu.parallel.sharding import make_mesh
+
+    mpipe = LTXPipeline.random_tiny(seed=4)
+    mpipe.shard(make_mesh(data=8, model=1))  # model=1 -> sequential decode
+    cfg = _tiny_config()
+    from ltx_tpu.models import vae as vae_mod
+
+    warm_text = mpipe._warm_vae_lowering(cfg).as_text()
+    shape = VideoLatentShape.from_pixels(
+        1, cfg.num_frames, cfg.height, cfg.width,
+        channels=mpipe.vcfg.latent_channels)
+    dt = mpipe.vae_decoder_params["conv_in"]["w"].dtype
+    latent = jnp.zeros(shape.shape, jnp.float32).astype(dt)
+    ts = 0.05 if mpipe.vcfg.timestep_conditioning else None
+    nkey = jax.random.key(0) if ts is not None else None
+    real_text = vae_mod._decoder_exec(mpipe.vcfg, ts, False).lower(
+        mpipe.vae_decoder_params, latent, nkey).as_text()
+    assert warm_text == real_text
