@@ -1,0 +1,65 @@
+"""Regenerate the committed golden fixtures (tests/goldens/*.npz).
+
+Run ONLY for intentional numerics changes (new scheduler semantics, a
+deliberate kernel change) — and say so in the commit message. CPU-forced
+so goldens are independent of the TPU backend:
+
+    python scripts/make_goldens.py
+"""
+
+import os
+import pathlib
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "float32")
+
+import numpy as np  # noqa: E402
+
+from ltx_tpu.core.config import GenerationConfig  # noqa: E402
+from ltx_tpu.pipeline.generate import LTXPipeline  # noqa: E402
+
+OUT = pathlib.Path(__file__).parent.parent / "tests" / "goldens"
+
+
+def _cfg(**kw):
+    d = dict(width=64, height=64, num_frames=9, num_steps=2, seed=42)
+    d.update(kw)
+    return GenerationConfig(**d)
+
+
+def save(name, frames):
+    OUT.mkdir(exist_ok=True)
+    f = np.asarray(frames, np.float32)
+    stats = np.asarray([f.mean(), f.std(), f.min(), f.max()], np.float32)
+    # first frame stays f32: the 2e-4 test tolerance is below f16
+    # resolution; savez_compressed keeps the file small anyway
+    np.savez_compressed(OUT / f"{name}.npz", first_frame=f[0], stats=stats)
+    print(f"{name}: frames {f.shape} mean {stats[0]:.5f} std {stats[1]:.5f}")
+
+
+def main():
+    import dataclasses
+
+    pipe = LTXPipeline.random_tiny(seed=0)
+    # keep the text encoder resident: the guided golden needs a SECOND
+    # encode (negative prompt) after the first generation
+    pipe.memory = dataclasses.replace(pipe.memory,
+                                      offload_text_encoder=False)
+    save("tiny_t2v",
+         pipe.generate_video("golden fixed-seed prompt", _cfg()).frames)
+    save("tiny_t2v_guided",
+         pipe.generate_video(
+             "golden guided prompt",
+             _cfg(cfg_scale=4.0, stg_scale=1.0, stg_blocks=(1,), seed=7)).frames)
+    save("tiny_two_stage",
+         pipe.generate_video_two_stage("golden two-stage prompt",
+                                       _cfg(num_frames=9)).frames)
+
+
+if __name__ == "__main__":
+    main()
