@@ -80,6 +80,12 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--export-quality", type=float, default=0.8,
                    metavar="0..1")
     g.add_argument("--vae-tile-size", type=int, default=0)
+    g.add_argument("--decode-transfer", choices=("uint8", "yuv420"),
+                   default="uint8",
+                   help="Tiled-decode device->host wire format: yuv420 "
+                        "halves uint8's bytes (the codec's own chroma "
+                        "subsample, moved before the transfer) — long "
+                        "videos are transfer-bound (BENCH_NOTES §16)")
     g.add_argument("--vae-tile-overlap", type=int, default=1)
     g.add_argument("--memory", choices=["disabled", "light", "moderate",
                                         "aggressive"], default=None,
@@ -298,6 +304,8 @@ def _resolve_memory(args, config):
         recommended_memory_preset,
     )
 
+    import dataclasses as _dc
+
     if args.memory:
         memory = MemoryConfig.preset(args.memory)
     else:
@@ -305,7 +313,6 @@ def _resolve_memory(args, config):
             vae_tile_size=args.vae_tile_size,
             vae_tile_overlap=args.vae_tile_overlap,
         )
-
     shape = VideoLatentShape.from_pixels(1, config.num_frames, config.height,
                                          config.width)
     from ltx_tpu.core.config import QuantizationConfig
@@ -335,6 +342,10 @@ def _resolve_memory(args, config):
                 "consider --memory %s%s or --mesh 1,N (TP)",
                 est, _USABLE_HBM_GB, rec,
                 "" if bits else " or --transformer-quant int4")
+    if getattr(args, "decode_transfer", "uint8") != "uint8":
+        # applied LAST so an auto-selected preset keeps the user's wire
+        # format choice
+        memory = _dc.replace(memory, decode_transfer=args.decode_transfer)
     return memory
 
 

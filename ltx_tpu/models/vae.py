@@ -370,9 +370,53 @@ def decoder_forward(params, sample, cfg: VAEConfig,
     return x.transpose(0, 4, 1, 2, 3)  # -> (B, 3, T, H, W)
 
 
+def _rgb_to_yuv420_u8(px):
+    """(B, 3, F, H, W) f32 in [-1, 1] -> uint8 {"y" (B,F,H,W), "u"/"v"
+    (B,F,H/2,W/2)} full-range BT.601 planes with 2x2-averaged chroma.
+
+    1.5 bytes/pixel instead of uint8 RGB's 3: the device->host pull is the
+    flagship decode's long pole (BENCH_NOTES §16: ~10-30 MB/s tunnel, and
+    real PCIe still pays per byte), and the MP4 encoder quantizes to
+    yuv420p anyway — subsampling on DEVICE moves a lossy step the codec
+    would take regardless to before the wire."""
+    rgb = jnp.clip((px.astype(jnp.float32) + 1.0) / 2.0, 0.0, 1.0)
+    r, g, b = rgb[:, 0], rgb[:, 1], rgb[:, 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    u = -0.168736 * r - 0.331264 * g + 0.5 * b + 0.5
+    v = 0.5 * r - 0.418688 * g - 0.081312 * b + 0.5
+    bb, ff, hh, ww = u.shape
+    u = u.reshape(bb, ff, hh // 2, 2, ww // 2, 2).mean(axis=(3, 5))
+    v = v.reshape(bb, ff, hh // 2, 2, ww // 2, 2).mean(axis=(3, 5))
+
+    def q(x):
+        return jnp.round(jnp.clip(x, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+
+    return {"y": q(y), "u": q(u), "v": q(v)}
+
+
+def _yuv420_to_rgb_np(planes):
+    """Host inverse of _rgb_to_yuv420_u8: uint8 planes -> (B, 3, F, H, W)
+    f32 in [0, 1] (nearest-neighbor chroma upsample)."""
+    import numpy as np
+
+    y = planes["y"].astype(np.float32) / 255.0
+    u = (planes["u"].astype(np.float32) / 255.0 - 0.5)
+    v = (planes["v"].astype(np.float32) / 255.0 - 0.5)
+    u = u.repeat(2, axis=-2).repeat(2, axis=-1)
+    v = v.repeat(2, axis=-2).repeat(2, axis=-1)
+    r = y + 1.402 * v
+    g = y - 0.344136 * u - 0.714136 * v
+    b = y + 1.772 * u
+    return np.clip(np.stack([r, g, b], axis=1), 0.0, 1.0)
+
+
 @functools.lru_cache(maxsize=16)
-def _decoder_exec(cfg: VAEConfig, timestep, to_uint8: bool):
+def _decoder_exec(cfg: VAEConfig, timestep, to_uint8):
     """Compile-cached decoder program for decode_video.
+
+    to_uint8: False = raw f32 pixels; True = on-device uint8 RGB (4x fewer
+    transfer bytes); "yuv420" = on-device uint8 YUV 4:2:0 planes (8x fewer
+    than f32 — see _rgb_to_yuv420_u8).
 
     The decoder must run as ONE compiled program, not eagerly: measured
     at the north-star shape (latent 4x16x24 -> 25f@768x512, bf16), eager
@@ -386,6 +430,8 @@ def _decoder_exec(cfg: VAEConfig, timestep, to_uint8: bool):
 
     def fn(params, tile, noise_key):
         px = decoder_forward(params, tile, cfg, timestep, noise_key)
+        if to_uint8 == "yuv420":
+            return _rgb_to_yuv420_u8(px)
         if to_uint8:
             px = jnp.round(
                 jnp.clip((px.astype(jnp.float32) + 1.0) / 2.0, 0.0, 1.0)
@@ -466,6 +512,9 @@ def decode_video(params, latent, cfg: VAEConfig,
         return _decoder_exec(cfg, timestep, transfer_uint8)(
             params, latent[:, :, st: st + tile_size], key_i)
 
+    if transfer_uint8 == "yuv420":
+        return _stitch_tiled_yuv(launch, starts, f, pixel_blend)
+
     out = None  # host (B, 3, 8(f-1)+1, H, W) float32, allocated on chunk 0
     filled = 0
     pending = launch(0)
@@ -508,6 +557,52 @@ def decode_video(params, latent, cfg: VAEConfig,
         frames = np.clip((out + 1.0) / 2.0, 0.0, 1.0)
     # stays on host: the frames are headed to host-side export
     return frames[0].transpose(1, 2, 3, 0)
+
+
+def _stitch_tiled_yuv(launch, starts, f: int, pixel_blend: int):
+    """Tiled-decode host stitch for the yuv420 transfer mode: the same
+    frame-aligned double-buffered loop as the uint8 path, run per PLANE
+    (Y full-res, U/V quarter-res; the time axis is shared). Seam blending
+    happens on the uint8 planes with f32 weights — identical semantics to
+    the uint8 RGB blend, at half the transferred bytes."""
+    import numpy as np
+
+    total = 8 * (f - 1) + 1
+    out = {}
+    filled = 0
+    pending = launch(0)
+    for idx in range(len(starts)):
+        cur = pending
+        if idx + 1 < len(starts):
+            pending = launch(idx + 1)
+        chunk = {k: np.asarray(v) for k, v in cur.items()}
+        del cur
+        if idx == 0:
+            for k, c in chunk.items():
+                b, _, hh, ww = c.shape
+                out[k] = np.empty((b, total, hh, ww), np.uint8)
+                out[k][:, : c.shape[1]] = c
+            filled = chunk["y"].shape[1]
+        else:
+            n_new = chunk["y"].shape[1] - 1
+            blend = pixel_blend if (0 < pixel_blend < filled
+                                    and pixel_blend < n_new) else 0
+            for k, c in chunk.items():
+                nxt = c[:, 1:]  # drop the re-anchored first pixel frame
+                if blend:
+                    wts = (np.arange(1, blend + 1, dtype=np.float32)
+                           / (blend + 1)).reshape(1, -1, 1, 1)
+                    out[k][:, filled - blend: filled] = np.round(
+                        out[k][:, filled - blend: filled] * (1 - wts)
+                        + nxt[:, :blend] * wts)
+                    out[k][:, filled: filled + nxt.shape[1] - blend] = \
+                        nxt[:, blend:]
+                else:
+                    out[k][:, filled: filled + nxt.shape[1]] = nxt
+            filled += n_new - blend
+    assert filled == total, (filled, total)
+    rgb = _yuv420_to_rgb_np(out)  # (B, 3, F, H, W) f32 [0, 1]
+    return rgb[0].transpose(1, 2, 3, 0)
 
 
 def decode_video_sharded(params, latent, cfg: VAEConfig, mesh,

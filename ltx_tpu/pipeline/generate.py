@@ -615,7 +615,9 @@ class LTXPipeline:
         if tile <= 0 or shape.frames <= tile:
             tile_f, to_uint8 = shape.frames, False
         else:
-            tile_f, to_uint8 = tile, True
+            tile_f = tile
+            to_uint8 = ("yuv420" if self.memory.decode_transfer == "yuv420"
+                        else True)  # mirror _decode_frames' selection
         abs_params = self._abs_param_tree(self.vae_decoder_params,
                                           replicated=True)
         abs_tile = jax.ShapeDtypeStruct(
@@ -716,14 +718,21 @@ class LTXPipeline:
                 tile_overlap=max(self.memory.vae_tile_overlap, 1),
                 transfer_uint8=True)
         else:
+            # tiled decodes pull each tile as uint8 RGB (4x fewer
+            # device->host bytes) or yuv420 planes (8x; the MP4 encoder's
+            # own chroma subsample moved before the wire) per
+            # memory.decode_transfer
+            transfer = False
+            if self.memory.vae_tile_size > 0:
+                transfer = ("yuv420"
+                            if self.memory.decode_transfer == "yuv420"
+                            else True)
             frames = vae.decode_video(
                 self.vae_decoder_params, latent, self.vcfg, timestep=ts,
                 noise_key=nkey,
                 tile_size=self.memory.vae_tile_size,
                 tile_overlap=self.memory.vae_tile_overlap,
-                # tiled decodes pull each tile as uint8 (4x fewer
-                # device->host bytes; the MP4 encoder consumes uint8)
-                transfer_uint8=self.memory.vae_tile_size > 0)
+                transfer_uint8=transfer)
         device_sync(frames)
         timings.vae_decode = time.time() - t0
         return frames
