@@ -437,6 +437,7 @@ def generate_tokens(
     spec_ngram: int = 3,
     kv_quant: str = "bf16",
     mesh=None,
+    return_stats: bool = False,
 ):
     """KV-cached autoregressive sampling, fully device-side.
 
@@ -455,7 +456,10 @@ def generate_tokens(
     parallel/sharding.shard_gemma_params; the per-token weight-DMA chain
     (the decode bottleneck, docs/BENCH_NOTES.md §3-4) splits across the
     "model" axis. Greedy output is token-identical to mesh=None (tested).
-    Returns the generated token list (without the prompt).
+    Returns the generated token list (without the prompt); with
+    return_stats=True, returns (tokens, {"forwards": N}) where N counts
+    decode forwards — tokens/forwards is the speculative commit rate
+    (1.0 = sequential; up to spec_k+1 at full acceptance).
     """
     if top_k <= 0:
         top_k = 64 if temperature <= 1.0 else 512
@@ -502,10 +506,13 @@ def generate_tokens(
         spec_k=int(spec_k), spec_ngram=int(spec_ngram),
         kv_quant=str(kv_quant), mesh=mesh,
     )
-    out, n_gen = fn(params, jnp.asarray(ids_padded), embeds_padded,
-                    jnp.asarray(pad, jnp.int32), stop_arr, tables, key)
+    out, n_gen, fwds = fn(params, jnp.asarray(ids_padded), embeds_padded,
+                          jnp.asarray(pad, jnp.int32), stop_arr, tables, key)
     n = int(n_gen)
-    return [int(x) for x in np.asarray(out[:n])]
+    tokens = [int(x) for x in np.asarray(out[:n])]
+    if return_stats:
+        return tokens, {"forwards": int(fwds)}
+    return tokens
 
 
 
@@ -639,11 +646,11 @@ def _build_generate_fn(cfg: Gemma3Config, t_pad: int, max_new_tokens: int,
                 spec_k=spec_k, spec_ngram=spec_ngram)
 
         def cond(state):
-            _, _, _, _, _, n_gen, done = state
+            _, _, _, _, _, n_gen, done, _ = state
             return (~done) & (n_gen < max_new_tokens)
 
         def body(state):
-            caches, logits, key, out, ring, n_gen, done = state
+            caches, logits, key, out, ring, n_gen, done, it = state
             key, sub = jax.random.split(key)
             lg = penalize(logits[0], ring)
             nxt = sample(lg, sub)
@@ -653,15 +660,16 @@ def _build_generate_fn(cfg: Gemma3Config, t_pad: int, max_new_tokens: int,
             pos = t_pad + n_gen
             caches, logits = decode(caches, nxt[None], pos)
             n_gen = n_gen + jnp.where(stop_hit, 0, 1)
-            return caches, logits, key, out, ring, n_gen, stop_hit
+            return caches, logits, key, out, ring, n_gen, stop_hit, it + 1
 
         out0 = jnp.full((max_new_tokens,), -1, jnp.int32)
         ring0 = jnp.full((ctx,), vocab, jnp.int32)  # out-of-range slot
         state = ((cks, cvs), logits0, key, out0, ring0,
-                 jnp.asarray(0, jnp.int32), jnp.asarray(False))
+                 jnp.asarray(0, jnp.int32), jnp.asarray(False),
+                 jnp.asarray(0, jnp.int32))
         state = lax.while_loop(cond, body, state)
-        _, _, _, out, _, n_gen, _ = state
-        return out, n_gen
+        _, _, _, out, _, n_gen, _, fwds = state
+        return out, n_gen, fwds
 
     return jax.jit(run)
 
@@ -713,8 +721,15 @@ def generate_tokens_batched(
     spec_ngram: int = 3,
     kv_quant: str = "bf16",
     mesh=None,
+    input_embeds=None,
 ):
     """B prompts through ONE compiled KV-cached sampling program.
+
+    input_embeds: optional list of B entries — each a (1, T_i, D)
+    PRE-SCALED embedding row (the VLM path's SigLIP soft-token splice,
+    same contract as generate_tokens) or None for a text-only row (its
+    embeddings come from the table). Enables BATCHED image-conditioned
+    enhancement: I2V requests ride the same compiled program as text rows.
 
     Serving-throughput path (no reference analog: the Swift loop is
     strictly one prompt at a time). Decode is dependent-chain latency
@@ -761,6 +776,31 @@ def generate_tokens_batched(
     for i, r in enumerate(rows):
         ids_padded[i, pads[i]:] = r
 
+    embeds_padded = None
+    if input_embeds is not None and any(e is not None for e in input_embeds):
+        if len(input_embeds) != b:
+            from ltx_tpu.core.errors import InvalidConfigurationError
+
+            raise InvalidConfigurationError(
+                f"{len(input_embeds)} input_embeds rows for {b} prompts")
+        scale = jnp.asarray(np.sqrt(cfg.hidden_size), embed_dtype(params))
+        erows = []
+        for i, e in enumerate(input_embeds):
+            if e is None:
+                # text-only row in a mixed batch: table lookup, pre-scaled
+                # like the with_embeds path expects
+                e = (_embed_lookup(params, jnp.asarray(rows[i])[None])
+                     * scale)
+            if e.shape[1] != rows[i].size:
+                from ltx_tpu.core.errors import InvalidConfigurationError
+
+                raise InvalidConfigurationError(
+                    f"input_embeds[{i}] length {e.shape[1]} != prompt "
+                    f"length {rows[i].size} (ids are the bookkeeping twin)")
+            full = jnp.zeros((1, t_pad, e.shape[-1]), e.dtype)
+            erows.append(full.at[:, int(pads[i]):].set(e))
+        embeds_padded = jnp.concatenate(erows, axis=0)
+
     if spec_k > 0 and max_new_tokens < 2:
         spec_k = 0  # nothing to speculate on
     max_len = t_pad + max_new_tokens
@@ -775,9 +815,10 @@ def generate_tokens_batched(
     fn = _build_generate_batched_fn(
         cfg, b, t_pad, max_new_tokens, float(temperature), float(top_p),
         float(repetition_penalty), int(repetition_context), int(top_k),
-        int(spec_k), int(spec_ngram), kv_quant=str(kv_quant), mesh=mesh)
-    out, n_gen = fn(params, jnp.asarray(ids_padded), jnp.asarray(pads),
-                    stop_arr, tables, key)
+        int(spec_k), int(spec_ngram), kv_quant=str(kv_quant), mesh=mesh,
+        with_embeds=embeds_padded is not None)
+    out, n_gen = fn(params, jnp.asarray(ids_padded), embeds_padded,
+                    jnp.asarray(pads), stop_arr, tables, key)
     out, n_gen = np.asarray(out), np.asarray(n_gen)
     return [[int(x) for x in out[i, : n_gen[i]]] for i in range(b)]
 
@@ -788,7 +829,8 @@ def _build_generate_batched_fn(cfg: Gemma3Config, batch: int, t_pad: int,
                                top_p: float, repetition_penalty: float,
                                repetition_context: int, top_k: int,
                                spec_k: int = 0, spec_ngram: int = 3,
-                               kv_quant: str = "bf16", mesh=None):
+                               kv_quant: str = "bf16", mesh=None,
+                               with_embeds: bool = False):
     """Compile-cached batched generation program (one (config, B, bucket)).
 
     DELIBERATE twin of _build_generate_fn: delegating generate_tokens to
@@ -805,10 +847,13 @@ def _build_generate_batched_fn(cfg: Gemma3Config, batch: int, t_pad: int,
         [cfg.is_global_layer(i) for i in range(nl)])
     ctx = max(repetition_context, 1)
 
-    def run(params, ids, pads, stop_arr, tables, key):
+    def run(params, ids, embeds, pads, stop_arr, tables, key):
         cos_g, sin_g, cos_l, sin_l = tables
         dtype = embed_dtype(params)
-        h = _embed_lookup(params, ids) * jnp.asarray(scale_emb, dtype)
+        if with_embeds:
+            h = embeds.astype(dtype)  # pre-scaled (VLM soft-token splice)
+        else:
+            h = _embed_lookup(params, ids) * jnp.asarray(scale_emb, dtype)
 
         # --- prefill biases: (B, 1, t_pad, cache_len), per-row left pad
         row = jnp.arange(t_pad)[None, :, None]
@@ -1041,11 +1086,11 @@ def _spec_loop(params, ids, pad, stop_arr, key, caches, logits0,
         return write, out, ring, ctx_buf, n_gen, done, last
 
     def cond(state):
-        _, _, _, _, _, _, n_gen, done = state
+        _, _, _, _, _, _, n_gen, done, _ = state
         return (~done) & (n_gen < max_new_tokens)
 
     def body(state):
-        caches, cur, key, out, ring, ctx_buf, n_gen, done = state
+        caches, cur, key, out, ring, ctx_buf, n_gen, done, it = state
         pos = t_pad + n_gen - 1          # cache slot for cur
         cursor = t_pad + n_gen           # ctx_buf write cursor
         draft = _ngram_draft(ctx_buf, cursor, pad, spec_ngram, spec_k)
@@ -1076,12 +1121,13 @@ def _spec_loop(params, ids, pad, stop_arr, key, caches, logits0,
         live = accepting & ~done & (n_gen < max_new_tokens)
         _, out, ring, ctx_buf, n_gen, done, last = commit(
             tokb, live, out, ring, ctx_buf, n_gen, done, last)
-        return caches, last, keys[0], out, ring, ctx_buf, n_gen, done
+        return caches, last, keys[0], out, ring, ctx_buf, n_gen, done, it + 1
 
-    state = (caches, tok0, key, out, ring, ctx_buf, n_gen, stop0)
+    state = (caches, tok0, key, out, ring, ctx_buf, n_gen, stop0,
+             jnp.asarray(0, jnp.int32))
     state = lax.while_loop(cond, body, state)
-    _, _, _, out, _, _, n_gen, _ = state
-    return out, n_gen
+    _, _, _, out, _, _, n_gen, _, fwds = state
+    return out, n_gen, fwds
 
 
 def _spec_loop_batched(ids, pads, key, caches, logits0, decode,

@@ -110,6 +110,30 @@ def clean_enhanced_prompt(text: str) -> str:
     return text.strip()
 
 
+def _splice_image_embeds(gemma_params, gemma_config, tokenizer, system,
+                         prompt, image_embeds):
+    """Splice the 256 SigLIP soft tokens at the start of the user turn
+    (the reference's MLXVLM chat places the image before the text; soft
+    tokens are NOT sqrt(d)-scaled, HF semantics). Returns (ids,
+    input_embeds (1, T, D)) — ids are all-zero bookkeeping twins."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    prefix_ids = tokenizer.encode("<start_of_turn>user\n").ids
+    body = (f"{system}\n\nUser Raw Input Prompt: {prompt}."
+            f"<end_of_turn>\n<start_of_turn>model\n")
+    body_ids = tokenizer.encode(body).ids
+    edtype = gemma3.embed_dtype(gemma_params)
+    scale = jnp.asarray(np.sqrt(gemma_config.hidden_size), edtype)
+    pre = gemma3._embed_lookup(
+        gemma_params, jnp.asarray(prefix_ids))[None] * scale
+    post = gemma3._embed_lookup(
+        gemma_params, jnp.asarray(body_ids))[None] * scale
+    input_embeds = jnp.concatenate(
+        [pre, image_embeds.astype(edtype), post], axis=1)
+    return [0] * input_embeds.shape[1], input_embeds
+
+
 def enhance_prompt(
     gemma_params,
     gemma_config: gemma3.Gemma3Config,
@@ -153,25 +177,9 @@ def enhance_prompt(
     try:
         input_embeds = None
         if image_embeds is not None:
-            # Splice the 256 SigLIP soft tokens at the start of the user
-            # turn (the reference's MLXVLM chat places the image before the
-            # text; soft tokens are NOT sqrt(d)-scaled, HF semantics).
-            import jax.numpy as jnp
-            import numpy as np
-
-            prefix_ids = tokenizer.encode("<start_of_turn>user\n").ids
-            body = (f"{system}\n\nUser Raw Input Prompt: {prompt}."
-                    f"<end_of_turn>\n<start_of_turn>model\n")
-            body_ids = tokenizer.encode(body).ids
-            edtype = gemma3.embed_dtype(gemma_params)
-            scale = jnp.asarray(np.sqrt(gemma_config.hidden_size), edtype)
-            pre = gemma3._embed_lookup(
-                gemma_params, jnp.asarray(prefix_ids))[None] * scale
-            post = gemma3._embed_lookup(
-                gemma_params, jnp.asarray(body_ids))[None] * scale
-            input_embeds = jnp.concatenate(
-                [pre, image_embeds.astype(edtype), post], axis=1)
-            ids = [0] * input_embeds.shape[1]
+            ids, input_embeds = _splice_image_embeds(
+                gemma_params, gemma_config, tokenizer, system, prompt,
+                image_embeds)
         else:
             ids = tokenizer.encode(chat).ids
         stop_ids = set()
@@ -214,6 +222,9 @@ def enhance_prompts(
     strict: bool = False,
     kv_quant: str = "bf16",
     mesh=None,
+    image_paths: Optional[List[Optional[str]]] = None,
+    vision_params=None,
+    vision_config=None,
 ) -> List[str]:
     """Batched (text-only) enhancement for serving front-ends.
 
@@ -238,8 +249,31 @@ def enhance_prompts(
     """
     system = I2V_SYSTEM_PROMPT if is_i2v else T2V_SYSTEM_PROMPT
     try:
-        ids = [tokenizer.encode(build_chat_prompt(system, p)).ids
-               for p in prompts]
+        input_embeds = None
+        if image_paths is not None and vision_params is not None:
+            # batched VLM rows: each image splices its 256 SigLIP soft
+            # tokens like enhance_prompt's single-row path; None entries
+            # stay text-only and mix freely in the same compiled batch
+            from ltx_tpu.models import siglip
+
+            ids, input_embeds = [], []
+            for p, img in zip(prompts, image_paths):
+                if img is None:
+                    ids.append(tokenizer.encode(
+                        build_chat_prompt(system, p)).ids)
+                    input_embeds.append(None)
+                else:
+                    emb = siglip.embed_image_for_gemma(
+                        vision_params, img,
+                        vision_config or siglip.SigLIPConfig())
+                    i, e = _splice_image_embeds(
+                        gemma_params, gemma_config, tokenizer, system, p,
+                        emb)
+                    ids.append(i)
+                    input_embeds.append(e)
+        else:
+            ids = [tokenizer.encode(build_chat_prompt(system, p)).ids
+                   for p in prompts]
         stop_ids = {1}
         for tok in ("<end_of_turn>", "<eos>"):
             enc = tokenizer.encode(tok).ids
