@@ -53,6 +53,13 @@ def add_train_arguments(ap) -> None:
                     help="dp+tp train over a device mesh (params via the "
                          "inference partition specs, batch on the data "
                          "axis); --batch is PER PROCESS")
+    ap.add_argument("--sdpa", choices=("xla", "pallas", "ring"),
+                    default="xla",
+                    help="attention backend for the loss: pallas = FA-2 "
+                         "fwd+bwd kernels (no (T,T) logits remat buffer); "
+                         "ring = SEQUENCE-PARALLEL over the mesh model "
+                         "axis (differentiable ring attention; requires "
+                         "--mesh)")
     ap.add_argument("--mesh-slices", type=int, default=None, metavar="N",
                     help="treat devices as N DCN slices (model axis stays "
                          "on ICI; see parallel/runtime.py)")
@@ -147,10 +154,20 @@ def run(args) -> int:
     cos, sin = rope_ops.video_rope(f, h, w, cfg.inner_dim, cfg.num_heads)
     rope = (jnp.asarray(cos), jnp.asarray(sin))
 
+    sdpa = getattr(args, "sdpa", "xla")
+    if sdpa == "ring":
+        if mesh is None:
+            raise SystemExit("--sdpa ring needs --mesh (the token axis "
+                             "shards over the mesh model axis)")
+        from ltx_tpu.ops.attention import set_sequence_parallel
+
+        set_sequence_parallel(mesh)
+        log("sequence-parallel attention: token axis over the model axis")
     tc = TrainConfig(
         learning_rate=args.lr, warmup_steps=args.warmup, lora_only=True,
         accum_steps=args.accum,
         remat_segments=getattr(args, "remat_segments", 0),
+        sdpa_impl=sdpa,
         compute_dtype=jnp.float32 if args.compute == "f32" else jnp.bfloat16,
     )
     batch_sharding = None
