@@ -71,7 +71,9 @@ def make_cycle_gemma_params(
 ):
     """Build the cycle-model params (device arrays; see module docstring).
 
-    margin: amplification of the successor direction over the residual.
+    margin: amplification of the successor direction over the residual,
+    in RESIDUAL-RMS units (the residual is the sqrt(hidden)-scaled
+    embedding row, RMS sqrt(d)).
     entry_bias: pull toward cycle[0] from any off-cycle state (prompt
     tokens land here after one step).
     branch: the ACCEPTANCE knob — weight of a SECOND successor (skip-one,
@@ -157,12 +159,15 @@ def make_cycle_gemma_params(
         "down_proj": {"w": stack(down, None)},
         "input_layernorm": {"w": zeros(nl, d)},
         "post_attention_layernorm": {"w": zeros(nl, d)},
-        # (1 + w) = margin on layer 0 -> the successor direction lands at
-        # RMS `margin` on top of the ~unit-RMS residual; zero elsewhere
+        # (1 + w) = margin*sqrt(d) on layer 0: the RESIDUAL is the
+        # embedding row scaled by sqrt(hidden) (RMS sqrt(d), ~62 at 12B —
+        # a flat `margin` RMS lost to it at full width and the stream
+        # degenerated to a self-repeat, measured on-chip), so margin is
+        # expressed in residual-RMS units; zero elsewhere
         "pre_feedforward_layernorm": {"w": zeros(nl, d)},
         "post_feedforward_layernorm": {
             "w": jnp.zeros((nl, d), dtype).at[0].set(
-                jnp.full((d,), margin - 1.0, dtype))},
+                jnp.full((d,), margin * np.sqrt(d) - 1.0, dtype))},
     }
     return {
         "embed_tokens": {"w": emb.astype(dtype)},

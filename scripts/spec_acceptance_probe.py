@@ -103,9 +103,13 @@ def build_cycle_gemma_w8a8(cfg, margin, cycle, kappa=4.0, gamma=3.0,
         "input_layernorm": {"w": jnp.zeros((nl, d), jnp.bfloat16)},
         "post_attention_layernorm": {"w": jnp.zeros((nl, d), jnp.bfloat16)},
         "pre_feedforward_layernorm": {"w": jnp.zeros((nl, d), jnp.bfloat16)},
+        # margin in RESIDUAL-RMS units: the residual is the
+        # sqrt(hidden)-scaled embedding (RMS sqrt(d) ~ 62 at 12B); a flat
+        # margin silently lost to it and degenerated the stream to a
+        # self-repeat (measured: constant token at every margin/temp)
         "post_feedforward_layernorm": {
             "w": jnp.zeros((nl, d), jnp.bfloat16).at[0].set(
-                jnp.full((d,), margin - 1.0, jnp.bfloat16))},
+                jnp.full((d,), margin * np.sqrt(d) - 1.0, jnp.bfloat16))},
     }
     return {
         "embed_tokens": {"w": emb},
