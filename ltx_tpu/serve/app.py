@@ -134,10 +134,12 @@ def build_app(
 
     gen_batch > 1 coalesces queued SAME-CONFIG text-to-video jobs into one
     batched denoise program (pipeline.generate_videos) — per-job seeds,
-    outputs and failure isolation are preserved. The denoise batch
-    multiplies activation + decode HBM by B, so caps are resolution-bound:
-    25f@768x512 int4 fits B=4 on one chip; raise cautiously at larger
-    shapes (the flagship 241f@1024x640 stays B=1).
+    outputs and failure isolation are preserved. MEASURED throughput
+    (BENCH_NOTES §24): ~neutral at the north-star shape (the denoise is
+    compute-bound at 1536+ tokens; only the fixed per-step dispatch
+    amortizes) and +31% at tiny shapes — this is a queue-semantics and
+    small-shape knob, not a production-shape multiplier. HBM scales with
+    B: 25f@768x512 int4 fits B=4 on one chip.
     """
     out = Path(output_dir)
     out.mkdir(parents=True, exist_ok=True)

@@ -7,10 +7,10 @@ at 25f@768x512 (the north-star generation config) for B=1 vs B=2 vs B=4 —
 per-VIDEO wall time and videos/min. Guidance context rows ride B-major
 exactly like the pipeline builds them.
 
-Expectation: the denoise step at 1536 tokens has MXU headroom (one video's
-step is partly weight-DMA bound at int4), so B videos share every weight
-stream: throughput should rise well past VERDICT's >1.5x bar before the
-step turns compute-bound.
+MEASURED (BENCH_NOTES §24): ~1.00x at 25f@768x512 — the denoise at 1536
+tokens is already compute-bound (weight streaming amortizes over the
+token axis, unlike enhance's T=1 matvec chain), so B multiplies real
+FLOPs; only the fixed per-step dispatch amortizes (+31% at 9f@256x256).
 
 Run: python scripts/gen_batch_probe.py [--batches 1,2,4]
 """
