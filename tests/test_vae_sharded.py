@@ -114,3 +114,26 @@ def test_sharded_decode_uint8_transfer():
     # wherever f32 lands in [0,1]; clipped pixels are exact too
     np.testing.assert_allclose(np.asarray(u8), np.asarray(f32),
                                atol=1.01 / 255)
+
+
+@needs_mesh
+def test_sharded_yuv420_luma_matches_f32(params):
+    """The yuv420 gather format on the SHARDED decode: full-res luma must
+    match the exact f32 sharded decode at quantization level (chroma error
+    is the codec's own 4:2:0 subsample — see test_vae.py)."""
+    mesh = make_mesh(data=1, model=4)
+    latent = jax.random.normal(jax.random.key(2),
+                               (1, CFG.latent_channels, 6, 4, 4))
+    exact = np.asarray(vae.decode_video_sharded(
+        params, latent, CFG, mesh, timestep=None, tile_overlap=1))
+    yuv = np.asarray(vae.decode_video_sharded(
+        params, latent, CFG, mesh, timestep=None, tile_overlap=1,
+        transfer_uint8="yuv420"))
+    assert yuv.shape == exact.shape
+
+    def luma(x):
+        return 0.299 * x[..., 0] + 0.587 * x[..., 1] + 0.114 * x[..., 2]
+
+    lerr = np.abs(luma(yuv) - luma(exact))
+    assert lerr.mean() < 5e-3, lerr.mean()
+    assert lerr.max() < 0.15, lerr.max()
