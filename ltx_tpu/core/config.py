@@ -228,10 +228,12 @@ class MemoryConfig:
     vae_tile_size: int = 0  # latent frames per decode tile; 0 = no tiling
     vae_tile_overlap: int = 1  # latent-frame overlap between tiles
     # Tiled-decode device->host wire format: "uint8" (RGB, 4x fewer bytes
-    # than f32, max error 1/255) or "yuv420" (BT.601 4:2:0 planes, 8x —
-    # the chroma subsample the MP4 encoder applies anyway, moved before
-    # the wire; models/vae.py::_rgb_to_yuv420_u8). Long-video decode is
-    # transfer-bound (BENCH_NOTES §16), so bytes are the lever.
+    # than f32, max error 1/255) or "yuv420" (BT.601 4:2:0 packed I420,
+    # 8x — the chroma subsample the MP4 encoder applies anyway, moved
+    # before the wire). CAUTION: measured SLOWER through the dev tunnel
+    # despite half the bytes (BENCH_NOTES §25 — the transport is
+    # format-sensitive); intended for attached hardware where bytes are
+    # the lever. uint8 is the default by measurement.
     decode_transfer: str = "uint8"
     remat_blocks: bool = False  # jax.checkpoint over the DiT block scan
     offload_text_encoder: bool = True  # drop Gemma weights after encoding

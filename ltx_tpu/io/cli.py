@@ -84,8 +84,9 @@ def build_parser() -> argparse.ArgumentParser:
                    default="uint8",
                    help="Tiled-decode device->host wire format: yuv420 "
                         "halves uint8's bytes (the codec's own chroma "
-                        "subsample, moved before the transfer) — long "
-                        "videos are transfer-bound (BENCH_NOTES §16)")
+                        "subsample, moved before the transfer) for "
+                        "attached hardware; measured SLOWER through the "
+                        "dev tunnel (BENCH_NOTES §25) — uint8 default")
     g.add_argument("--vae-tile-overlap", type=int, default=1)
     g.add_argument("--memory", choices=["disabled", "light", "moderate",
                                         "aggressive"], default=None,

@@ -371,14 +371,18 @@ def decoder_forward(params, sample, cfg: VAEConfig,
 
 
 def _rgb_to_yuv420_u8(px):
-    """(B, 3, F, H, W) f32 in [-1, 1] -> uint8 {"y" (B,F,H,W), "u"/"v"
-    (B,F,H/2,W/2)} full-range BT.601 planes with 2x2-averaged chroma.
+    """(B, 3, F, H, W) f32 in [-1, 1] -> ONE packed uint8 (B, F, 3H/2, W):
+    the planar I420 frame layout — full-res BT.601 Y on top, then the
+    2x2-averaged U and V planes each reshaped to (H/4, W) rows.
 
     1.5 bytes/pixel instead of uint8 RGB's 3: the device->host pull is the
     flagship decode's long pole (BENCH_NOTES §16: ~10-30 MB/s tunnel, and
     real PCIe still pays per byte), and the MP4 encoder quantizes to
     yuv420p anyway — subsampling on DEVICE moves a lossy step the codec
-    would take regardless to before the wire."""
+    would take regardless to before the wire. ONE contiguous array is
+    load-bearing: a 3-leaf plane dict measured SLOWER than uint8 RGB
+    through the tunnel despite half the bytes (3 transfer requests per
+    tile; per-request overhead dominates — BENCH_NOTES §25)."""
     rgb = jnp.clip((px.astype(jnp.float32) + 1.0) / 2.0, 0.0, 1.0)
     r, g, b = rgb[:, 0], rgb[:, 1], rgb[:, 2]
     y = 0.299 * r + 0.587 * g + 0.114 * b
@@ -391,17 +395,25 @@ def _rgb_to_yuv420_u8(px):
     def q(x):
         return jnp.round(jnp.clip(x, 0.0, 1.0) * 255.0).astype(jnp.uint8)
 
-    return {"y": q(y), "u": q(u), "v": q(v)}
+    return jnp.concatenate(
+        [q(y),
+         q(u).reshape(bb, ff, hh // 4, ww),
+         q(v).reshape(bb, ff, hh // 4, ww)], axis=2)
 
 
-def _yuv420_to_rgb_np(planes):
-    """Host inverse of _rgb_to_yuv420_u8: uint8 planes -> (B, 3, F, H, W)
-    f32 in [0, 1] (nearest-neighbor chroma upsample)."""
+def _yuv420_to_rgb_np(packed):
+    """Host inverse of _rgb_to_yuv420_u8: packed (B, F, 3H/2, W) uint8 ->
+    (B, 3, F, H, W) f32 in [0, 1] (nearest-neighbor chroma upsample).
+    H recovers from the packed shape (rows = 3H/2)."""
     import numpy as np
 
-    y = planes["y"].astype(np.float32) / 255.0
-    u = (planes["u"].astype(np.float32) / 255.0 - 0.5)
-    v = (planes["v"].astype(np.float32) / 255.0 - 0.5)
+    bb, ff, rows, ww = packed.shape
+    hh = rows * 2 // 3
+    y = packed[:, :, :hh].astype(np.float32) / 255.0
+    u = packed[:, :, hh: hh + hh // 4].reshape(bb, ff, hh // 2, ww // 2)
+    v = packed[:, :, hh + hh // 4:].reshape(bb, ff, hh // 2, ww // 2)
+    u = u.astype(np.float32) / 255.0 - 0.5
+    v = v.astype(np.float32) / 255.0 - 0.5
     u = u.repeat(2, axis=-2).repeat(2, axis=-1)
     v = v.repeat(2, axis=-2).repeat(2, axis=-1)
     r = y + 1.402 * v
@@ -561,44 +573,42 @@ def decode_video(params, latent, cfg: VAEConfig,
 
 def _stitch_tiled_yuv(launch, starts, f: int, pixel_blend: int):
     """Tiled-decode host stitch for the yuv420 transfer mode: the same
-    frame-aligned double-buffered loop as the uint8 path, run per PLANE
-    (Y full-res, U/V quarter-res; the time axis is shared). Seam blending
-    happens on the uint8 planes with f32 weights — identical semantics to
-    the uint8 RGB blend, at half the transferred bytes."""
+    frame-aligned double-buffered loop as the uint8 path on the PACKED
+    I420 frame (B, F_tile, 3H/2, W) — one device->host transfer per tile.
+    Seam blending applies the same per-time-frame weights to every packed
+    row (Y and the reshaped chroma alike), which is exactly the per-plane
+    blend: blending commutes with the packing."""
     import numpy as np
 
     total = 8 * (f - 1) + 1
-    out = {}
+    out = None
     filled = 0
     pending = launch(0)
     for idx in range(len(starts)):
         cur = pending
         if idx + 1 < len(starts):
             pending = launch(idx + 1)
-        chunk = {k: np.asarray(v) for k, v in cur.items()}
+        chunk = np.asarray(cur)  # (B, F_tile, 3H/2, W) uint8
         del cur
         if idx == 0:
-            for k, c in chunk.items():
-                b, _, hh, ww = c.shape
-                out[k] = np.empty((b, total, hh, ww), np.uint8)
-                out[k][:, : c.shape[1]] = c
-            filled = chunk["y"].shape[1]
+            b, _, rows, ww = chunk.shape
+            out = np.empty((b, total, rows, ww), np.uint8)
+            out[:, : chunk.shape[1]] = chunk
+            filled = chunk.shape[1]
         else:
-            n_new = chunk["y"].shape[1] - 1
+            nxt = chunk[:, 1:]  # drop the re-anchored first pixel frame
+            n_new = nxt.shape[1]
             blend = pixel_blend if (0 < pixel_blend < filled
                                     and pixel_blend < n_new) else 0
-            for k, c in chunk.items():
-                nxt = c[:, 1:]  # drop the re-anchored first pixel frame
-                if blend:
-                    wts = (np.arange(1, blend + 1, dtype=np.float32)
-                           / (blend + 1)).reshape(1, -1, 1, 1)
-                    out[k][:, filled - blend: filled] = np.round(
-                        out[k][:, filled - blend: filled] * (1 - wts)
-                        + nxt[:, :blend] * wts)
-                    out[k][:, filled: filled + nxt.shape[1] - blend] = \
-                        nxt[:, blend:]
-                else:
-                    out[k][:, filled: filled + nxt.shape[1]] = nxt
+            if blend:
+                wts = (np.arange(1, blend + 1, dtype=np.float32)
+                       / (blend + 1)).reshape(1, -1, 1, 1)
+                out[:, filled - blend: filled] = np.round(
+                    out[:, filled - blend: filled] * (1 - wts)
+                    + nxt[:, :blend] * wts)
+                out[:, filled: filled + n_new - blend] = nxt[:, blend:]
+            else:
+                out[:, filled: filled + n_new] = nxt
             filled += n_new - blend
     assert filled == total, (filled, total)
     rgb = _yuv420_to_rgb_np(out)  # (B, 3, F, H, W) f32 [0, 1]
@@ -686,10 +696,9 @@ def decode_video_sharded(params, latent, cfg: VAEConfig, mesh,
             out = jnp.concatenate(
                 [out[:, :, :1], blended, out[:, :, 1 + pb:]], axis=2)
         if transfer_uint8 == "yuv420":
-            # 4:2:0 planes AFTER the seam blend: 8x fewer gather bytes
-            # than f32 (the host converts back once, post-gather)
-            planes = _rgb_to_yuv420_u8(out)
-            return jax.tree.map(lambda a: a[None], planes)
+            # packed I420 frame AFTER the seam blend: 8x fewer gather
+            # bytes than f32, ONE array (the host converts post-gather)
+            return _rgb_to_yuv420_u8(out)[None]
         if transfer_uint8:
             # quantize ON DEVICE (after the seam blend — cleaner than the
             # host loop, which must blend post-quantization): 4x fewer
@@ -711,13 +720,10 @@ def decode_video_sharded(params, latent, cfg: VAEConfig, mesh,
     # (owned by the left neighbor)
     if transfer_uint8 == "yuv420":
         total = 8 * (f - 1) + 1
-
-        def stitch(a):  # (n, B, own, h, w) plane, time axis 1 per chunk
-            a = np.asarray(a)
-            parts = [a[0]] + [a[i][:, 1:] for i in range(1, n)]
-            return np.concatenate(parts, axis=1)[:, :total]
-
-        rgb = _yuv420_to_rgb_np({k: stitch(v) for k, v in chunks.items()})
+        a = np.asarray(chunks)  # (n, B, own, 3H/2, W) packed I420
+        parts = [a[0]] + [a[i][:, 1:] for i in range(1, n)]
+        packed = np.concatenate(parts, axis=1)[:, :total]
+        rgb = _yuv420_to_rgb_np(packed)
         return jnp.asarray(rgb[0].transpose(1, 2, 3, 0))
     chunks = np.asarray(chunks)  # (n, B, 3, own, H, W)
     parts = [chunks[0]] + [chunks[i][:, :, 1:] for i in range(1, n)]

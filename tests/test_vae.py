@@ -224,7 +224,8 @@ def test_yuv420_roundtrip_helpers():
 
     flat = jnp.ones((1, 3, 2, 8, 8), jnp.float32) * jnp.asarray(
         [0.2, -0.4, 0.6]).reshape(1, 3, 1, 1, 1)
-    planes = jax.jit(_rgb_to_yuv420_u8)(flat)
-    rgb = _yuv420_to_rgb_np({k: np.asarray(v) for k, v in planes.items()})
+    packed = jax.jit(_rgb_to_yuv420_u8)(flat)
+    assert packed.shape == (1, 2, 12, 8)  # I420: 3H/2 rows, ONE array
+    rgb = _yuv420_to_rgb_np(np.asarray(packed))
     want = np.clip((np.asarray(flat) + 1.0) / 2.0, 0, 1)
     np.testing.assert_allclose(rgb, want, atol=3e-2)
