@@ -718,13 +718,17 @@ def decode_video_sharded(params, latent, cfg: VAEConfig, mesh,
     chunks = fn(latent, tail)
     # host-side stitch: device 0 keeps its anchor pixel; others drop q=0
     # (owned by the left neighbor)
+    # the stitched frames STAY on host (numpy, like decode_video): they are
+    # headed to host-side MP4 export, and a jnp.asarray here would push the
+    # full f32 video back through the wire the reduced-byte gather just
+    # avoided (and the caller would pull it right back out)
     if transfer_uint8 == "yuv420":
         total = 8 * (f - 1) + 1
         a = np.asarray(chunks)  # (n, B, own, 3H/2, W) packed I420
         parts = [a[0]] + [a[i][:, 1:] for i in range(1, n)]
         packed = np.concatenate(parts, axis=1)[:, :total]
         rgb = _yuv420_to_rgb_np(packed)
-        return jnp.asarray(rgb[0].transpose(1, 2, 3, 0))
+        return rgb[0].transpose(1, 2, 3, 0)
     chunks = np.asarray(chunks)  # (n, B, 3, own, H, W)
     parts = [chunks[0]] + [chunks[i][:, :, 1:] for i in range(1, n)]
     full = np.concatenate(parts, axis=2)[:, :, : 8 * (f - 1) + 1]
@@ -732,7 +736,7 @@ def decode_video_sharded(params, latent, cfg: VAEConfig, mesh,
         frames = full.astype(np.float32) / 255.0
     else:
         frames = np.clip((full + 1.0) / 2.0, 0.0, 1.0)
-    return jnp.asarray(frames[0].transpose(1, 2, 3, 0))
+    return frames[0].transpose(1, 2, 3, 0)
 
 
 # ---------------------------------------------------------------------------

@@ -248,6 +248,19 @@ def enhance_prompts(
     "fell back" instead of silently emitting raw prompts.
     """
     system = I2V_SYSTEM_PROMPT if is_i2v else T2V_SYSTEM_PROMPT
+    if (image_paths is not None and any(p for p in image_paths)
+            and vision_params is None):
+        # never silently degrade image-conditioned rows to text-only:
+        # strict serving callers get the error; best-effort callers get a
+        # LOUD warning before the text fallback below
+        msg = ("enhance_prompts got image_paths but no vision_params — "
+               "the SigLIP tower is not loaded; image rows would enhance "
+               "TEXT-ONLY")
+        if strict:
+            from ltx_tpu.core.errors import InvalidConfigurationError
+
+            raise InvalidConfigurationError(msg)
+        log.warning("%s (falling back to text-only)", msg)
     try:
         input_embeds = None
         if image_paths is not None and vision_params is not None:

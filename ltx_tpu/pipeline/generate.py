@@ -716,7 +716,9 @@ class LTXPipeline:
                 self.vae_decoder_params, latent, self.vcfg, mesh,
                 timestep=ts, noise_key=nkey,
                 tile_overlap=max(self.memory.vae_tile_overlap, 1),
-                transfer_uint8=True)
+                transfer_uint8=("yuv420"
+                                if self.memory.decode_transfer == "yuv420"
+                                else True))
         else:
             # tiled decodes pull each tile as uint8 RGB (4x fewer
             # device->host bytes) or yuv420 planes (8x; the MP4 encoder's
@@ -892,6 +894,14 @@ class LTXPipeline:
         from ltx_tpu.pipeline.denoise import build_guidance_context_batched
 
         config.validate()
+        if config.image_path is not None:
+            from ltx_tpu.core.errors import InvalidConfigurationError
+
+            raise InvalidConfigurationError(
+                "generate_videos is T2V-only: image conditioning is "
+                "per-job state — route I2V requests through "
+                "generate_video (serve's batch key already keeps them "
+                "solo)")
         b = len(prompts)
         if b == 0:
             return []
@@ -914,17 +924,23 @@ class LTXPipeline:
                 self.gemma_params, self.gcfg, self.tokenizer, list(prompts),
                 spec_k=config.enhancement_spec_k, mesh=self.mesh)
 
-        # --- batched text encoding (one staged Gemma/connector pass)
+        # --- batched text encoding: positives AND the shared negative ride
+        # ONE staged Gemma/connector pass (a separate encode_prompt for the
+        # negative would re-stage the 12.8 GB tower per batch)
         t0 = time.time()
-        pos_rows = self.encode_prompts(list(prompts))
+        to_encode = list(prompts)
+        if guidance.use_cfg:
+            to_encode.append(config.negative_prompt
+                             or DEFAULT_NEGATIVE_PROMPT)
+        rows = self.encode_prompts(to_encode)
+        pos_rows = rows[:b]
         pos_v = jnp.concatenate([r["video"] for r in pos_rows], axis=0)
         pos_m = jnp.concatenate([r["mask"] for r in pos_rows], axis=0)
         neg_v = neg_m = None
         if guidance.use_cfg:
-            neg = self.encode_prompt(
-                config.negative_prompt or DEFAULT_NEGATIVE_PROMPT)
-            neg_v = jnp.tile(neg["video"], (b, 1, 1))
-            neg_m = jnp.tile(neg["mask"], (b, 1))
+            neg = rows[b]
+            neg_v = jnp.tile(jnp.asarray(neg["video"]), (b, 1, 1))
+            neg_m = jnp.tile(jnp.asarray(neg["mask"]), (b, 1))
         if self.memory.offload_text_encoder:
             self.offload_text_encoder()
         context, bias = build_guidance_context_batched(

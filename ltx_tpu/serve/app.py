@@ -168,8 +168,6 @@ def build_app(
             on_batch=metrics.on_batch)
 
     def run_job(job: Job) -> dict:
-        from ltx_tpu.io.video import export_video, export_wav
-
         cfg = request_to_config(job.request, image_root=root)
         prompt = job.request["prompt"]
         kind = job.kind
@@ -184,17 +182,7 @@ def build_app(
             result = pipe.generate_video_two_stage(prompt, cfg)
         else:  # t2v / i2v (I2V routes via cfg.image_path inside the pipeline)
             result = pipe.generate_video(prompt, cfg)
-        path = str(out / f"{job.job_id}.mp4")
-        export_video(result.frames, path, fps=cfg.fps, audio=result.audio,
-                     config=export_config_from_request(job.request, cfg.fps))
-        rec = {"output": path, "seed": result.seed,
-               "frames": int(result.frames.shape[0]),
-               "width": int(result.frames.shape[2]),
-               "height": int(result.frames.shape[1])}
-        if result.audio is not None:
-            export_wav(result.audio, path + ".wav")
-            rec["audio"] = path + ".wav"
-        return rec
+        return _export_one(job, result, cfg)
 
     def _export_one(job: Job, result, cfg) -> dict:
         from ltx_tpu.io.video import export_video, export_wav
@@ -212,20 +200,26 @@ def build_app(
         return rec
 
     def generate_batch_key(job: Job):
-        """Hashable coalescing key for plain T2V jobs: the FULL generation
-        config minus the seed (per-job), or None (run solo) for any other
-        kind / I2V / unparseable request."""
+        """Coalescing key for plain T2V jobs, or None (run solo) for any
+        other kind / I2V / enhanced request. A cheap projection of the RAW
+        request dict — batch_key runs under the JobQueue lock for every
+        scanned job, so no config construction/validation here (requests
+        were already validated at submit time by validate_fn); two
+        requests batch only when every generation field matches verbatim
+        (seed excepted — it is per-job)."""
         if job.kind != "t2v":
             return None
-        import dataclasses as _dc
-
-        cfg = request_to_config(job.request, image_root=root)
-        if cfg.image_path is not None or cfg.enhance_prompt:
+        body = job.request
+        if body.get("image_path") or body.get("enhance_prompt"):
             # enhanced prompts run through the single-job path: batched
             # enhancement belongs to the MicroBatcher, and interleaving it
             # here would double-hold Gemma HBM mid-batch
             return None
-        return _dc.replace(cfg, seed=0)
+        return tuple(
+            (k, repr(body.get(k)))
+            for k in (*_GENERATE_FIELDS, "stg_blocks", "codec",
+                      "export_quality")
+            if k != "seed")
 
     def run_generate_batch(batch) -> list:
         cfgs = [request_to_config(j.request, image_root=root) for j in batch]

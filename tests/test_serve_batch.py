@@ -124,3 +124,21 @@ def test_jobqueue_batch_failure_isolated():
     assert ra["state"] == FAILED and "boom" in ra["error"]
     assert rb["state"] == FAILED
     assert rc["state"] == DONE
+
+
+def test_generate_videos_rejects_i2v(pipe):
+    from ltx_tpu.core.errors import InvalidConfigurationError
+
+    with pytest.raises(InvalidConfigurationError):
+        pipe.generate_videos(["a fox"], _cfg(image_path="/tmp/x.png"))
+
+
+def test_enhance_prompts_strict_rejects_images_without_vision():
+    """image_paths without the vision tower must fail loudly under strict
+    (a silent text-only fallback would ship image-blind enhancements)."""
+    from ltx_tpu.core.errors import InvalidConfigurationError
+    from ltx_tpu.pipeline.enhance import enhance_prompts
+
+    with pytest.raises(InvalidConfigurationError):
+        enhance_prompts(None, None, None, ["a fox"],
+                        image_paths=["x.png"], strict=True)
