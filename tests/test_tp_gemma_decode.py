@@ -127,3 +127,36 @@ def test_tp_w8a8_greedy_decode_token_identical(gcfg, params):
         sharded, _prompt(), gcfg, jax.random.key(0), max_new_tokens=12,
         temperature=0.0, stop_tokens=(), mesh=mesh)
     assert out == base
+
+
+@needs_mesh
+def test_pipeline_enhance_runs_tp_on_sharded_pipe():
+    """Integration: a shard()ed pipeline routes enhancement through the
+    TP decode (enhance_prompt(mesh=...)) — the full generate_video path
+    with enhancement on, under the virtual mesh."""
+    import dataclasses
+    import types
+
+    from ltx_tpu.core.config import GenerationConfig
+    from ltx_tpu.pipeline.generate import LTXPipeline
+
+    class Tok:
+        def encode(self, text):
+            ids = [(b % 90) + 4 for b in text.encode()][:48]
+            return types.SimpleNamespace(ids=ids or [4])
+
+        def decode(self, ids):
+            return "an enhanced prompt"
+
+    pipe = LTXPipeline.random_tiny(seed=0)
+    pipe.memory = dataclasses.replace(pipe.memory,
+                                      offload_text_encoder=False)
+    pipe.tokenizer = Tok()
+    pipe.shard(make_mesh(data=2, model=2))
+    r = pipe.generate_video(
+        "a cat", GenerationConfig(width=64, height=64, num_frames=9,
+                                  num_steps=2, seed=5,
+                                  enhance_prompt=True))
+    f = np.asarray(r.frames)
+    assert f.shape == (9, 64, 64, 3) and np.isfinite(f).all()
+    assert r.timings.enhancement > 0
