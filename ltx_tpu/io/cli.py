@@ -45,6 +45,13 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--ltx-weights", default=None,
                    help="Path to unified LTX-2 safetensors")
     g.add_argument("--image", default=None, help="Image path for I2V")
+    g.add_argument("--video", default=None,
+                   help="Input clip for VIDEO-to-video (frames resampled "
+                        "to --frames and resized; composes with --strength)")
+    g.add_argument("--strength", type=float, default=0.6,
+                   help="V2V: fraction of the schedule re-run (1.0 = full "
+                        "noise == plain T2V; small keeps the clip's "
+                        "structure)")
     g.add_argument("--image-cond-noise", type=float, default=0.15)
     g.add_argument("--negative-prompt", default=None)
     g.add_argument("--guidance-rescale", type=float, default=0.0)
@@ -429,7 +436,16 @@ def cmd_generate(args) -> int:
     # correct per-stage resolutions) via config.image_path — mirroring the
     # reference (LTXPipeline.swift:2456,2651-2663).
     t0 = time.time()
-    if args.audio and args.two_stage:
+    if getattr(args, "video", None):
+        if args.audio or args.two_stage or args.image:
+            print("error: --video (v2v) composes with neither --audio, "
+                  "--two-stage nor --image yet", file=sys.stderr)
+            return 2
+        result = pipe.generate_video_from_video(
+            args.prompt, config, video_path=args.video,
+            strength=args.strength, on_progress=on_progress,
+        )
+    elif args.audio and args.two_stage:
         result = pipe.generate_video_with_audio_two_stage(
             args.prompt, config, on_progress=on_progress,
             audio_gain=args.audio_gain,

@@ -1000,6 +1000,114 @@ class LTXPipeline:
                 seed=seeds[i]))
         return results
 
+    def generate_video_from_video(
+        self,
+        prompt: str,
+        config: GenerationConfig,
+        video_path: Optional[str] = None,
+        video_frames=None,
+        strength: float = 0.6,
+        on_progress=None,
+    ) -> VideoGenerationResult:
+        """VIDEO-to-video: restyle/redirect an input clip under a new
+        prompt (no reference analog — the Swift pipeline conditions on a
+        single image only; this is the SDEdit-style partial-noising
+        counterpart, reusing the exact flow-matching forward the scheduler
+        defines: x_k = (1-sigma_k) x_0 + sigma_k noise).
+
+        strength in (0, 1]: the fraction of the schedule re-run. 1.0 =
+        full noise (identical to generate_video with the same seed —
+        sigma_0 is 1.0 on both schedules, tested); small values keep the
+        input clip's structure and only repaint details.
+
+        video_path: any readable clip (frames evenly resampled to
+        config.num_frames and LANCZOS-resized, io/video.load_video);
+        video_frames: alternatively a preloaded (1, 3, F, H, W) array in
+        [-1, 1] with F == config.num_frames.
+        """
+        config.validate()
+        if not 0.0 < strength <= 1.0:
+            from ltx_tpu.core.errors import InvalidConfigurationError
+
+            raise InvalidConfigurationError(
+                f"v2v strength must be in (0, 1], got {strength}")
+        if (video_path is None) == (video_frames is None):
+            from ltx_tpu.core.errors import InvalidConfigurationError
+
+            raise InvalidConfigurationError(
+                "pass exactly one of video_path / video_frames")
+        total_start = time.time()
+        timings = GenerationTimings()
+        seed = config.seed if config.seed is not None else int(time.time())
+        guidance = GuidanceSpec.from_config(config)
+
+        if video_frames is None:
+            from ltx_tpu.io.video import load_video
+
+            video_frames = load_video(video_path, config.width,
+                                      config.height, config.num_frames)
+        video_frames = jnp.asarray(video_frames)
+        if video_frames.shape != (1, 3, config.num_frames, config.height,
+                                  config.width):
+            from ltx_tpu.core.errors import InvalidConfigurationError
+
+            raise InvalidConfigurationError(
+                f"video_frames {video_frames.shape} != (1, 3, "
+                f"{config.num_frames}, {config.height}, {config.width})")
+
+        prompt = self._maybe_enhance(prompt, config, is_i2v=False,
+                                     timings=timings)
+
+        t0 = time.time()
+        pos = self.encode_prompt(prompt)
+        neg = None
+        if guidance.use_cfg:
+            neg = self.encode_prompt(
+                config.negative_prompt or DEFAULT_NEGATIVE_PROMPT)
+        timings.text_encoding = time.time() - t0
+        if self.memory.offload_text_encoder:
+            self.offload_text_encoder()
+        context, bias = build_guidance_context(
+            guidance, pos["video"], pos["mask"],
+            neg["video"] if neg else None, neg["mask"] if neg else None,
+        )
+
+        # --- encode the input clip, then flow-match-noise it to sigma_k
+        shape = VideoLatentShape.from_pixels(
+            1, config.num_frames, config.height, config.width,
+            channels=self.tcfg.in_channels,
+        )
+        src_latent = self.encode_video(video_frames).astype(jnp.float32)
+        sig_full = self._sigmas(config, shape)
+        n_steps = len(sig_full) - 1
+        k = min(max(int(round((1.0 - strength) * n_steps)), 0), n_steps - 1)
+        sigmas = sig_full[k:]
+
+        # EXACTLY generate_video's key derivation, so strength=1.0 (k=0,
+        # sigma_0=1.0 -> pure noise) reproduces the T2V output bit-for-bit
+        key = jax.random.key(seed)
+        key, nkey = jax.random.split(key)
+        noise = generate_noise(nkey, shape)
+        latent = schedule.add_noise(src_latent, noise, float(sigmas[0]))
+
+        key, dkey = jax.random.split(key)
+        latent = self._denoise(latent, sigmas, shape, guidance, context,
+                               bias, None, 0.0, config.fps, dkey, timings,
+                               on_progress)
+
+        key, vkey = jax.random.split(key)
+        frames = self._decode_frames(latent, vkey, timings)
+        frames = frames[: config.num_frames]
+        timings.total = time.time() - total_start
+        return VideoGenerationResult(frames=frames, timings=timings,
+                                     seed=seed)
+
+    def encode_video(self, pixels):
+        """(1, 3, F, H, W) in [-1, 1] -> normalized latent (the multi-frame
+        twin of encode_image; the causal encoder handles any 8k+1 frame
+        count)."""
+        return self.encode_image(pixels)
+
     def _denoise(self, latent, sigmas, shape, guidance, context, bias,
                  conditioning_mask, cond_noise_scale, fps, key, timings,
                  on_progress):

@@ -401,3 +401,31 @@ def test_cmd_train_e2e(tmp_path, capsys):
 
     layers = fuse.parse_lora(load_safetensors(out))
     assert len(layers) == cfg.num_layers * 10
+
+
+def test_cmd_generate_v2v_dispatch(tmp_path, monkeypatch):
+    """`generate --video in.mp4 --strength 0.5` drives video-to-video
+    end-to-end through cmd_generate with a tiny pipeline: clip loaded +
+    resampled, SDEdit tail denoised, MP4 written."""
+    import numpy as np
+
+    from ltx_tpu.io import cli
+    from ltx_tpu.io.video import export_video
+    from ltx_tpu.pipeline import loader
+    from ltx_tpu.pipeline.generate import LTXPipeline
+
+    clip = np.random.default_rng(1).uniform(size=(9, 64, 64, 3)) \
+        .astype(np.float32)
+    in_path = tmp_path / "in.mp4"
+    export_video(clip, str(in_path))
+
+    monkeypatch.setattr(loader, "load_pipeline",
+                        lambda **kw: LTXPipeline.random_tiny(seed=0))
+    out = tmp_path / "out.mp4"
+    rc = cli.main([
+        "generate", "a watercolor fox", "--video", str(in_path),
+        "--strength", "0.5", "-w", "64", "-H", "64", "-f", "9",
+        "--seed", "3", "-o", str(out),
+    ])
+    assert rc == 0
+    assert out.exists() and out.stat().st_size > 0
