@@ -54,13 +54,31 @@ def export_config_from_request(body: dict, fps: float):
     return cfg
 
 
+def _fenced_path(body: dict, field: str, image_root: Optional[Path]) -> str:
+    """Resolve a request-named server-side path, confined to image_root
+    when the fence is set (same rule request_to_config applies at submit
+    validation — this is the run-time twin for fields GenerationConfig
+    does not carry, e.g. v2v 'video_path')."""
+    path = Path(str(body[field]))
+    if image_root is not None:
+        resolved = (image_root / path).resolve() if not path.is_absolute() \
+            else path.resolve()
+        root = image_root.resolve()
+        if not resolved.is_relative_to(root):
+            raise ValueError(f"'{field}' must stay under the server's "
+                             "--image-root")
+        path = resolved
+    return str(path)
+
+
 def request_to_config(body: dict, image_root: Optional[Path] = None):
     """Build + validate a GenerationConfig from an untrusted request dict.
 
-    image_root, when set, confines i2v 'image_path' to files under that
-    directory (a request names an arbitrary server-side path — without the
-    fence any readable image on the host could be conditioned into the
-    output video). None = trusted local use, any path accepted.
+    image_root, when set, confines i2v 'image_path' AND v2v 'video_path'
+    to files under that directory (a request names an arbitrary
+    server-side path — without the fence any readable file on the host
+    could be conditioned into the output video). None = trusted local
+    use, any path accepted.
 
     Raises LTXError/ValueError with a user-facing message on bad input.
     """
@@ -78,16 +96,14 @@ def request_to_config(body: dict, image_root: Optional[Path] = None):
     if kind == "i2v":
         if not body.get("image_path"):
             raise ValueError("kind 'i2v' requires 'image_path'")
-        path = Path(str(body["image_path"]))
-        if image_root is not None:
-            resolved = (image_root / path).resolve() if not path.is_absolute() \
-                else path.resolve()
-            root = image_root.resolve()
-            if not resolved.is_relative_to(root):
-                raise ValueError("'image_path' must stay under the "
-                                 "server's --image-root")
-            path = resolved
-        kwargs["image_path"] = str(path)
+        kwargs["image_path"] = _fenced_path(body, "image_path", image_root)
+    if kind == "v2v":
+        if not body.get("video_path"):
+            raise ValueError("kind 'v2v' requires 'video_path'")
+        _fenced_path(body, "video_path", image_root)  # fence at submit
+        strength = float(body.get("strength", 0.6))
+        if not 0.0 < strength <= 1.0:
+            raise ValueError(f"'strength' must be in (0, 1], got {strength}")
     cfg = GenerationConfig(**kwargs)
     cfg.validate()
     return cfg
@@ -172,7 +188,12 @@ def build_app(
         prompt = job.request["prompt"]
         kind = job.kind
         audio_gain = float(job.request.get("audio_gain", 1.0))
-        if kind == "audio_two_stage":
+        if kind == "v2v":
+            result = pipe.generate_video_from_video(
+                prompt, cfg,
+                video_path=_fenced_path(job.request, "video_path", root),
+                strength=float(job.request.get("strength", 0.6)))
+        elif kind == "audio_two_stage":
             result = pipe.generate_video_with_audio_two_stage(
                 prompt, cfg, audio_gain=audio_gain)
         elif kind == "audio":

@@ -142,3 +142,50 @@ def test_enhance_prompts_strict_rejects_images_without_vision():
     with pytest.raises(InvalidConfigurationError):
         enhance_prompts(None, None, None, ["a fox"],
                         image_paths=["x.png"], strict=True)
+
+
+def test_serve_v2v_job_http(pipe, tmp_path):
+    """kind=v2v over real HTTP: clip in, restyled MP4 out; out-of-fence
+    video_path rejected at submit (400)."""
+    import json
+    import urllib.error
+    import urllib.request
+
+    from ltx_tpu.io.video import export_video
+    from ltx_tpu.serve.app import build_app
+    from ltx_tpu.serve.server import serve_forever_threaded
+
+    clip = np.random.default_rng(2).uniform(size=(9, 64, 64, 3)) \
+        .astype(np.float32)
+    root = tmp_path / "media"
+    root.mkdir()
+    export_video(clip, str(root / "in.mp4"))
+
+    app = build_app(pipe, output_dir=str(tmp_path / "out"), port=0,
+                    image_root=str(root))
+    serve_forever_threaded(app.server)
+    host, port = app.server.server_address[:2]
+    base = f"http://{host}:{port}"
+
+    def post(body):
+        req = urllib.request.Request(
+            base + "/v1/generate", json.dumps(body).encode(),
+            {"Content-Type": "application/json"})
+        return json.loads(urllib.request.urlopen(req).read())
+
+    try:
+        body = {"kind": "v2v", "prompt": "a fox", "video_path": "in.mp4",
+                "strength": 0.5, "width": 64, "height": 64,
+                "num_frames": 9, "num_steps": 2, "seed": 4}
+        job_id = post(body)["job_id"]
+        rec = app.jobs.wait(job_id, timeout=600)
+        assert rec["state"] == "done", rec
+        import os
+
+        assert os.path.getsize(rec["result"]["output"]) > 0
+
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            post({**body, "video_path": "../../etc/passwd"})
+        assert ei.value.code == 400
+    finally:
+        app.close()
