@@ -42,13 +42,28 @@ def _download_file(repo: str, filename: str, dest_dir: Path,
         return local
     dest_dir.mkdir(parents=True, exist_ok=True)
     try:
-        path = hf_hub_download(repo_id=repo, filename=filename, token=token,
-                               local_dir=str(dest_dir))
+        path = Path(hf_hub_download(repo_id=repo, filename=filename,
+                                    token=token, local_dir=str(dest_dir)))
     except Exception as e:  # network/auth/not-found from hf_hub
         from ltx_tpu.core.errors import DownloadFailedError
 
         raise DownloadFailedError(f"{repo}/{filename}: {e}") from e
-    return Path(path)
+    # hf_hub_download(local_dir=...) preserves the hub filename's SUBPATH
+    # ("vae/diffusion_pytorch_model.safetensors" lands at dest_dir/vae/...),
+    # but the registry and loaders use the reference's FLAT per-component
+    # layout (LTXModelRegistry.swift:92-136 — one file per component dir,
+    # registry.py::component_inventory). Flatten into place so the
+    # skip-if-exists check above also hits on the next run.
+    if path != local:
+        os.replace(path, local)
+        parent = path.parent
+        while parent != dest_dir and parent.is_relative_to(dest_dir):
+            try:
+                parent.rmdir()  # prune now-empty nested dirs
+            except OSError:
+                break
+            parent = parent.parent
+    return local
 
 
 def download_gemma(models_dir: Optional[str] = None,

@@ -23,7 +23,10 @@ def fake_hub(monkeypatch):
 
     def hf_hub_download(repo_id, filename, token=None, local_dir=None):
         calls["files"].append((repo_id, filename))
-        p = Path(local_dir) / Path(filename).name
+        # the real client PRESERVES the hub filename's subpath under
+        # local_dir (verified against the live client in
+        # test_download_e2e.py); _download_file flattens afterwards
+        p = Path(local_dir) / filename
         p.parent.mkdir(parents=True, exist_ok=True)
         p.write_bytes(b"fake")
         return str(p)
