@@ -52,6 +52,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="V2V: fraction of the schedule re-run (1.0 = full "
                         "noise == plain T2V; small keeps the clip's "
                         "structure)")
+    g.add_argument("--extend-video", default=None,
+                   help="EXTEND a clip: condition on its last --cond-frames "
+                        "frames and generate the continuation")
+    g.add_argument("--cond-frames", type=int, default=9,
+                   help="Extension: pixel frames taken from the input's "
+                        "tail (8k+1, < --frames)")
     g.add_argument("--image-cond-noise", type=float, default=0.15)
     g.add_argument("--negative-prompt", default=None)
     g.add_argument("--guidance-rescale", type=float, default=0.0)
@@ -437,13 +443,24 @@ def cmd_generate(args) -> int:
     # reference (LTXPipeline.swift:2456,2651-2663).
     t0 = time.time()
     if getattr(args, "video", None):
-        if args.audio or args.two_stage or args.image:
+        if args.audio or args.two_stage or args.image or \
+                getattr(args, "extend_video", None):
             print("error: --video (v2v) composes with neither --audio, "
-                  "--two-stage nor --image yet", file=sys.stderr)
+                  "--two-stage, --image nor --extend-video yet",
+                  file=sys.stderr)
             return 2
         result = pipe.generate_video_from_video(
             args.prompt, config, video_path=args.video,
             strength=args.strength, on_progress=on_progress,
+        )
+    elif getattr(args, "extend_video", None):
+        if args.audio or args.two_stage or args.image:
+            print("error: --extend-video composes with neither --audio, "
+                  "--two-stage nor --image yet", file=sys.stderr)
+            return 2
+        result = pipe.generate_video_extension(
+            args.prompt, config, video_path=args.extend_video,
+            cond_frames=args.cond_frames, on_progress=on_progress,
         )
     elif args.audio and args.two_stage:
         result = pipe.generate_video_with_audio_two_stage(

@@ -233,19 +233,31 @@ def load_image(path: str, width: int, height: int) -> np.ndarray:
 
 
 def load_video(path: str, width: int, height: int,
-               num_frames: int) -> np.ndarray:
+               num_frames: int, sample: str = "even") -> np.ndarray:
     """Video file -> (1, 3, F, H, W) float32 in [-1, 1] (training data prep).
 
-    Frames are evenly sampled (np.linspace over the clip) when the clip
-    length differs from num_frames, then LANCZOS-resized — the temporal
-    analog of load_image's treatment (reference pixel convention:
-    LatentUtils.swift:343-392, /127.5 - 1). Reader: OpenCV first (the
-    writer's reliable backend in this environment), imageio fallback.
+    sample="even": frames are evenly sampled (np.linspace over the clip)
+    when the clip length differs from num_frames, then LANCZOS-resized —
+    the temporal analog of load_image's treatment (reference pixel
+    convention: LatentUtils.swift:343-392, /127.5 - 1). sample="tail":
+    the clip's LAST num_frames consecutive frames (video extension needs
+    the exact tail, not a resample; raises if the clip is shorter).
+    Reader: OpenCV first (the writer's reliable backend in this
+    environment), imageio fallback.
     """
     frames = _read_frames(str(path))
     if not frames:
         raise IOError(f"no frames decoded from {path}")
-    idx = np.linspace(0, len(frames) - 1, num_frames).round().astype(int)
+    if sample == "tail":
+        if len(frames) < num_frames:
+            raise IOError(
+                f"clip has {len(frames)} frames < {num_frames} requested "
+                "tail frames")
+        idx = np.arange(len(frames) - num_frames, len(frames))
+    elif sample == "even":
+        idx = np.linspace(0, len(frames) - 1, num_frames).round().astype(int)
+    else:
+        raise ValueError(f"unknown sample mode {sample!r}")
     from PIL import Image
 
     out = np.empty((num_frames, height, width, 3), np.float32)

@@ -143,8 +143,11 @@ def make_denoise_step(
     shape: VideoLatentShape,
     context,            # (G, S, caption_channels)
     context_bias,       # (G, 1, 1, S) or None
-    conditioning_mask=None,   # (1, T) 1 on frame-0 tokens (I2V) or None
+    conditioning_mask=None,   # (1, T) 1 on conditioned-frame tokens or None
+    conditioned_latent=None,  # (1, C, cond_frames, h, w) CLEAN cond latent
     image_cond_noise_scale: float = 0.0,
+    cond_frames: int = 1,     # leading latent frames held clean (I2V: 1;
+                              # video extension: >1)
     fps: float = 24.0,
     sdpa_impl: str = "auto",
     remat: bool = False,
@@ -155,6 +158,16 @@ def make_denoise_step(
 
     Returns step(latent, sigma, sigma_next, prev_velocity, has_prev, key)
       -> (new_latent, velocity); latent/velocity are f32 (B, C, F, H, W).
+
+    Conditioning (I2V / video extension): conditioning_mask marks the
+    first cond_frames latent frames' tokens; their timesteps are 0, Euler
+    skips them, and when image_cond_noise_scale > 0 they are re-noised
+    each step FROM THE CLEAN conditioned_latent
+    (noised = cond + scale * noise * sigma^2 — the injection source is the
+    clean latent every step, NOT the carried one, so injection noise never
+    accumulates; reference: LTXPipeline.swift:2224-2229 uses condLatent).
+    conditioned_latent is a jit ARGUMENT (not a closure constant): a new
+    input image/clip must not recompile the step program.
 
     shape.batch > 1 batches B PROMPTS through one compiled step (serving:
     queued jobs with identical shape/params stack like enhance rows do) —
@@ -186,6 +199,13 @@ def make_denoise_step(
     cond_mask = None
     if conditioning_mask is not None:
         cond_mask = jnp.asarray(conditioning_mask, jnp.float32)  # (1, T)
+    cond_lat = None
+    if cond_mask is not None and image_cond_noise_scale > 0:
+        if conditioned_latent is None:
+            raise InvalidConfigurationError(
+                "image_cond_noise_scale > 0 requires conditioned_latent "
+                "(the clean injection source)")
+        cond_lat = jnp.asarray(conditioned_latent, jnp.float32)
 
     cas = (guidance.cross_attention_scale
            if guidance.cross_attention_scale != 1.0 else None)
@@ -195,18 +215,21 @@ def make_denoise_step(
     # multi-GB weight pytree into the executable.
     @partial(jax.jit, donate_argnums=(4,))
     def _step(dit_params, context, context_bias, pe,
-              latent, sigma, sigma_next, prev_velocity, has_prev, key):
+              latent, sigma, sigma_next, prev_velocity, has_prev, key,
+              cond_latent=None):
         sigma = jnp.asarray(sigma, jnp.float32)
         sigma_next = jnp.asarray(sigma_next, jnp.float32)
 
-        # I2V: re-noise the conditioned frame 0 BEFORE the transformer
-        # (noise_scale * noise * sigma^2, quadratic decay;
+        # I2V/extension: re-noise the conditioned frames BEFORE the
+        # transformer, FROM THE CLEAN conditioned latent (fresh noise per
+        # step, quadratic decay — no accumulation across steps;
         # reference: LTXPipeline.swift:2224-2229)
-        if cond_mask is not None and image_cond_noise_scale > 0:
-            frame0 = latent[:, :, :1]
-            noise = jax.random.normal(key, frame0.shape, frame0.dtype)
-            noised = frame0 + image_cond_noise_scale * noise * sigma**2
-            latent = latent.at[:, :, :1].set(noised)
+        if cond_lat is not None:
+            noise = jax.random.normal(key, cond_latent.shape,
+                                      cond_latent.dtype)
+            noised = cond_latent + image_cond_noise_scale * noise * sigma**2
+            latent = latent.at[:, :, :cond_frames].set(
+                noised.astype(latent.dtype))
 
         tokens = patchify(latent).astype(jnp.bfloat16)  # (B, T, C)
         if b == 1:
@@ -273,12 +296,14 @@ def make_denoise_step(
             velocity = jnp.where(has_prev, ge, velocity)
 
         if cond_mask is not None:
-            # Euler only frames 1+; frame 0 stays clean
+            # Euler only the generated frames; conditioned frames carry
             # (reference: LTXPipeline.swift:2349-2365)
             stepped = euler_step(
-                latent[:, :, 1:], velocity[:, :, 1:], sigma, sigma_next
+                latent[:, :, cond_frames:], velocity[:, :, cond_frames:],
+                sigma, sigma_next
             )
-            new_latent = jnp.concatenate([latent[:, :, :1], stepped], axis=2)
+            new_latent = jnp.concatenate(
+                [latent[:, :, :cond_frames], stepped], axis=2)
         else:
             new_latent = euler_step(latent, velocity, sigma, sigma_next)
 
@@ -286,7 +311,8 @@ def make_denoise_step(
 
     def step(latent, sigma, sigma_next, prev_velocity, has_prev, key):
         return _step(dit_params, context, context_bias, pe,
-                     latent, sigma, sigma_next, prev_velocity, has_prev, key)
+                     latent, sigma, sigma_next, prev_velocity, has_prev, key,
+                     cond_lat)
 
     step._jit = _step  # expose for cache introspection in tests
     step._pe = pe      # expose for AOT warm-compile (generate._start_warm_compile)
@@ -303,7 +329,9 @@ def make_av_denoise_step(
     audio_context,        # (G, S, caption)
     context_bias,         # (G, 1, 1, S) or None
     conditioning_mask=None,
+    conditioned_latent=None,  # (1, C, cond_frames, h, w) CLEAN cond latent
     image_cond_noise_scale: float = 0.0,
+    cond_frames: int = 1,
     fps: float = 24.0,
     sdpa_impl: str = "auto",
     remat: bool = False,
@@ -351,18 +379,28 @@ def make_av_denoise_step(
     cond_mask = None
     if conditioning_mask is not None:
         cond_mask = jnp.asarray(conditioning_mask, jnp.float32)
+    cond_lat = None
+    if cond_mask is not None and image_cond_noise_scale > 0:
+        if conditioned_latent is None:
+            raise InvalidConfigurationError(
+                "image_cond_noise_scale > 0 requires conditioned_latent "
+                "(the clean injection source)")
+        cond_lat = jnp.asarray(conditioned_latent, jnp.float32)
 
     @partial(jax.jit, donate_argnums=(5, 6))
     def _step(params, v_ctx, a_ctx, bias, ropes, video_latent, audio_packed,
-              sigma, sigma_next, key):
+              sigma, sigma_next, key, cond_latent=None):
         sigma = jnp.asarray(sigma, jnp.float32)
         sigma_next = jnp.asarray(sigma_next, jnp.float32)
 
-        if cond_mask is not None and image_cond_noise_scale > 0:
-            frame0 = video_latent[:, :, :1]
-            noise = jax.random.normal(key, frame0.shape, frame0.dtype)
-            noised = frame0 + image_cond_noise_scale * noise * sigma**2
-            video_latent = video_latent.at[:, :, :1].set(noised)
+        # re-noise conditioned frames FROM THE CLEAN latent (no
+        # accumulation; reference: LTXPipeline.swift:2224-2229)
+        if cond_lat is not None:
+            noise = jax.random.normal(key, cond_latent.shape,
+                                      cond_latent.dtype)
+            noised = cond_latent + image_cond_noise_scale * noise * sigma**2
+            video_latent = video_latent.at[:, :, :cond_frames].set(
+                noised.astype(video_latent.dtype))
 
         v_tokens = jnp.tile(patchify(video_latent).astype(jnp.bfloat16),
                             (g, 1, 1))
@@ -412,9 +450,10 @@ def make_av_denoise_step(
                 return euler_step(lat, vel, sigma, sigma_next)
 
         if cond_mask is not None:
-            stepped = _vstep(video_latent[:, :, 1:], v_vel[:, :, 1:])
+            stepped = _vstep(video_latent[:, :, cond_frames:],
+                             v_vel[:, :, cond_frames:])
             new_video = jnp.concatenate(
-                [video_latent[:, :, :1], stepped], axis=2)
+                [video_latent[:, :, :cond_frames], stepped], axis=2)
         else:
             new_video = _vstep(video_latent, v_vel)
 
@@ -425,7 +464,7 @@ def make_av_denoise_step(
     def step(video_latent, audio_packed, sigma, sigma_next, key):
         return _step(params, video_context, audio_context, context_bias,
                      ropes, video_latent, audio_packed, sigma, sigma_next,
-                     key)
+                     key, cond_lat)
 
     step._jit = _step
     return step

@@ -846,6 +846,7 @@ class LTXPipeline:
             self.transformer_params, self.tcfg, guidance, shape,
             context, bias,
             conditioning_mask=conditioning_mask,
+            conditioned_latent=image_latent,
             image_cond_noise_scale=config.image_cond_noise_scale,
             fps=config.fps,
             sdpa_impl=self.sdpa_impl,
@@ -1108,16 +1109,126 @@ class LTXPipeline:
         count)."""
         return self.encode_image(pixels)
 
+    def generate_video_extension(
+        self,
+        prompt: str,
+        config: GenerationConfig,
+        video_path: Optional[str] = None,
+        video_frames=None,
+        cond_frames: int = 9,
+        on_progress=None,
+    ) -> VideoGenerationResult:
+        """EXTEND a clip: condition on its last cond_frames pixel frames
+        and generate the continuation (no reference analog — the Swift
+        pipeline conditions on a single image only; this is the
+        multi-frame generalization of I2V: the conditioned latent frames
+        get per-token timestep 0, per-step clean-source noise injection,
+        and are frozen through Euler — pipeline/denoise.py cond_frames).
+
+        The output video STARTS with the conditioned frames (re-encoded
+        through the VAE) and continues for config.num_frames total — to
+        join with the source clip, trim the first cond_frames frames of
+        the result or crossfade over them.
+
+        cond_frames: pixel frames taken from the input's TAIL; must be
+        8k+1 (the causal VAE's frame alignment) and < config.num_frames.
+        cond_frames=1 with a one-frame clip is exactly I2V (same key
+        derivation as generate_video — tested bit-for-bit).
+
+        video_path: any readable clip (its last cond_frames frames are
+        used, LANCZOS-resized); video_frames: alternatively a preloaded
+        (1, 3, cond_frames, H, W) array in [-1, 1].
+        """
+        from ltx_tpu.core.errors import InvalidConfigurationError
+
+        config.validate()
+        if cond_frames < 1 or (cond_frames - 1) % 8 != 0:
+            raise InvalidConfigurationError(
+                f"cond_frames must be 8k+1, got {cond_frames}")
+        if cond_frames >= config.num_frames:
+            raise InvalidConfigurationError(
+                f"cond_frames {cond_frames} must be < num_frames "
+                f"{config.num_frames}")
+        if (video_path is None) == (video_frames is None):
+            raise InvalidConfigurationError(
+                "pass exactly one of video_path / video_frames")
+        total_start = time.time()
+        timings = GenerationTimings()
+        seed = config.seed if config.seed is not None else int(time.time())
+        guidance = GuidanceSpec.from_config(config)
+
+        if video_frames is None:
+            from ltx_tpu.io.video import load_video
+
+            video_frames = load_video(video_path, config.width,
+                                      config.height, cond_frames,
+                                      sample="tail")
+        video_frames = jnp.asarray(video_frames)
+        if video_frames.shape != (1, 3, cond_frames, config.height,
+                                  config.width):
+            raise InvalidConfigurationError(
+                f"video_frames {video_frames.shape} != (1, 3, "
+                f"{cond_frames}, {config.height}, {config.width})")
+
+        prompt = self._maybe_enhance(prompt, config, is_i2v=False,
+                                     timings=timings)
+
+        t0 = time.time()
+        pos = self.encode_prompt(prompt)
+        neg = None
+        if guidance.use_cfg:
+            neg = self.encode_prompt(
+                config.negative_prompt or DEFAULT_NEGATIVE_PROMPT)
+        timings.text_encoding = time.time() - t0
+        if self.memory.offload_text_encoder:
+            self.offload_text_encoder()
+        context, bias = build_guidance_context(
+            guidance, pos["video"], pos["mask"],
+            neg["video"] if neg else None, neg["mask"] if neg else None,
+        )
+
+        shape = VideoLatentShape.from_pixels(
+            1, config.num_frames, config.height, config.width,
+            channels=self.tcfg.in_channels,
+        )
+        cond_latent = self.encode_video(video_frames).astype(jnp.float32)
+        k_lat = cond_latent.shape[2]  # (cond_frames - 1) // 8 + 1
+
+        # EXACTLY generate_video's key derivation (so cond_frames=1
+        # reproduces I2V bit-for-bit; tests/test_extend.py)
+        key = jax.random.key(seed)
+        key, nkey = jax.random.split(key)
+        sigmas = self._sigmas(config, shape)
+        latent = generate_noise(nkey, shape) * float(sigmas[0])
+        latent = latent.at[:, :, :k_lat].set(cond_latent.astype(latent.dtype))
+        cm = self._conditioning_mask(shape, frames=k_lat)
+
+        key, dkey = jax.random.split(key)
+        latent = self._denoise(latent, sigmas, shape, guidance, context,
+                               bias, cm, config.image_cond_noise_scale,
+                               config.fps, dkey, timings, on_progress,
+                               conditioned_latent=cond_latent,
+                               cond_frames=k_lat)
+
+        key, vkey = jax.random.split(key)
+        frames = self._decode_frames(latent, vkey, timings)
+        frames = frames[: config.num_frames]
+        timings.total = time.time() - total_start
+        return VideoGenerationResult(frames=frames, timings=timings,
+                                     seed=seed)
+
     def _denoise(self, latent, sigmas, shape, guidance, context, bias,
                  conditioning_mask, cond_noise_scale, fps, key, timings,
-                 on_progress):
+                 on_progress, conditioned_latent=None, cond_frames=1):
         """Shared compiled-step denoise (reference: LTXPipeline.swift:2191)."""
         self._on_device("transformer_params")
         step_fn = make_denoise_step(
             self.transformer_params, self.tcfg, guidance, shape,
             context, bias,
             conditioning_mask=conditioning_mask,
+            conditioned_latent=conditioned_latent,
             image_cond_noise_scale=cond_noise_scale,
+            cond_frames=cond_frames,
             fps=fps,
             sdpa_impl=self.sdpa_impl,
             remat=self.memory.remat_blocks,
@@ -1148,10 +1259,12 @@ class LTXPipeline:
             token_count=shape.token_count,
         )
 
-    def _conditioning_mask(self, shape) -> np.ndarray:
+    def _conditioning_mask(self, shape, frames: int = 1) -> np.ndarray:
+        """(1, T) mask, 1 on the first `frames` latent frames' tokens
+        (patchify is row-major (F, H, W), so conditioned tokens lead)."""
         tokens_per_frame = shape.height * shape.width
         cm = np.zeros((1, shape.token_count), np.float32)
-        cm[:, :tokens_per_frame] = 1.0
+        cm[:, : frames * tokens_per_frame] = 1.0
         return cm
 
     def generate_video_two_stage(
@@ -1237,7 +1350,7 @@ class LTXPipeline:
         latent = self._denoise(
             latent, s1_sigmas, s1_shape, guidance, context, bias,
             s1_cond_mask, config.image_cond_noise_scale, config.fps, dkey,
-            timings, on_progress,
+            timings, on_progress, conditioned_latent=image_latent,
         )
         stage1_output = latent
 
@@ -1279,7 +1392,7 @@ class LTXPipeline:
         latent = self._denoise(
             latent, s2_sigmas, s2_shape, guidance2, context2, bias2,
             s2_cond_mask, config.image_cond_noise_scale, config.fps, dkey2,
-            timings, on_progress,
+            timings, on_progress, conditioned_latent=full_res_image_latent,
         )
 
         # --- decode
@@ -1380,6 +1493,7 @@ class LTXPipeline:
             self.av_transformer_params, self.tcfg, guidance, shape,
             audio_frames, v_ctx, a_ctx, bias,
             conditioning_mask=conditioning_mask,
+            conditioned_latent=image_latent,
             image_cond_noise_scale=config.image_cond_noise_scale,
             fps=config.fps, sdpa_impl=self.sdpa_impl,
             remat=self.memory.remat_blocks,
@@ -1526,6 +1640,7 @@ class LTXPipeline:
             self.av_transformer_params, self.tcfg, guidance, s1_shape,
             audio_frames, v_ctx, a_ctx, bias,
             conditioning_mask=s1_cond_mask,
+            conditioned_latent=half_res_image_latent,
             image_cond_noise_scale=config.image_cond_noise_scale,
             fps=config.fps, sdpa_impl=self.sdpa_impl,
             remat=self.memory.remat_blocks,
@@ -1568,6 +1683,7 @@ class LTXPipeline:
         # I2V stage 2: re-encode at FULL resolution
         # (reference: LTXPipeline.swift:1747-1762)
         s2_cond_mask = None
+        full_res_image_latent = None
         if is_i2v:
             full_res_image_latent = self._encode_image_at(
                 config.image_path, config.width, config.height)
@@ -1579,6 +1695,7 @@ class LTXPipeline:
             self.av_transformer_params, self.tcfg, guidance, s2_shape,
             audio_frames, v_ctx, a_ctx, bias,
             conditioning_mask=s2_cond_mask,
+            conditioned_latent=full_res_image_latent,
             image_cond_noise_scale=config.image_cond_noise_scale,
             fps=config.fps, sdpa_impl=self.sdpa_impl,
             remat=self.memory.remat_blocks,

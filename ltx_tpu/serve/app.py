@@ -104,6 +104,17 @@ def request_to_config(body: dict, image_root: Optional[Path] = None):
         strength = float(body.get("strength", 0.6))
         if not 0.0 < strength <= 1.0:
             raise ValueError(f"'strength' must be in (0, 1], got {strength}")
+    if kind == "extend":
+        if not body.get("video_path"):
+            raise ValueError("kind 'extend' requires 'video_path'")
+        _fenced_path(body, "video_path", image_root)  # fence at submit
+        cf = int(body.get("cond_frames", 9))
+        nf = int(body.get("num_frames", kwargs.get("num_frames", 0) or 0))
+        if cf < 1 or (cf - 1) % 8 != 0:
+            raise ValueError(f"'cond_frames' must be 8k+1, got {cf}")
+        if nf and cf >= nf:
+            raise ValueError(
+                f"'cond_frames' ({cf}) must be < 'num_frames' ({nf})")
     cfg = GenerationConfig(**kwargs)
     cfg.validate()
     return cfg
@@ -193,6 +204,11 @@ def build_app(
                 prompt, cfg,
                 video_path=_fenced_path(job.request, "video_path", root),
                 strength=float(job.request.get("strength", 0.6)))
+        elif kind == "extend":
+            result = pipe.generate_video_extension(
+                prompt, cfg,
+                video_path=_fenced_path(job.request, "video_path", root),
+                cond_frames=int(job.request.get("cond_frames", 9)))
         elif kind == "audio_two_stage":
             result = pipe.generate_video_with_audio_two_stage(
                 prompt, cfg, audio_gain=audio_gain)

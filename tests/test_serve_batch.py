@@ -189,3 +189,55 @@ def test_serve_v2v_job_http(pipe, tmp_path):
         assert ei.value.code == 400
     finally:
         app.close()
+
+
+def test_serve_extend_job_http(pipe, tmp_path):
+    """kind=extend over real HTTP: clip tail conditioned, continuation MP4
+    out; bad cond_frames and out-of-fence video_path rejected at submit."""
+    import json
+    import os
+    import urllib.error
+    import urllib.request
+
+    from ltx_tpu.io.video import export_video
+    from ltx_tpu.serve.app import build_app
+    from ltx_tpu.serve.server import serve_forever_threaded
+
+    clip = np.random.default_rng(3).uniform(size=(24, 64, 64, 3)) \
+        .astype(np.float32)
+    root = tmp_path / "media"
+    root.mkdir()
+    export_video(clip, str(root / "in.mp4"))
+
+    app = build_app(pipe, output_dir=str(tmp_path / "out"), port=0,
+                    image_root=str(root))
+    serve_forever_threaded(app.server)
+    host, port = app.server.server_address[:2]
+    base = f"http://{host}:{port}"
+
+    def post(body):
+        req = urllib.request.Request(
+            base + "/v1/generate", json.dumps(body).encode(),
+            {"Content-Type": "application/json"})
+        return json.loads(urllib.request.urlopen(req).read())
+
+    try:
+        body = {"kind": "extend", "prompt": "the story continues",
+                "video_path": "in.mp4", "cond_frames": 9, "width": 64,
+                "height": 64, "num_frames": 17, "num_steps": 2, "seed": 4}
+        job_id = post(body)["job_id"]
+        rec = app.jobs.wait(job_id, timeout=600)
+        assert rec["state"] == "done", rec
+        assert os.path.getsize(rec["result"]["output"]) > 0
+
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            post({**body, "cond_frames": 8})  # not 8k+1 -> 400 at the door
+        assert ei.value.code == 400
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            post({**body, "cond_frames": 17})  # >= num_frames
+        assert ei.value.code == 400
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            post({**body, "video_path": "../../etc/passwd"})
+        assert ei.value.code == 400
+    finally:
+        app.close()
