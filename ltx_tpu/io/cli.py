@@ -58,6 +58,11 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--cond-frames", type=int, default=9,
                    help="Extension: pixel frames taken from the input's "
                         "tail (8k+1, < --frames)")
+    g.add_argument("--keyframe", action="append", default=None,
+                   metavar="IDX:PATH",
+                   help="Condition on an image at pixel frame IDX (multiple "
+                        "of 8); repeatable — e.g. --keyframe 0:a.png "
+                        "--keyframe 112:b.png interpolates between anchors")
     g.add_argument("--image-cond-noise", type=float, default=0.15)
     g.add_argument("--negative-prompt", default=None)
     g.add_argument("--guidance-rescale", type=float, default=0.0)
@@ -302,7 +307,13 @@ def _generation_config(args):
         enhance_prompt=args.enhance_prompt,
         enhancement_spec_k=args.spec_k,
         image_path=args.image,
-        image_cond_noise_scale=args.image_cond_noise if args.image else 0.0,
+        # injection noise applies to EVERY conditioned-frame mode (I2V,
+        # extension, keyframes) — same mechanism, same default
+        image_cond_noise_scale=(
+            args.image_cond_noise
+            if (args.image or getattr(args, "extend_video", None)
+                or getattr(args, "keyframe", None))
+            else 0.0),
         fps=args.fps,
     )
 
@@ -444,9 +455,10 @@ def cmd_generate(args) -> int:
     t0 = time.time()
     if getattr(args, "video", None):
         if args.audio or args.two_stage or args.image or \
-                getattr(args, "extend_video", None):
+                getattr(args, "extend_video", None) or \
+                getattr(args, "keyframe", None):
             print("error: --video (v2v) composes with neither --audio, "
-                  "--two-stage, --image nor --extend-video yet",
+                  "--two-stage, --image, --extend-video nor --keyframe yet",
                   file=sys.stderr)
             return 2
         result = pipe.generate_video_from_video(
@@ -454,13 +466,31 @@ def cmd_generate(args) -> int:
             strength=args.strength, on_progress=on_progress,
         )
     elif getattr(args, "extend_video", None):
-        if args.audio or args.two_stage or args.image:
+        if args.audio or args.two_stage or args.image or \
+                getattr(args, "keyframe", None):
             print("error: --extend-video composes with neither --audio, "
-                  "--two-stage nor --image yet", file=sys.stderr)
+                  "--two-stage, --image nor --keyframe yet",
+                  file=sys.stderr)
             return 2
         result = pipe.generate_video_extension(
             args.prompt, config, video_path=args.extend_video,
             cond_frames=args.cond_frames, on_progress=on_progress,
+        )
+    elif getattr(args, "keyframe", None):
+        if args.audio or args.two_stage or args.image:
+            print("error: --keyframe composes with neither --audio, "
+                  "--two-stage nor --image yet", file=sys.stderr)
+            return 2
+        keyframes = []
+        for spec in args.keyframe:
+            idx, sep, path = spec.partition(":")
+            if not sep or not idx.isdigit() or not path:
+                print(f"error: --keyframe {spec!r} is not IDX:PATH",
+                      file=sys.stderr)
+                return 2
+            keyframes.append((int(idx), path))
+        result = pipe.generate_video_keyframes(
+            args.prompt, config, keyframes, on_progress=on_progress,
         )
     elif args.audio and args.two_stage:
         result = pipe.generate_video_with_audio_two_stage(

@@ -144,10 +144,14 @@ def make_denoise_step(
     context,            # (G, S, caption_channels)
     context_bias,       # (G, 1, 1, S) or None
     conditioning_mask=None,   # (1, T) 1 on conditioned-frame tokens or None
-    conditioned_latent=None,  # (1, C, cond_frames, h, w) CLEAN cond latent
+    conditioned_latent=None,  # (1, C, K, h, w) CLEAN cond latent (the K
+                              # conditioned frames only, in index order)
     image_cond_noise_scale: float = 0.0,
     cond_frames: int = 1,     # leading latent frames held clean (I2V: 1;
                               # video extension: >1)
+    cond_frame_idx=None,      # (K,) int latent-frame indices held clean at
+                              # ARBITRARY positions (keyframe conditioning);
+                              # supersedes cond_frames when given
     fps: float = 24.0,
     sdpa_impl: str = "auto",
     remat: bool = False,
@@ -168,6 +172,16 @@ def make_denoise_step(
     accumulates; reference: LTXPipeline.swift:2224-2229 uses condLatent).
     conditioned_latent is a jit ARGUMENT (not a closure constant): a new
     input image/clip must not recompile the step program.
+
+    cond_frame_idx generalizes conditioning to ARBITRARY latent-frame
+    positions (keyframe interpolation — first+last, mid-clip anchors; no
+    reference analog, matching the upstream LTX-Video Python pipeline's
+    conditioning items): the K indexed frames are scattered from
+    conditioned_latent (same per-frame noise draw shape as the leading
+    path, so leading indices reproduce it bit-for-bit) and carried
+    through Euler via a frame mask. Indices are STATIC (baked into the
+    program); different keyframe positions recompile, different images
+    do not.
 
     shape.batch > 1 batches B PROMPTS through one compiled step (serving:
     queued jobs with identical shape/params stack like enhance rows do) —
@@ -207,6 +221,27 @@ def make_denoise_step(
                 "(the clean injection source)")
         cond_lat = jnp.asarray(conditioned_latent, jnp.float32)
 
+    fidx = fmask = None
+    if cond_frame_idx is not None:
+        if cond_mask is None:
+            raise InvalidConfigurationError(
+                "cond_frame_idx requires conditioning_mask")
+        fidx = np.asarray(cond_frame_idx, np.int64).reshape(-1)
+        if fidx.size == 0 or (np.diff(fidx) <= 0).any():
+            raise InvalidConfigurationError(
+                "cond_frame_idx must be non-empty, strictly increasing")
+        if fidx[0] < 0 or fidx[-1] >= shape.frames:
+            raise InvalidConfigurationError(
+                f"cond_frame_idx {fidx.tolist()} out of range "
+                f"[0, {shape.frames})")
+        m = np.zeros((1, 1, shape.frames, 1, 1), bool)
+        m[:, :, fidx] = True
+        fmask = jnp.asarray(m)
+        if cond_lat is not None and cond_lat.shape[2] != fidx.size:
+            raise InvalidConfigurationError(
+                f"conditioned_latent has {cond_lat.shape[2]} frames, "
+                f"cond_frame_idx names {fidx.size}")
+
     cas = (guidance.cross_attention_scale
            if guidance.cross_attention_scale != 1.0 else None)
 
@@ -228,8 +263,12 @@ def make_denoise_step(
             noise = jax.random.normal(key, cond_latent.shape,
                                       cond_latent.dtype)
             noised = cond_latent + image_cond_noise_scale * noise * sigma**2
-            latent = latent.at[:, :, :cond_frames].set(
-                noised.astype(latent.dtype))
+            if fidx is not None:
+                latent = latent.at[:, :, fidx].set(
+                    noised.astype(latent.dtype))
+            else:
+                latent = latent.at[:, :, :cond_frames].set(
+                    noised.astype(latent.dtype))
 
         tokens = patchify(latent).astype(jnp.bfloat16)  # (B, T, C)
         if b == 1:
@@ -295,7 +334,14 @@ def make_denoise_step(
             ge = guidance.ge_gamma * (velocity - prev_velocity) + prev_velocity
             velocity = jnp.where(has_prev, ge, velocity)
 
-        if cond_mask is not None:
+        if fidx is not None:
+            # keyframes at arbitrary positions: Euler everywhere, carry
+            # the conditioned frames through a mask (values identical to
+            # the slice-and-concat leading path — euler_step is
+            # elementwise)
+            stepped = euler_step(latent, velocity, sigma, sigma_next)
+            new_latent = jnp.where(fmask, latent, stepped)
+        elif cond_mask is not None:
             # Euler only the generated frames; conditioned frames carry
             # (reference: LTXPipeline.swift:2349-2365)
             stepped = euler_step(

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ltx_tpu.core.errors import (
+    InvalidConfigurationError,
     ModelNotLoadedError,
     TextEncodingFailedError,
 )
@@ -1139,8 +1140,6 @@ class LTXPipeline:
         used, LANCZOS-resized); video_frames: alternatively a preloaded
         (1, 3, cond_frames, H, W) array in [-1, 1].
         """
-        from ltx_tpu.core.errors import InvalidConfigurationError
-
         config.validate()
         if cond_frames < 1 or (cond_frames - 1) % 8 != 0:
             raise InvalidConfigurationError(
@@ -1217,9 +1216,131 @@ class LTXPipeline:
         return VideoGenerationResult(frames=frames, timings=timings,
                                      seed=seed)
 
+    def generate_video_keyframes(
+        self,
+        prompt: str,
+        config: GenerationConfig,
+        keyframes,
+        on_progress=None,
+    ) -> VideoGenerationResult:
+        """Condition at ARBITRARY frame positions (keyframe interpolation /
+        anchoring): keyframes = [(pixel_frame_idx, source), ...] — e.g.
+        [(0, "first.png"), (112, "last.png")] generates the in-between
+        motion. No reference analog (the Swift pipeline conditions on
+        frame 0 only, LTXPipeline.swift:1902-1932); this matches the
+        upstream LTX-Video Python pipeline's conditioning items,
+        restricted to single-frame anchors.
+
+        source: an image path (loaded + LANCZOS-resized), a pixel array
+        (1, 3, 1, H, W) in [-1, 1], or a pre-encoded normalized latent
+        (1, C, 1, h, w). pixel_frame_idx must be a multiple of 8 (the
+        causal VAE's temporal stride); each image encodes standalone
+        through the causal first-frame path and anchors latent index
+        idx // 8 — its latent frames get per-token timestep 0, per-step
+        clean-source noise injection, and carry through Euler
+        (pipeline/denoise.py cond_frame_idx).
+
+        keyframes=[(0, latent)] reproduces
+        generate_video(image_latent=latent) bit-for-bit (same key
+        derivation, same noise draw shapes — tests/test_keyframes.py).
+        """
+        config.validate()
+        if not keyframes:
+            raise InvalidConfigurationError("keyframes must be non-empty")
+        total_start = time.time()
+        timings = GenerationTimings()
+        seed = config.seed if config.seed is not None else int(time.time())
+        guidance = GuidanceSpec.from_config(config)
+
+        shape = VideoLatentShape.from_pixels(
+            1, config.num_frames, config.height, config.width,
+            channels=self.tcfg.in_channels,
+        )
+        lat_idx: list = []
+        lats = []
+        for pix_idx, src in sorted(keyframes, key=lambda kv: int(kv[0])):
+            pix_idx = int(pix_idx)
+            if pix_idx % 8 != 0:
+                raise InvalidConfigurationError(
+                    f"keyframe index {pix_idx} must be a multiple of 8 "
+                    "(latent-frame alignment: latent k sits at pixel 8k)")
+            if not 0 <= pix_idx < config.num_frames:
+                raise InvalidConfigurationError(
+                    f"keyframe index {pix_idx} outside "
+                    f"[0, {config.num_frames})")
+            k = pix_idx // 8
+            if k in lat_idx:
+                raise InvalidConfigurationError(
+                    f"duplicate keyframe at latent index {k}")
+            if isinstance(src, str):
+                lat = self._encode_image_at(src, config.width,
+                                            config.height)
+            else:
+                src = jnp.asarray(src)
+                if src.ndim != 5 or src.shape[2] != 1:
+                    raise InvalidConfigurationError(
+                        f"keyframe source shape {tuple(src.shape)} is "
+                        "neither pixels (1, 3, 1, H, W) nor a latent "
+                        "(1, C, 1, h, w)")
+                if src.shape[1] == 3:
+                    lat = self.encode_image(src)
+                elif src.shape[1] == self.tcfg.in_channels:
+                    lat = src
+                else:
+                    raise InvalidConfigurationError(
+                        f"keyframe source has {src.shape[1]} channels; "
+                        f"expected 3 (pixels) or {self.tcfg.in_channels} "
+                        "(latent)")
+            lat_idx.append(k)
+            lats.append(lat.astype(jnp.float32))
+        cond_latent = jnp.concatenate(lats, axis=2)  # (1, C, K, h, w)
+        cond_idx = np.asarray(lat_idx, np.int64)
+
+        prompt = self._maybe_enhance(prompt, config, is_i2v=True,
+                                     timings=timings)
+
+        t0 = time.time()
+        pos = self.encode_prompt(prompt)
+        neg = None
+        if guidance.use_cfg:
+            neg = self.encode_prompt(
+                config.negative_prompt or DEFAULT_NEGATIVE_PROMPT)
+        timings.text_encoding = time.time() - t0
+        if self.memory.offload_text_encoder:
+            self.offload_text_encoder()
+        context, bias = build_guidance_context(
+            guidance, pos["video"], pos["mask"],
+            neg["video"] if neg else None, neg["mask"] if neg else None,
+        )
+
+        # EXACTLY generate_video's key derivation (so keyframes=[(0, lat)]
+        # reproduces I2V bit-for-bit)
+        key = jax.random.key(seed)
+        key, nkey = jax.random.split(key)
+        sigmas = self._sigmas(config, shape)
+        latent = generate_noise(nkey, shape) * float(sigmas[0])
+        latent = latent.at[:, :, cond_idx].set(
+            cond_latent.astype(latent.dtype))
+        cm = self._conditioning_mask(shape, frame_idx=cond_idx)
+
+        key, dkey = jax.random.split(key)
+        latent = self._denoise(latent, sigmas, shape, guidance, context,
+                               bias, cm, config.image_cond_noise_scale,
+                               config.fps, dkey, timings, on_progress,
+                               conditioned_latent=cond_latent,
+                               cond_frame_idx=cond_idx)
+
+        key, vkey = jax.random.split(key)
+        frames = self._decode_frames(latent, vkey, timings)
+        frames = frames[: config.num_frames]
+        timings.total = time.time() - total_start
+        return VideoGenerationResult(frames=frames, timings=timings,
+                                     seed=seed)
+
     def _denoise(self, latent, sigmas, shape, guidance, context, bias,
                  conditioning_mask, cond_noise_scale, fps, key, timings,
-                 on_progress, conditioned_latent=None, cond_frames=1):
+                 on_progress, conditioned_latent=None, cond_frames=1,
+                 cond_frame_idx=None):
         """Shared compiled-step denoise (reference: LTXPipeline.swift:2191)."""
         self._on_device("transformer_params")
         step_fn = make_denoise_step(
@@ -1229,6 +1350,7 @@ class LTXPipeline:
             conditioned_latent=conditioned_latent,
             image_cond_noise_scale=cond_noise_scale,
             cond_frames=cond_frames,
+            cond_frame_idx=cond_frame_idx,
             fps=fps,
             sdpa_impl=self.sdpa_impl,
             remat=self.memory.remat_blocks,
@@ -1259,12 +1381,20 @@ class LTXPipeline:
             token_count=shape.token_count,
         )
 
-    def _conditioning_mask(self, shape, frames: int = 1) -> np.ndarray:
-        """(1, T) mask, 1 on the first `frames` latent frames' tokens
-        (patchify is row-major (F, H, W), so conditioned tokens lead)."""
+    def _conditioning_mask(self, shape, frames: int = 1,
+                           frame_idx=None) -> np.ndarray:
+        """(1, T) mask, 1 on the conditioned latent frames' tokens
+        (patchify is row-major (F, H, W): frame f's tokens are the
+        contiguous block [f*h*w, (f+1)*h*w)). frames: the first `frames`
+        frames (I2V/extension); frame_idx: arbitrary positions
+        (keyframes)."""
         tokens_per_frame = shape.height * shape.width
         cm = np.zeros((1, shape.token_count), np.float32)
-        cm[:, : frames * tokens_per_frame] = 1.0
+        if frame_idx is not None:
+            for f in np.asarray(frame_idx).reshape(-1):
+                cm[:, f * tokens_per_frame: (f + 1) * tokens_per_frame] = 1.0
+        else:
+            cm[:, : frames * tokens_per_frame] = 1.0
         return cm
 
     def generate_video_two_stage(

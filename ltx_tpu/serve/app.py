@@ -115,6 +115,32 @@ def request_to_config(body: dict, image_root: Optional[Path] = None):
         if nf and cf >= nf:
             raise ValueError(
                 f"'cond_frames' ({cf}) must be < 'num_frames' ({nf})")
+    if kind == "keyframes":
+        kfs = body.get("keyframes")
+        if not isinstance(kfs, list) or not kfs:
+            raise ValueError(
+                "kind 'keyframes' requires a non-empty 'keyframes' list of "
+                '{"frame": int, "image_path": str}')
+        nf = int(body.get("num_frames", kwargs.get("num_frames", 0) or 0))
+        seen = set()
+        for kf in kfs:
+            if not isinstance(kf, dict) or "frame" not in kf \
+                    or not kf.get("image_path"):
+                raise ValueError(
+                    'each keyframe must be {"frame": int, "image_path": str}')
+            f = int(kf["frame"])
+            if f % 8 != 0 or f < 0:
+                raise ValueError(
+                    f"keyframe 'frame' must be a non-negative multiple of "
+                    f"8, got {f}")
+            if nf and f >= nf:
+                raise ValueError(
+                    f"keyframe 'frame' ({f}) must be < 'num_frames' ({nf})")
+            if f // 8 in seen:
+                raise ValueError(f"duplicate keyframe at latent index "
+                                 f"{f // 8}")
+            seen.add(f // 8)
+            _fenced_path(kf, "image_path", image_root)  # fence at submit
     cfg = GenerationConfig(**kwargs)
     cfg.validate()
     return cfg
@@ -209,6 +235,12 @@ def build_app(
                 prompt, cfg,
                 video_path=_fenced_path(job.request, "video_path", root),
                 cond_frames=int(job.request.get("cond_frames", 9)))
+        elif kind == "keyframes":
+            result = pipe.generate_video_keyframes(
+                prompt, cfg,
+                [(int(kf["frame"]),
+                  _fenced_path(kf, "image_path", root))
+                 for kf in job.request["keyframes"]])
         elif kind == "audio_two_stage":
             result = pipe.generate_video_with_audio_two_stage(
                 prompt, cfg, audio_gain=audio_gain)
