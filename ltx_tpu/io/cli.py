@@ -63,6 +63,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Condition on an image at pixel frame IDX (multiple "
                         "of 8); repeatable — e.g. --keyframe 0:a.png "
                         "--keyframe 112:b.png interpolates between anchors")
+    g.add_argument("--chain", type=int, default=1, metavar="N",
+                   help="CHAINED long video: autoregressively generate N "
+                        "segments, each conditioned on the previous tail "
+                        "in latent space (overlap = --cond-frames; total "
+                        "frames = F + (N-1)*(F - cond_frames))")
+    g.add_argument("--chain-prompt", action="append", default=None,
+                   help="Continuation prompt for chain segment i (repeat "
+                        "N-1 times; segment 0 uses the positional prompt)")
     g.add_argument("--image-cond-noise", type=float, default=0.15)
     g.add_argument("--negative-prompt", default=None)
     g.add_argument("--guidance-rescale", type=float, default=0.0)
@@ -453,7 +461,29 @@ def cmd_generate(args) -> int:
     # correct per-stage resolutions) via config.image_path — mirroring the
     # reference (LTXPipeline.swift:2456,2651-2663).
     t0 = time.time()
-    if getattr(args, "video", None):
+    if getattr(args, "chain", 1) > 1:
+        if args.audio or args.two_stage or args.image or \
+                getattr(args, "video", None) or \
+                getattr(args, "extend_video", None) or \
+                getattr(args, "keyframe", None):
+            print("error: --chain composes with neither --audio, "
+                  "--two-stage, --image, --video, --extend-video nor "
+                  "--keyframe yet", file=sys.stderr)
+            return 2
+        prompts = None
+        if getattr(args, "chain_prompt", None):
+            if len(args.chain_prompt) != args.chain - 1:
+                print(f"error: --chain {args.chain} needs "
+                      f"{args.chain - 1} --chain-prompt entries, got "
+                      f"{len(args.chain_prompt)}", file=sys.stderr)
+                return 2
+            prompts = [args.prompt] + list(args.chain_prompt)
+        result = pipe.generate_video_chain(
+            args.prompt, config, segments=args.chain,
+            cond_frames=args.cond_frames, prompts=prompts,
+            on_progress=on_progress,
+        )
+    elif getattr(args, "video", None):
         if args.audio or args.two_stage or args.image or \
                 getattr(args, "extend_video", None) or \
                 getattr(args, "keyframe", None):

@@ -1337,6 +1337,193 @@ class LTXPipeline:
         return VideoGenerationResult(frames=frames, timings=timings,
                                      seed=seed)
 
+    def generate_video_chain(
+        self,
+        prompt: str,
+        config: GenerationConfig,
+        segments: int,
+        cond_frames: int = 9,
+        prompts=None,
+        on_progress=None,
+    ) -> VideoGenerationResult:
+        """CHAINED long-video generation: autoregressively extend past the
+        single-clip token budget by conditioning each segment on the
+        previous segment's tail — IN LATENT SPACE (no reference analog;
+        the Swift pipeline generates one clip per call,
+        LTXPipeline.swift:586-1040).
+
+        Two deliberate departures from naive generate->export->extend
+        chaining:
+          * the tail carries as the previous segment's DENOISED latent
+            directly — no decode->re-encode round trip, so no VAE
+            reconstruction drift accumulating across segments (the
+            denoised latent lives in the same normalized latent space
+            the conditioning path expects);
+          * ALL segments denoise first, THEN all segments decode — under
+            phase_staging this stages the DiT onto the chip once for the
+            whole chain instead of ping-ponging DiT<->VAE HBM per
+            segment, and every segment reuses the ONE compiled extension
+            step program (identical shapes/masks by construction).
+
+        Segment i's seed is seed+i with generate_video's exact key
+        derivation, so segment 0 — and therefore the first num_frames
+        output frames — reproduces generate_video(prompt, config)
+        bit-for-bit (tests/test_chain.py). Later segments run the
+        extension conditioning (pipeline/denoise.py cond_frames): the
+        carried tail's latent frames get per-token timestep 0, per-step
+        clean-source noise injection, and are frozen through Euler.
+
+        segments: total clips to generate (>= 1). cond_frames: pixel
+        frames of overlap carried between segments; must be 8k+1 and
+        < config.num_frames. Each segment after the first contributes
+        num_frames - cond_frames new frames (its first cond_frames
+        frames re-render the carried tail and are trimmed), so the
+        result has num_frames + (segments-1)*(num_frames - cond_frames)
+        frames. prompts: optional per-segment prompt list (len ==
+        segments) for evolving scene direction; default: `prompt` for
+        every segment.
+        """
+        config.validate()
+        segments = int(segments)
+        if segments < 1:
+            raise InvalidConfigurationError(
+                f"segments must be >= 1, got {segments}")
+        if cond_frames < 1 or (cond_frames - 1) % 8 != 0:
+            raise InvalidConfigurationError(
+                f"cond_frames must be 8k+1, got {cond_frames}")
+        if segments > 1 and cond_frames >= config.num_frames:
+            raise InvalidConfigurationError(
+                f"cond_frames {cond_frames} must be < num_frames "
+                f"{config.num_frames}")
+        if prompts is not None and len(prompts) != segments:
+            raise InvalidConfigurationError(
+                f"{len(prompts)} prompts for {segments} segments")
+        total_start = time.time()
+        timings = GenerationTimings()
+        seed = config.seed if config.seed is not None else int(time.time())
+        guidance = GuidanceSpec.from_config(config)
+        seg_prompts = list(prompts) if prompts is not None \
+            else [prompt] * segments
+
+        # --- text encoding: enhance + encode each UNIQUE prompt once
+        enhanced: dict = {}
+        for p in seg_prompts:
+            if p not in enhanced:
+                enhanced[p] = self._maybe_enhance(p, config, is_i2v=False,
+                                                  timings=timings)
+        t0 = time.time()
+        encoded: dict = {}
+        for p, ep in enhanced.items():
+            encoded[p] = self.encode_prompt(ep)
+        neg = None
+        if guidance.use_cfg:
+            neg = self.encode_prompt(
+                config.negative_prompt or DEFAULT_NEGATIVE_PROMPT)
+        timings.text_encoding = time.time() - t0
+        if self.memory.offload_text_encoder:
+            self.offload_text_encoder()
+        contexts = []
+        for p in seg_prompts:
+            pos = encoded[p]
+            contexts.append(build_guidance_context(
+                guidance, pos["video"], pos["mask"],
+                neg["video"] if neg else None,
+                neg["mask"] if neg else None))
+
+        shape = VideoLatentShape.from_pixels(
+            1, config.num_frames, config.height, config.width,
+            channels=self.tcfg.in_channels,
+        )
+        k_lat = (cond_frames - 1) // 8 + 1
+        sigmas = self._sigmas(config, shape)
+        n_steps = len(sigmas) - 1
+        cm = self._conditioning_mask(shape, frames=k_lat)
+
+        # --- phase 1: denoise every segment, carrying the tail latent.
+        # Segments >= 1 share ONE compiled extension-step program: context
+        # and the conditioned latent are call-time jit ARGUMENTS of the
+        # step (step._jit), so new prompts/tails never recompile — only
+        # the first extension segment pays the trace.
+        latents = []
+        vkeys = []
+        tail = None
+        ext_step = None
+        for i in range(segments):
+            # EXACTLY generate_video's derivation at seed+i (segment 0 is
+            # bit-identical to generate_video; tests/test_chain.py)
+            key = jax.random.key(seed + i)
+            key, nkey = jax.random.split(key)
+            latent = generate_noise(nkey, shape) * float(sigmas[0])
+            context, bias = contexts[i]
+
+            def on_seg_step(s, n, sigma, _i=i):
+                if on_progress:
+                    on_progress(_i * n_steps + s, segments * n_steps,
+                                sigma)
+
+            key, dkey = jax.random.split(key)
+            if i == 0:
+                latent = self._denoise(latent, sigmas, shape, guidance,
+                                       context, bias, None, 0.0,
+                                       config.fps, dkey, timings,
+                                       on_seg_step)
+            else:
+                latent = latent.at[:, :, :k_lat].set(
+                    tail.astype(latent.dtype))
+                self._on_device("transformer_params")
+                if ext_step is None:
+                    ext_step = make_denoise_step(
+                        self.transformer_params, self.tcfg, guidance,
+                        shape, context, bias,
+                        conditioning_mask=cm,
+                        conditioned_latent=tail,
+                        image_cond_noise_scale=(
+                            config.image_cond_noise_scale),
+                        cond_frames=k_lat, fps=config.fps,
+                        sdpa_impl=self.sdpa_impl,
+                        remat=self.memory.remat_blocks,
+                        pp_mesh=self.pp_mesh,
+                        pp_microbatches=self.pp_microbatches,
+                    )
+                    seg_step = ext_step
+                else:
+                    # rebind (context, bias, tail) on the SAME jitted
+                    # program (injection-off traces drop the cond arg)
+                    _jit, _pe = ext_step._jit, ext_step._pe
+                    cond_arg = ((tail,)
+                                if config.image_cond_noise_scale > 0
+                                else ())
+
+                    def seg_step(lat, s0, s1, pv, hp, k,
+                                 _c=context, _b=bias, _cl=cond_arg):
+                        return _jit(self.transformer_params, _c, _b,
+                                    _pe, lat, s0, s1, pv, hp, k, *_cl)
+
+                def on_step(s, n, sigma, _cb=on_seg_step):
+                    timings.denoise_steps.append(time.time() - on_step.t0)
+                    on_step.t0 = time.time()
+                    _cb(s, n, sigma)
+
+                on_step.t0 = time.time()
+                latent = run_denoise_loop(seg_step, latent, sigmas,
+                                          key=dkey, on_step=on_step)
+            tail = latent[:, :, -k_lat:].astype(jnp.float32)
+            latents.append(latent)
+            key, vkey = jax.random.split(key)
+            vkeys.append(vkey)
+
+        # --- phase 2: decode every segment, trim the carried overlap
+        parts = []
+        for i, (latent, vkey) in enumerate(zip(latents, vkeys)):
+            frames = self._decode_frames(latent, vkey, timings)
+            frames = np.asarray(frames[: config.num_frames])
+            parts.append(frames if i == 0 else frames[cond_frames:])
+        frames = parts[0] if len(parts) == 1 \
+            else np.concatenate(parts, axis=0)
+        timings.total = time.time() - total_start
+        return VideoGenerationResult(frames=frames, timings=timings,
+                                     seed=seed)
+
     def _denoise(self, latent, sigmas, shape, guidance, context, bias,
                  conditioning_mask, cond_noise_scale, fps, key, timings,
                  on_progress, conditioned_latent=None, cond_frames=1,

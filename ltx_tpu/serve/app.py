@@ -115,6 +115,26 @@ def request_to_config(body: dict, image_root: Optional[Path] = None):
         if nf and cf >= nf:
             raise ValueError(
                 f"'cond_frames' ({cf}) must be < 'num_frames' ({nf})")
+    if kind == "chain":
+        seg = int(body.get("segments", 2))
+        if not 2 <= seg <= 16:
+            raise ValueError(
+                f"'segments' must be in [2, 16], got {seg} (1 segment is "
+                "plain t2v; the cap bounds one job's device time)")
+        cf = int(body.get("cond_frames", 9))
+        nf = int(body.get("num_frames", kwargs.get("num_frames", 0) or 0))
+        if cf < 1 or (cf - 1) % 8 != 0:
+            raise ValueError(f"'cond_frames' must be 8k+1, got {cf}")
+        if nf and cf >= nf:
+            raise ValueError(
+                f"'cond_frames' ({cf}) must be < 'num_frames' ({nf})")
+        prompts = body.get("prompts")
+        if prompts is not None:
+            if (not isinstance(prompts, list) or len(prompts) != seg
+                    or not all(isinstance(p, str) and p for p in prompts)):
+                raise ValueError(
+                    f"'prompts' must be {seg} non-empty strings (one per "
+                    "segment)")
     if kind == "keyframes":
         kfs = body.get("keyframes")
         if not isinstance(kfs, list) or not kfs:
@@ -241,6 +261,12 @@ def build_app(
                 [(int(kf["frame"]),
                   _fenced_path(kf, "image_path", root))
                  for kf in job.request["keyframes"]])
+        elif kind == "chain":
+            result = pipe.generate_video_chain(
+                prompt, cfg,
+                segments=int(job.request.get("segments", 2)),
+                cond_frames=int(job.request.get("cond_frames", 9)),
+                prompts=job.request.get("prompts"))
         elif kind == "audio_two_stage":
             result = pipe.generate_video_with_audio_two_stage(
                 prompt, cfg, audio_gain=audio_gain)

@@ -233,7 +233,8 @@ class _Handler(BaseHTTPRequestHandler):
                     return self._reply(400, {"error": err})
             kind = body.get("kind", "t2v")
             if kind not in ("t2v", "i2v", "v2v", "extend", "keyframes",
-                            "two_stage", "audio", "audio_two_stage"):
+                            "chain", "two_stage", "audio",
+                            "audio_two_stage"):
                 return self._reply(400, {"error": f"unknown kind {kind!r}"})
             job_id = srv.ltx_jobs.submit(kind, body)
             return self._reply(202, {"job_id": job_id})

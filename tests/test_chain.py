@@ -1,0 +1,219 @@
+"""CHAINED long-video generation (autoregressive latent-carry).
+
+generate_video_chain extends past the single-clip budget by conditioning
+each segment on the previous segment's tail — in LATENT space (no VAE
+decode->re-encode round trip, so no reconstruction drift accumulates), with
+all denoises before all decodes (one DiT staging for the whole chain) and
+ONE compiled extension-step program shared by every segment >= 1 (context
+and the conditioned tail are call-time jit arguments). No reference analog
+(the Swift pipeline generates one clip per call, LTXPipeline.swift:586).
+"""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from ltx_tpu.core.config import GenerationConfig
+from ltx_tpu.core.errors import InvalidConfigurationError
+from ltx_tpu.pipeline import generate as gen_mod
+from ltx_tpu.pipeline.generate import GenerationTimings, LTXPipeline
+
+
+def _cfg(**kw):
+    d = dict(width=64, height=64, num_frames=17, num_steps=2, seed=42)
+    d.update(kw)
+    return GenerationConfig(**d)
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    p = LTXPipeline.random_tiny(seed=0)
+    p.memory = dataclasses.replace(p.memory, offload_text_encoder=False)
+    return p
+
+
+def test_chain_segment_zero_is_generate_video(pipe):
+    """segments=1 IS generate_video (same seed derivation), and with
+    segments=2 the first num_frames frames still reproduce it bit-for-bit
+    (segment 0's denoise AND decode keys are unchanged by the chain)."""
+    cfg = _cfg()
+    t2v = pipe.generate_video("a tide pool at dusk", cfg)
+    one = pipe.generate_video_chain("a tide pool at dusk", cfg, segments=1)
+    np.testing.assert_array_equal(np.asarray(one.frames),
+                                  np.asarray(t2v.frames))
+
+    two = pipe.generate_video_chain("a tide pool at dusk", cfg,
+                                    segments=2, cond_frames=9)
+    f = np.asarray(two.frames)
+    assert f.shape == (17 + (17 - 9), 64, 64, 3)
+    assert np.isfinite(f.astype(np.float32)).all()
+    np.testing.assert_array_equal(f[:17], np.asarray(t2v.frames))
+
+
+def test_chain_shares_one_extension_program(pipe):
+    """Segments >= 1 must reuse ONE make_denoise_step build (context/tail
+    rebind on the same jitted program) — a 10-segment chain on real
+    hardware would otherwise pay ~10 remote compiles."""
+    calls = []
+    orig = gen_mod.make_denoise_step
+
+    def spy(*a, **kw):
+        calls.append(kw.get("conditioned_latent"))
+        return orig(*a, **kw)
+
+    gen_mod.make_denoise_step = spy
+    try:
+        r = pipe.generate_video_chain("a fox", _cfg(), segments=3,
+                                      cond_frames=9)
+    finally:
+        gen_mod.make_denoise_step = orig
+    # one build from segment 0's _denoise, one for ALL extension segments
+    assert len(calls) == 2
+    f = np.asarray(r.frames)
+    assert f.shape == (17 + 2 * (17 - 9), 64, 64, 3)
+
+
+def test_chain_rebind_matches_canonical_denoise(pipe):
+    """THE REBIND PIN: segment 2 runs through ext_step._jit with rebound
+    (context, tail) arguments; recomputing it through the canonical
+    _denoise path (a fresh make_denoise_step) from the captured segment-1
+    tail must give the same latent."""
+    cfg = _cfg(image_cond_noise_scale=0.15)
+    seen = []
+    orig_loop = gen_mod.run_denoise_loop
+
+    def spy(step, latent, sigmas, **kw):
+        out = orig_loop(step, latent, sigmas, **kw)
+        seen.append((np.asarray(latent), np.asarray(out)))
+        return out
+
+    gen_mod.run_denoise_loop = spy
+    try:
+        pipe.generate_video_chain("a red kite", cfg, segments=3,
+                                  cond_frames=9)
+    finally:
+        gen_mod.run_denoise_loop = orig_loop
+    assert len(seen) == 3
+    k_lat = 2  # (9 - 1) // 8 + 1
+
+    from ltx_tpu.ops.latents import VideoLatentShape
+    from ltx_tpu.pipeline.denoise import build_guidance_context
+    from ltx_tpu.pipeline.generate import GuidanceSpec
+
+    shape = VideoLatentShape.from_pixels(1, 17, 64, 64,
+                                         channels=pipe.tcfg.in_channels)
+    guidance = GuidanceSpec.from_config(cfg)
+    emb = pipe.encode_prompt("a red kite")
+    context, bias = build_guidance_context(guidance, emb["video"],
+                                           emb["mask"])
+    tail = seen[1][1][:, :, -k_lat:].astype(np.float32)
+    cm = pipe._conditioning_mask(shape, frames=k_lat)
+    key = jax.random.key(cfg.seed + 2)
+    key, nkey = jax.random.split(key)
+    key, dkey = jax.random.split(key)
+
+    init = seen[2][0]  # chain's segment-2 initial latent (noise + tail)
+    np.testing.assert_allclose(init[:, :, :k_lat], tail, atol=1e-6)
+    want = pipe._denoise(
+        jax.numpy.asarray(init), pipe._sigmas(cfg, shape), shape,
+        guidance, context, bias, cm, cfg.image_cond_noise_scale, cfg.fps,
+        dkey, GenerationTimings(), None,
+        conditioned_latent=jax.numpy.asarray(tail), cond_frames=k_lat)
+    np.testing.assert_allclose(seen[2][1], np.asarray(want), atol=1e-5)
+
+
+def test_chain_per_segment_prompts(pipe):
+    r = pipe.generate_video_chain(
+        "dawn", _cfg(), segments=3, cond_frames=9,
+        prompts=["dawn", "noon", "dusk"])
+    f = np.asarray(r.frames)
+    assert f.shape == (17 + 2 * (17 - 9), 64, 64, 3)
+    assert np.isfinite(f.astype(np.float32)).all()
+
+
+def test_chain_validation(pipe):
+    with pytest.raises(InvalidConfigurationError):
+        pipe.generate_video_chain("x", _cfg(), segments=0)
+    with pytest.raises(InvalidConfigurationError):  # not 8k+1
+        pipe.generate_video_chain("x", _cfg(), segments=2, cond_frames=8)
+    with pytest.raises(InvalidConfigurationError):  # >= num_frames
+        pipe.generate_video_chain("x", _cfg(), segments=2, cond_frames=17)
+    with pytest.raises(InvalidConfigurationError):  # prompts len mismatch
+        pipe.generate_video_chain("x", _cfg(), segments=2,
+                                  prompts=["a", "b", "c"])
+
+
+def test_serve_chain_job_http(pipe, tmp_path):
+    """kind=chain over real HTTP: segment/overlap/prompt validation at
+    submit (400, never a failed job); job produces a longer MP4."""
+    import json
+    import os
+    import urllib.error
+    import urllib.request
+
+    from ltx_tpu.serve.app import build_app
+    from ltx_tpu.serve.server import serve_forever_threaded
+
+    app = build_app(pipe, output_dir=str(tmp_path / "out"), port=0)
+    serve_forever_threaded(app.server)
+    host, port = app.server.server_address[:2]
+    base = f"http://{host}:{port}"
+
+    def post(body):
+        req = urllib.request.Request(
+            base + "/v1/generate", json.dumps(body).encode(),
+            {"Content-Type": "application/json"})
+        return json.loads(urllib.request.urlopen(req).read())
+
+    try:
+        body = {"kind": "chain", "prompt": "a long take", "segments": 2,
+                "cond_frames": 9, "width": 64, "height": 64,
+                "num_frames": 17, "num_steps": 2, "seed": 4}
+        job_id = post(body)["job_id"]
+        rec = app.jobs.wait(job_id, timeout=600)
+        assert rec["state"] == "done", rec
+        assert os.path.getsize(rec["result"]["output"]) > 0
+        assert rec["result"]["frames"] == 17 + (17 - 9)
+
+        for bad in (
+            {**body, "segments": 1},                 # chain means > 1
+            {**body, "segments": 99},                # device-time cap
+            {**body, "cond_frames": 8},              # not 8k+1
+            {**body, "cond_frames": 17},             # >= num_frames
+            {**body, "prompts": ["only-one"]},       # len != segments
+        ):
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                post(bad)
+            assert ei.value.code == 400
+    finally:
+        app.close()
+
+
+def test_cmd_generate_chain_dispatch(tmp_path, monkeypatch):
+    """`generate --chain 2` end-to-end through cmd_generate."""
+    from ltx_tpu.io import cli
+    from ltx_tpu.pipeline import loader
+
+    monkeypatch.setattr(loader, "load_pipeline",
+                        lambda **kw: LTXPipeline.random_tiny(seed=0))
+    out = tmp_path / "out.mp4"
+    rc = cli.main([
+        "generate", "an ever-longer story", "--chain", "2",
+        "--chain-prompt", "the story continues",
+        "--cond-frames", "9", "-w", "64", "-H", "64", "-f", "17",
+        "--seed", "3", "-o", str(out),
+    ])
+    assert rc == 0
+    assert out.exists() and out.stat().st_size > 0
+
+    # composition guard + chain-prompt count check exit loudly
+    assert cli.main([
+        "generate", "x", "--chain", "2", "--two-stage",
+        "-w", "64", "-H", "64", "-f", "17", "-o", str(out),
+    ]) == 2
+    assert cli.main([
+        "generate", "x", "--chain", "3", "--chain-prompt", "y",
+        "-w", "64", "-H", "64", "-f", "17", "-o", str(out),
+    ]) == 2
