@@ -496,16 +496,26 @@ def cmd_generate(args) -> int:
             strength=args.strength, on_progress=on_progress,
         )
     elif getattr(args, "extend_video", None):
-        if args.audio or args.two_stage or args.image or \
+        if args.two_stage or args.image or \
                 getattr(args, "keyframe", None):
-            print("error: --extend-video composes with neither --audio, "
+            print("error: --extend-video composes with neither "
                   "--two-stage, --image nor --keyframe yet",
                   file=sys.stderr)
             return 2
-        result = pipe.generate_video_extension(
-            args.prompt, config, video_path=args.extend_video,
-            cond_frames=args.cond_frames, on_progress=on_progress,
-        )
+        if args.audio:
+            # extend WITH a soundtrack: the AV twin (same tail
+            # conditioning through the dual transformer)
+            result = pipe.generate_video_with_audio(
+                args.prompt, config, on_progress=on_progress,
+                audio_gain=args.audio_gain,
+                video_path=args.extend_video,
+                cond_frames=args.cond_frames,
+            )
+        else:
+            result = pipe.generate_video_extension(
+                args.prompt, config, video_path=args.extend_video,
+                cond_frames=args.cond_frames, on_progress=on_progress,
+            )
     elif getattr(args, "keyframe", None):
         if args.audio or args.two_stage or args.image:
             print("error: --keyframe composes with neither --audio, "

@@ -1345,6 +1345,7 @@ class LTXPipeline:
         cond_frames: int = 9,
         prompts=None,
         on_progress=None,
+        precomputed_embeddings=None,
     ) -> VideoGenerationResult:
         """CHAINED long-video generation: autoregressively extend past the
         single-clip token budget by conditioning each segment on the
@@ -1381,7 +1382,10 @@ class LTXPipeline:
         result has num_frames + (segments-1)*(num_frames - cond_frames)
         frames. prompts: optional per-segment prompt list (len ==
         segments) for evolving scene direction; default: `prompt` for
-        every segment.
+        every segment. precomputed_embeddings: the generate_video
+        parity-injection hook ({"video", "mask"[, "neg_video",
+        "neg_mask"]}) — bypasses the text encoder for EVERY segment
+        (prompts then must be uniform/None).
         """
         config.validate()
         segments = int(segments)
@@ -1406,22 +1410,36 @@ class LTXPipeline:
             else [prompt] * segments
 
         # --- text encoding: enhance + encode each UNIQUE prompt once
-        enhanced: dict = {}
-        for p in seg_prompts:
-            if p not in enhanced:
-                enhanced[p] = self._maybe_enhance(p, config, is_i2v=False,
-                                                  timings=timings)
-        t0 = time.time()
-        encoded: dict = {}
-        for p, ep in enhanced.items():
-            encoded[p] = self.encode_prompt(ep)
-        neg = None
-        if guidance.use_cfg:
-            neg = self.encode_prompt(
-                config.negative_prompt or DEFAULT_NEGATIVE_PROMPT)
-        timings.text_encoding = time.time() - t0
-        if self.memory.offload_text_encoder:
-            self.offload_text_encoder()
+        if precomputed_embeddings is not None:
+            if prompts is not None and len(set(seg_prompts)) > 1:
+                raise InvalidConfigurationError(
+                    "precomputed_embeddings carries ONE embedding set; "
+                    "per-segment prompts cannot vary with it")
+            pe_ = precomputed_embeddings
+            pos = {"video": jnp.asarray(pe_["video"]),
+                   "mask": jnp.asarray(pe_["mask"])}
+            neg = None
+            if guidance.use_cfg:
+                neg = {"video": jnp.asarray(pe_["neg_video"]),
+                       "mask": jnp.asarray(pe_["neg_mask"])}
+            encoded = {p: pos for p in seg_prompts}
+        else:
+            enhanced: dict = {}
+            for p in seg_prompts:
+                if p not in enhanced:
+                    enhanced[p] = self._maybe_enhance(
+                        p, config, is_i2v=False, timings=timings)
+            t0 = time.time()
+            encoded = {}
+            for p, ep in enhanced.items():
+                encoded[p] = self.encode_prompt(ep)
+            neg = None
+            if guidance.use_cfg:
+                neg = self.encode_prompt(
+                    config.negative_prompt or DEFAULT_NEGATIVE_PROMPT)
+            timings.text_encoding = time.time() - t0
+            if self.memory.offload_text_encoder:
+                self.offload_text_encoder()
         contexts = []
         for p in seg_prompts:
             pos = encoded[p]
@@ -1726,10 +1744,22 @@ class LTXPipeline:
         on_progress=None,
         image_latent=None,
         audio_gain: float = 1.0,
+        video_path: Optional[str] = None,
+        video_frames=None,
+        cond_frames: int = 9,
     ) -> VideoGenerationResult:
         """Joint video+audio generation via the dual AV transformer
         (reference: LTXPipeline.swift:1108-1450). Audio duration matches the
         video (num_frames / fps); audio latent frames = round(dur * 25).
+
+        video_path / video_frames: EXTEND a clip with a soundtrack — the
+        AV twin of generate_video_extension (no reference analog):
+        condition on the input's last cond_frames pixel frames (8k+1,
+        encoded to latent frames that get per-token timestep 0, per-step
+        clean-source injection, and carry through Euler — the AV denoise
+        step's cond_frames path). Mutually exclusive with image
+        conditioning (image_latent / config.image_path); cond_frames=1
+        with a one-frame clip is the I2V-with-audio path.
         """
         from ltx_tpu.models import audio_vae as audio_vae_mod
         from ltx_tpu.models import dit_av
@@ -1754,9 +1784,45 @@ class LTXPipeline:
 
         # --- I2V: encode the conditioning image in-pipeline
         is_i2v = image_latent is not None or config.image_path is not None
+        ext = video_path is not None or video_frames is not None
+        if ext and is_i2v:
+            raise InvalidConfigurationError(
+                "clip-tail conditioning (video_path/video_frames) is "
+                "mutually exclusive with image conditioning")
         if image_latent is None and config.image_path is not None:
             image_latent = self._encode_image_at(
                 config.image_path, config.width, config.height)
+
+        # --- extension: encode the clip tail (the AV twin of
+        # generate_video_extension's conditioning)
+        cond_latent = None
+        k_lat = 1
+        if ext:
+            if cond_frames < 1 or (cond_frames - 1) % 8 != 0:
+                raise InvalidConfigurationError(
+                    f"cond_frames must be 8k+1, got {cond_frames}")
+            if cond_frames >= config.num_frames:
+                raise InvalidConfigurationError(
+                    f"cond_frames {cond_frames} must be < num_frames "
+                    f"{config.num_frames}")
+            if (video_path is None) == (video_frames is None):
+                raise InvalidConfigurationError(
+                    "pass exactly one of video_path / video_frames")
+            if video_frames is None:
+                from ltx_tpu.io.video import load_video
+
+                video_frames = load_video(video_path, config.width,
+                                          config.height, cond_frames,
+                                          sample="tail")
+            video_frames = jnp.asarray(video_frames)
+            if video_frames.shape != (1, 3, cond_frames, config.height,
+                                      config.width):
+                raise InvalidConfigurationError(
+                    f"video_frames {video_frames.shape} != (1, 3, "
+                    f"{cond_frames}, {config.height}, {config.width})")
+            cond_latent = self.encode_video(video_frames) \
+                .astype(jnp.float32)
+            k_lat = cond_latent.shape[2]
 
         # --- prompt enhancement (reference: LTXPipeline.swift:1525-1531)
         prompt = self._maybe_enhance(prompt, config, is_i2v=is_i2v,
@@ -1804,14 +1870,21 @@ class LTXPipeline:
             video_latent = video_latent.at[:, :, :1].set(
                 image_latent.astype(video_latent.dtype))
             conditioning_mask = self._conditioning_mask(shape)
+        elif cond_latent is not None:
+            video_latent = video_latent.at[:, :, :k_lat].set(
+                cond_latent.astype(video_latent.dtype))
+            conditioning_mask = self._conditioning_mask(shape,
+                                                        frames=k_lat)
 
         self._on_device("av_transformer_params")
         step_fn = make_av_denoise_step(
             self.av_transformer_params, self.tcfg, guidance, shape,
             audio_frames, v_ctx, a_ctx, bias,
             conditioning_mask=conditioning_mask,
-            conditioned_latent=image_latent,
+            conditioned_latent=(image_latent if image_latent is not None
+                                else cond_latent),
             image_cond_noise_scale=config.image_cond_noise_scale,
+            cond_frames=(1 if image_latent is not None else k_lat),
             fps=config.fps, sdpa_impl=self.sdpa_impl,
             remat=self.memory.remat_blocks,
             pp_mesh=self.pp_mesh, pp_microbatches=self.pp_microbatches,

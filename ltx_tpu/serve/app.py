@@ -251,10 +251,17 @@ def build_app(
                 video_path=_fenced_path(job.request, "video_path", root),
                 strength=float(job.request.get("strength", 0.6)))
         elif kind == "extend":
-            result = pipe.generate_video_extension(
-                prompt, cfg,
-                video_path=_fenced_path(job.request, "video_path", root),
-                cond_frames=int(job.request.get("cond_frames", 9)))
+            vp = _fenced_path(job.request, "video_path", root)
+            cf = int(job.request.get("cond_frames", 9))
+            if job.request.get("audio"):
+                # extend WITH a soundtrack (AV twin; needs AV weights —
+                # a missing model fails THIS job, not the queue)
+                result = pipe.generate_video_with_audio(
+                    prompt, cfg, audio_gain=audio_gain,
+                    video_path=vp, cond_frames=cf)
+            else:
+                result = pipe.generate_video_extension(
+                    prompt, cfg, video_path=vp, cond_frames=cf)
         elif kind == "keyframes":
             result = pipe.generate_video_keyframes(
                 prompt, cfg,

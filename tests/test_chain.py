@@ -133,6 +133,27 @@ def test_chain_per_segment_prompts(pipe):
     assert np.isfinite(f.astype(np.float32)).all()
 
 
+def test_chain_precomputed_embeddings(pipe):
+    """The parity-injection hook: injecting encode_prompt's own output
+    reproduces the encoded path bit-for-bit; varied per-segment prompts
+    are rejected with one embedding set."""
+    cfg = _cfg()
+    emb = pipe.encode_prompt("a river")
+    ref = pipe.generate_video_chain("a river", cfg, segments=2,
+                                    cond_frames=9)
+    inj = pipe.generate_video_chain(
+        "ignored", cfg, segments=2, cond_frames=9,
+        precomputed_embeddings={"video": emb["video"],
+                                "mask": emb["mask"]})
+    np.testing.assert_array_equal(np.asarray(ref.frames),
+                                  np.asarray(inj.frames))
+    with pytest.raises(InvalidConfigurationError):
+        pipe.generate_video_chain(
+            "x", cfg, segments=2, prompts=["a", "b"],
+            precomputed_embeddings={"video": emb["video"],
+                                    "mask": emb["mask"]})
+
+
 def test_chain_validation(pipe):
     with pytest.raises(InvalidConfigurationError):
         pipe.generate_video_chain("x", _cfg(), segments=0)

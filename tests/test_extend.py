@@ -198,6 +198,152 @@ def test_extension_argument_validation(pipe):
                                       cond_frames=17)
 
 
+@pytest.fixture(scope="module")
+def pipe_av():
+    p = LTXPipeline.random_tiny(seed=0, include_audio=True)
+    p.memory = dataclasses.replace(p.memory, offload_text_encoder=False)
+    return p
+
+
+def test_av_extension_cond_frames_one_is_av_i2v(pipe_av):
+    """EXTEND with a soundtrack (the AV twin): cond_frames=1 with a
+    one-frame clip reproduces image-conditioned generate_video_with_audio
+    bit-for-bit (same key derivation; the clip tail encodes to the same
+    latent encode_image produces)."""
+    frame = _clip(1)
+    cfg = _cfg()
+    lat = pipe_av.encode_image(jnp.asarray(frame))
+    i2v = pipe_av.generate_video_with_audio("a singing fox", cfg,
+                                            image_latent=lat)
+    ext = pipe_av.generate_video_with_audio("a singing fox", cfg,
+                                            video_frames=frame,
+                                            cond_frames=1)
+    np.testing.assert_array_equal(np.asarray(ext.frames),
+                                  np.asarray(i2v.frames))
+    np.testing.assert_array_equal(np.asarray(ext.audio),
+                                  np.asarray(i2v.audio))
+
+
+def test_av_extension_multi_frame_tail(pipe_av):
+    """Multi-frame tail conditioning through the dual transformer: output
+    well-formed, audio attached, and the head latent frames carry the
+    encoded tail (mask plumbing checked via the step builder spy)."""
+    clip9 = _clip(9)
+    cfg = _cfg()
+    seen = {}
+    import ltx_tpu.pipeline.denoise as dn
+    orig = dn.make_av_denoise_step
+
+    def spy(*a, **kw):
+        seen.update(cm=kw.get("conditioning_mask"),
+                    cond=kw.get("conditioned_latent"),
+                    k=kw.get("cond_frames"))
+        return orig(*a, **kw)
+
+    # generate_video_with_audio imports make_av_denoise_step locally from
+    # ltx_tpu.pipeline.denoise — patch the source module
+    dn.make_av_denoise_step = spy
+    try:
+        r = pipe_av.generate_video_with_audio("a fox", cfg,
+                                              video_frames=clip9,
+                                              cond_frames=9)
+    finally:
+        dn.make_av_denoise_step = orig
+    f = np.asarray(r.frames)
+    assert f.shape == (17, 64, 64, 3) and np.isfinite(f).all()
+    assert r.audio is not None and np.isfinite(np.asarray(r.audio)).all()
+    assert seen["k"] == 2
+    src = np.asarray(pipe_av.encode_video(jnp.asarray(clip9))
+                     .astype(jnp.float32))
+    np.testing.assert_array_equal(np.asarray(seen["cond"]), src)
+    shape = VideoLatentShape.from_pixels(
+        1, 17, 64, 64, channels=pipe_av.tcfg.in_channels)
+    tpf = shape.height * shape.width
+    assert (seen["cm"][:, : 2 * tpf] == 1.0).all()
+    assert (seen["cm"][:, 2 * tpf:] == 0.0).all()
+
+
+def test_av_extension_validation(pipe_av):
+    clip9 = _clip(9)
+    with pytest.raises(InvalidConfigurationError):  # image + clip tail
+        pipe_av.generate_video_with_audio(
+            "x", _cfg(image_path="nope.png"), video_frames=clip9)
+    with pytest.raises(InvalidConfigurationError):  # not 8k+1
+        pipe_av.generate_video_with_audio("x", _cfg(),
+                                          video_frames=clip9,
+                                          cond_frames=8)
+    with pytest.raises(InvalidConfigurationError):  # >= num_frames
+        pipe_av.generate_video_with_audio("x", _cfg(num_frames=9),
+                                          video_frames=clip9,
+                                          cond_frames=9)
+
+
+def test_cmd_generate_extend_audio_dispatch(tmp_path, monkeypatch):
+    """`generate --extend-video in.mp4 --audio` routes through the AV
+    twin and writes MP4 + side WAV."""
+    from ltx_tpu.io import cli
+    from ltx_tpu.io.video import export_video
+    from ltx_tpu.pipeline import loader
+
+    clip = np.random.default_rng(1).uniform(size=(24, 64, 64, 3)) \
+        .astype(np.float32)
+    in_path = tmp_path / "in.mp4"
+    export_video(clip, str(in_path))
+
+    monkeypatch.setattr(
+        loader, "load_pipeline",
+        lambda **kw: LTXPipeline.random_tiny(seed=0, include_audio=True))
+    out = tmp_path / "out.mp4"
+    rc = cli.main([
+        "generate", "the story continues, with music", "--extend-video",
+        str(in_path), "--audio", "--cond-frames", "9",
+        "-w", "64", "-H", "64", "-f", "17", "--seed", "3",
+        "-o", str(out),
+    ])
+    assert rc == 0
+    assert out.exists() and out.stat().st_size > 0
+    assert (tmp_path / "out.mp4.wav").exists()
+
+
+def test_serve_extend_audio_job_http(pipe_av, tmp_path):
+    """kind=extend with "audio": true over real HTTP routes through the
+    AV twin (audio muxed into the job's MP4)."""
+    import json
+    import os
+    import urllib.request
+
+    from ltx_tpu.io.video import export_video
+    from ltx_tpu.serve.app import build_app
+    from ltx_tpu.serve.server import serve_forever_threaded
+
+    root = tmp_path / "media"
+    root.mkdir()
+    clip = np.random.default_rng(2).uniform(size=(24, 64, 64, 3)) \
+        .astype(np.float32)
+    export_video(clip, str(root / "in.mp4"))
+
+    app = build_app(pipe_av, output_dir=str(tmp_path / "out"), port=0,
+                    image_root=str(root))
+    serve_forever_threaded(app.server)
+    host, port = app.server.server_address[:2]
+
+    try:
+        req = urllib.request.Request(
+            f"http://{host}:{port}/v1/generate",
+            json.dumps({"kind": "extend", "prompt": "with a soundtrack",
+                        "video_path": "in.mp4", "cond_frames": 9,
+                        "audio": True, "width": 64, "height": 64,
+                        "num_frames": 17, "num_steps": 2,
+                        "seed": 5}).encode(),
+            {"Content-Type": "application/json"})
+        job_id = json.loads(urllib.request.urlopen(req).read())["job_id"]
+        rec = app.jobs.wait(job_id, timeout=600)
+        assert rec["state"] == "done", rec
+        assert os.path.getsize(rec["result"]["output"]) > 0
+    finally:
+        app.close()
+
+
 def test_cmd_generate_extend_dispatch(tmp_path, monkeypatch):
     """`generate --extend-video in.mp4 --cond-frames 9` end-to-end through
     cmd_generate with a tiny pipeline."""
