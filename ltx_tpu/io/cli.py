@@ -462,11 +462,11 @@ def cmd_generate(args) -> int:
     # reference (LTXPipeline.swift:2456,2651-2663).
     t0 = time.time()
     if getattr(args, "chain", 1) > 1:
-        if args.audio or args.two_stage or args.image or \
+        if args.two_stage or args.image or \
                 getattr(args, "video", None) or \
                 getattr(args, "extend_video", None) or \
                 getattr(args, "keyframe", None):
-            print("error: --chain composes with neither --audio, "
+            print("error: --chain composes with neither "
                   "--two-stage, --image, --video, --extend-video nor "
                   "--keyframe yet", file=sys.stderr)
             return 2
@@ -478,11 +478,20 @@ def cmd_generate(args) -> int:
                       f"{len(args.chain_prompt)}", file=sys.stderr)
                 return 2
             prompts = [args.prompt] + list(args.chain_prompt)
-        result = pipe.generate_video_chain(
-            args.prompt, config, segments=args.chain,
-            cond_frames=args.cond_frames, prompts=prompts,
-            on_progress=on_progress,
-        )
+        if args.audio:
+            # chained long video WITH a soundtrack (AV chain; audio
+            # crossfades over each trimmed overlap window)
+            result = pipe.generate_video_chain_with_audio(
+                args.prompt, config, segments=args.chain,
+                cond_frames=args.cond_frames, prompts=prompts,
+                audio_gain=args.audio_gain, on_progress=on_progress,
+            )
+        else:
+            result = pipe.generate_video_chain(
+                args.prompt, config, segments=args.chain,
+                cond_frames=args.cond_frames, prompts=prompts,
+                on_progress=on_progress,
+            )
     elif getattr(args, "video", None):
         if args.audio or args.two_stage or args.image or \
                 getattr(args, "extend_video", None) or \

@@ -513,6 +513,7 @@ def make_av_denoise_step(
                      key, cond_lat)
 
     step._jit = _step
+    step._ropes = ropes  # expose for context/tail rebind (AV chain)
     return step
 
 

@@ -1542,6 +1542,225 @@ class LTXPipeline:
         return VideoGenerationResult(frames=frames, timings=timings,
                                      seed=seed)
 
+    def generate_video_chain_with_audio(
+        self,
+        prompt: str,
+        config: GenerationConfig,
+        segments: int,
+        cond_frames: int = 9,
+        prompts=None,
+        audio_gain: float = 1.0,
+        on_progress=None,
+    ) -> VideoGenerationResult:
+        """CHAINED long video WITH a generated soundtrack: the AV twin of
+        generate_video_chain — each segment runs the dual AV transformer
+        (generate_video_with_audio's exact per-segment derivation at
+        seed+i, so segments=1 reproduces it bit-for-bit), the VIDEO tail
+        carries in latent space, and per-segment waveforms stitch with a
+        linear crossfade over the trimmed overlap window.
+
+        HONEST LIMITATION: the AV denoise step conditions VIDEO frames
+        only — each segment's audio is generated fresh (coherent with its
+        own video via cross-modal attention, but not continued from the
+        previous segment's waveform); the crossfade masks the seam. True
+        audio-latent conditioning would need an audio analog of the
+        cond_frames path, which the underlying model was not trained for.
+
+        Segments >= 1 share ONE compiled AV extension-step program
+        (context/tail rebind via step._jit/_ropes as call-time jit args).
+        """
+        from ltx_tpu.models import audio_vae as audio_vae_mod
+        from ltx_tpu.models import dit_av
+        from ltx_tpu.pipeline.denoise import (
+            make_av_denoise_step,
+            run_av_denoise_loop,
+        )
+
+        config.validate()
+        if self.av_transformer_params is None:
+            raise ModelNotLoadedError("AV transformer")
+        if self.audio_vae_params is None:
+            raise ModelNotLoadedError("audio VAE")
+        segments = int(segments)
+        if segments < 1:
+            raise InvalidConfigurationError(
+                f"segments must be >= 1, got {segments}")
+        if cond_frames < 1 or (cond_frames - 1) % 8 != 0:
+            raise InvalidConfigurationError(
+                f"cond_frames must be 8k+1, got {cond_frames}")
+        if segments > 1 and cond_frames >= config.num_frames:
+            raise InvalidConfigurationError(
+                f"cond_frames {cond_frames} must be < num_frames "
+                f"{config.num_frames}")
+        if prompts is not None and len(prompts) != segments:
+            raise InvalidConfigurationError(
+                f"{len(prompts)} prompts for {segments} segments")
+        total_start = time.time()
+        timings = GenerationTimings()
+        seed = config.seed if config.seed is not None else int(time.time())
+        guidance = dataclasses.replace(
+            GuidanceSpec.from_config(config), stg_scale=0.0)
+        seg_prompts = list(prompts) if prompts is not None \
+            else [prompt] * segments
+
+        # --- text encoding: enhance + encode each UNIQUE prompt once
+        enhanced: dict = {}
+        for p in seg_prompts:
+            if p not in enhanced:
+                enhanced[p] = self._maybe_enhance(p, config, is_i2v=False,
+                                                  timings=timings)
+        t0 = time.time()
+        encoded: dict = {}
+        for p, ep in enhanced.items():
+            out = self.encode_prompt(ep)
+            if "audio" not in out:
+                raise TextEncodingFailedError(
+                    "text encoder lacks the audio connector")
+            encoded[p] = out
+        neg = None
+        if guidance.use_cfg:
+            neg = self.encode_prompt(
+                config.negative_prompt or DEFAULT_NEGATIVE_PROMPT)
+        timings.text_encoding = time.time() - t0
+        if self.memory.offload_text_encoder:
+            self.offload_text_encoder()
+        contexts = []
+        for p in seg_prompts:
+            pos = encoded[p]
+            v_ctx, bias = build_guidance_context(
+                guidance, pos["video"], pos["mask"],
+                neg["video"] if neg else None,
+                neg["mask"] if neg else None)
+            a_ctx, _ = build_guidance_context(
+                guidance, pos["audio"], pos["mask"],
+                neg["audio"] if neg else None,
+                neg["mask"] if neg else None)
+            contexts.append((v_ctx, a_ctx, bias))
+
+        shape = VideoLatentShape.from_pixels(
+            1, config.num_frames, config.height, config.width,
+            channels=self.tcfg.in_channels)
+        duration = config.num_frames / config.fps
+        audio_frames = dit_av.audio_frame_count(duration)
+        mel_latent_bins = self.tcfg.audio_in_channels // 8
+        k_lat = (cond_frames - 1) // 8 + 1
+        sigmas = self._sigmas(config, shape)
+        n_steps = len(sigmas) - 1
+        cm = self._conditioning_mask(shape, frames=k_lat)
+
+        # --- phase 1: AV denoise every segment, carrying the video tail
+        self._on_device("av_transformer_params")
+        seg_latents = []
+        dvkeys = []
+        tail = None
+        base_step = None
+        ext_step = None
+        for i in range(segments):
+            # EXACTLY generate_video_with_audio's derivation at seed+i
+            key = jax.random.key(seed + i)
+            v_ctx, a_ctx, bias = contexts[i]
+            key, vkey, akey, dkey = jax.random.split(key, 4)
+            video_latent = generate_noise(vkey, shape) * float(sigmas[0])
+            audio_raw = jax.random.normal(
+                akey, (1, 8, audio_frames, mel_latent_bins), jnp.float32)
+            audio_packed = dit_av.pack_audio_latents(audio_raw) \
+                * float(sigmas[0])
+
+            if i == 0:
+                if base_step is None:
+                    base_step = make_av_denoise_step(
+                        self.av_transformer_params, self.tcfg, guidance,
+                        shape, audio_frames, v_ctx, a_ctx, bias,
+                        fps=config.fps, sdpa_impl=self.sdpa_impl,
+                        remat=self.memory.remat_blocks,
+                        pp_mesh=self.pp_mesh,
+                        pp_microbatches=self.pp_microbatches)
+                seg_step = base_step
+            else:
+                video_latent = video_latent.at[:, :, :k_lat].set(
+                    tail.astype(video_latent.dtype))
+                if ext_step is None:
+                    ext_step = make_av_denoise_step(
+                        self.av_transformer_params, self.tcfg, guidance,
+                        shape, audio_frames, v_ctx, a_ctx, bias,
+                        conditioning_mask=cm, conditioned_latent=tail,
+                        image_cond_noise_scale=(
+                            config.image_cond_noise_scale),
+                        cond_frames=k_lat, fps=config.fps,
+                        sdpa_impl=self.sdpa_impl,
+                        remat=self.memory.remat_blocks,
+                        pp_mesh=self.pp_mesh,
+                        pp_microbatches=self.pp_microbatches)
+                    seg_step = ext_step
+                else:
+                    # rebind on the SAME jitted program (injection-off
+                    # traces drop the cond arg)
+                    _jit, _ropes = ext_step._jit, ext_step._ropes
+                    cond_arg = ((tail,)
+                                if config.image_cond_noise_scale > 0
+                                else ())
+
+                    def seg_step(vl, ap, s0, s1, k, _v=v_ctx, _a=a_ctx,
+                                 _b=bias, _cl=cond_arg):
+                        return _jit(self.av_transformer_params, _v, _a,
+                                    _b, _ropes, vl, ap, s0, s1, k, *_cl)
+
+            def on_step(s, n, sigma, _i=i):
+                timings.denoise_steps.append(time.time() - on_step.t0)
+                on_step.t0 = time.time()
+                if on_progress:
+                    on_progress(_i * n_steps + s, segments * n_steps,
+                                sigma)
+
+            on_step.t0 = time.time()
+            video_latent, audio_packed = run_av_denoise_loop(
+                seg_step, video_latent, audio_packed, sigmas, key=dkey,
+                on_step=on_step)
+            tail = video_latent[:, :, -k_lat:].astype(jnp.float32)
+            seg_latents.append((video_latent, audio_packed))
+            key, dvkey = jax.random.split(key)
+            dvkeys.append(dvkey)
+
+        # --- phase 2: decode + stitch (video trims the overlap; audio
+        # crossfades over the same window)
+        parts = []
+        waves = []
+        for i, ((video_latent, audio_packed), dvkey) in enumerate(
+                zip(seg_latents, dvkeys)):
+            frames = self._decode_frames(video_latent, dvkey, timings)
+            frames = np.asarray(frames[: config.num_frames])
+            parts.append(frames if i == 0 else frames[cond_frames:])
+
+            audio_latents = dit_av.unpack_audio_latents(
+                audio_packed, channels=8, mel=mel_latent_bins)
+            self._on_device("audio_vae_params", "vocoder_params")
+            waveform = audio_vae_mod.decode_audio_jit(
+                self.audio_vae_params, self.vocoder_params, audio_latents,
+                self.audio_vae_config or audio_vae_mod.AudioVAEConfig(),
+                self.vocoder_config or audio_vae_mod.VocoderConfig())
+            if audio_gain != 1.0:
+                waveform = jnp.clip(waveform * audio_gain, -1.0, 1.0)
+            waves.append(np.asarray(waveform[0], np.float32))
+
+        frames = parts[0] if len(parts) == 1 \
+            else np.concatenate(parts, axis=0)
+        audio = waves[0]
+        for w in waves[1:]:
+            s = w.shape[-1]
+            k = int(round(s * cond_frames / config.num_frames))
+            k = min(k, audio.shape[-1], s)
+            if k > 0:
+                ramp = np.linspace(0.0, 1.0, k, endpoint=False,
+                                   dtype=np.float32)
+                blended = audio[..., -k:] * (1.0 - ramp) + w[..., :k] * ramp
+                audio = np.concatenate(
+                    [audio[..., :-k], blended, w[..., k:]], axis=-1)
+            else:
+                audio = np.concatenate([audio, w], axis=-1)
+        timings.total = time.time() - total_start
+        return VideoGenerationResult(frames=frames, timings=timings,
+                                     seed=seed, audio=audio)
+
     def _denoise(self, latent, sigmas, shape, guidance, context, bias,
                  conditioning_mask, cond_noise_scale, fps, key, timings,
                  on_progress, conditioned_latent=None, cond_frames=1,

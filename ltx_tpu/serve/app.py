@@ -269,11 +269,19 @@ def build_app(
                   _fenced_path(kf, "image_path", root))
                  for kf in job.request["keyframes"]])
         elif kind == "chain":
-            result = pipe.generate_video_chain(
-                prompt, cfg,
-                segments=int(job.request.get("segments", 2)),
-                cond_frames=int(job.request.get("cond_frames", 9)),
-                prompts=job.request.get("prompts"))
+            if job.request.get("audio"):
+                result = pipe.generate_video_chain_with_audio(
+                    prompt, cfg,
+                    segments=int(job.request.get("segments", 2)),
+                    cond_frames=int(job.request.get("cond_frames", 9)),
+                    prompts=job.request.get("prompts"),
+                    audio_gain=audio_gain)
+            else:
+                result = pipe.generate_video_chain(
+                    prompt, cfg,
+                    segments=int(job.request.get("segments", 2)),
+                    cond_frames=int(job.request.get("cond_frames", 9)),
+                    prompts=job.request.get("prompts"))
         elif kind == "audio_two_stage":
             result = pipe.generate_video_with_audio_two_stage(
                 prompt, cfg, audio_gain=audio_gain)

@@ -166,6 +166,78 @@ def test_chain_validation(pipe):
                                   prompts=["a", "b", "c"])
 
 
+@pytest.fixture(scope="module")
+def pipe_av():
+    p = LTXPipeline.random_tiny(seed=0, include_audio=True)
+    p.memory = dataclasses.replace(p.memory, offload_text_encoder=False)
+    return p
+
+
+def test_av_chain_segment_zero_is_av_generate(pipe_av):
+    """AV chain with segments=1 reproduces generate_video_with_audio
+    bit-for-bit (frames AND waveform — same per-segment derivation)."""
+    cfg = _cfg()
+    base = pipe_av.generate_video_with_audio("a brass band", cfg)
+    one = pipe_av.generate_video_chain_with_audio("a brass band", cfg,
+                                                  segments=1)
+    np.testing.assert_array_equal(np.asarray(one.frames),
+                                  np.asarray(base.frames))
+    np.testing.assert_array_equal(np.asarray(one.audio),
+                                  np.asarray(base.audio))
+
+
+def test_av_chain_stitch_and_program_reuse(pipe_av):
+    """3 AV segments: video trims the overlap, audio crossfades over the
+    same window, and ALL extension segments share one step build (base +
+    ext = exactly 2 make_av_denoise_step calls)."""
+    import ltx_tpu.pipeline.denoise as dn
+
+    calls = []
+    orig = dn.make_av_denoise_step
+
+    def spy(*a, **kw):
+        calls.append(kw.get("cond_frames"))
+        return orig(*a, **kw)
+
+    dn.make_av_denoise_step = spy
+    try:
+        r = pipe_av.generate_video_chain_with_audio(
+            "a storm rolls in", _cfg(), segments=3, cond_frames=9)
+    finally:
+        dn.make_av_denoise_step = orig
+    assert len(calls) == 2  # base T2V+audio step, ONE extension step
+    f = np.asarray(r.frames)
+    assert f.shape == (17 + 2 * (17 - 9), 64, 64, 3)
+    assert np.isfinite(f.astype(np.float32)).all()
+
+    a = np.asarray(r.audio)
+    base = pipe_av.generate_video_with_audio("a storm rolls in", _cfg())
+    s = np.asarray(base.audio).shape[-1]
+    k = int(round(s * 9 / 17))
+    assert a.shape[-1] == 3 * s - 2 * k
+    assert np.isfinite(a).all()
+
+
+def test_cmd_generate_chain_audio_dispatch(tmp_path, monkeypatch):
+    """`generate --chain 2 --audio` routes through the AV chain and
+    writes MP4 + side WAV."""
+    from ltx_tpu.io import cli
+    from ltx_tpu.pipeline import loader
+
+    monkeypatch.setattr(
+        loader, "load_pipeline",
+        lambda **kw: LTXPipeline.random_tiny(seed=0, include_audio=True))
+    out = tmp_path / "out.mp4"
+    rc = cli.main([
+        "generate", "a road movie", "--chain", "2", "--audio",
+        "--cond-frames", "9", "-w", "64", "-H", "64", "-f", "17",
+        "--seed", "3", "-o", str(out),
+    ])
+    assert rc == 0
+    assert out.exists() and out.stat().st_size > 0
+    assert (tmp_path / "out.mp4.wav").exists()
+
+
 def test_serve_chain_job_http(pipe, tmp_path):
     """kind=chain over real HTTP: segment/overlap/prompt validation at
     submit (400, never a failed job); job produces a longer MP4."""
