@@ -461,6 +461,11 @@ def cmd_generate(args) -> int:
     # correct per-stage resolutions) via config.image_path — mirroring the
     # reference (LTXPipeline.swift:2456,2651-2663).
     t0 = time.time()
+    if getattr(args, "chain_prompt", None) and \
+            getattr(args, "chain", 1) <= 1:
+        print("error: --chain-prompt requires --chain N (N > 1)",
+              file=sys.stderr)
+        return 2
     if getattr(args, "chain", 1) > 1:
         if args.two_stage or args.image or \
                 getattr(args, "video", None) or \

@@ -310,3 +310,7 @@ def test_cmd_generate_chain_dispatch(tmp_path, monkeypatch):
         "generate", "x", "--chain", "3", "--chain-prompt", "y",
         "-w", "64", "-H", "64", "-f", "17", "-o", str(out),
     ]) == 2
+    assert cli.main([  # --chain-prompt without --chain is loud, not silent
+        "generate", "x", "--chain-prompt", "y",
+        "-w", "64", "-H", "64", "-f", "17", "-o", str(out),
+    ]) == 2
