@@ -71,6 +71,17 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--chain-prompt", action="append", default=None,
                    help="Continuation prompt for chain segment i (repeat "
                         "N-1 times; segment 0 uses the positional prompt)")
+    g.add_argument("--chain-anchor", action="append", default=None,
+                   metavar="SEG:IDX:PATH",
+                   help="Keyframe anchor for chain segment SEG: condition "
+                        "its (segment-local) pixel frame IDX (multiple of "
+                        "8; past the carried overlap for SEG > 0) on an "
+                        "image — the anti-drift tool; repeatable")
+    g.add_argument("--chain-tail-renorm", type=float, default=0.0,
+                   metavar="FACTOR",
+                   help="Chain drift mitigation: AdaIN each carried tail's "
+                        "per-channel stats toward segment 0's tail by "
+                        "FACTOR in [0, 1] (0 = off)")
     g.add_argument("--image-cond-noise", type=float, default=0.15)
     g.add_argument("--negative-prompt", default=None)
     g.add_argument("--guidance-rescale", type=float, default=0.0)
@@ -236,6 +247,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "batched denoise program (per-job seeds/outputs "
                         "preserved); denoise+decode HBM scales with B — "
                         "25f@768x512 int4 fits B=4 on one chip")
+    s.add_argument("--warmup", action="append", default=None,
+                   metavar="WxHxF",
+                   help="Pre-compile the T2V denoise + VAE decoder for "
+                        "this shape (e.g. 768x512x25) BEFORE accepting "
+                        "jobs — first-job latency then matches "
+                        "steady-state; repeatable")
     s.add_argument("--gemma-path", default=None)
     s.add_argument("--ltx-weights", default=None)
     s.add_argument("--models-dir", default=None)
@@ -461,6 +478,12 @@ def cmd_generate(args) -> int:
     # correct per-stage resolutions) via config.image_path — mirroring the
     # reference (LTXPipeline.swift:2456,2651-2663).
     t0 = time.time()
+    if getattr(args, "chain", 1) < 1:
+        # --chain 0 / negative would silently fall through to plain T2V
+        # (only chain > 1 enters the chain branch); fail loudly instead
+        print(f"error: --chain must be >= 1, got {args.chain}",
+              file=sys.stderr)
+        return 2
     if getattr(args, "chain_prompt", None) and \
             getattr(args, "chain", 1) <= 1:
         print("error: --chain-prompt requires --chain N (N > 1)",
@@ -483,6 +506,22 @@ def cmd_generate(args) -> int:
                       f"{len(args.chain_prompt)}", file=sys.stderr)
                 return 2
             prompts = [args.prompt] + list(args.chain_prompt)
+        anchors = None
+        if getattr(args, "chain_anchor", None):
+            if args.audio:
+                print("error: --chain-anchor does not compose with "
+                      "--audio yet", file=sys.stderr)
+                return 2
+            anchors = {}
+            for spec in args.chain_anchor:
+                parts = spec.split(":", 2)
+                if len(parts) != 3 or not parts[0].isdigit() \
+                        or not parts[1].isdigit() or not parts[2]:
+                    print(f"error: --chain-anchor {spec!r} is not "
+                          "SEG:IDX:PATH", file=sys.stderr)
+                    return 2
+                anchors.setdefault(int(parts[0]), []).append(
+                    (int(parts[1]), parts[2]))
         if args.audio:
             # chained long video WITH a soundtrack (AV chain; audio
             # crossfades over each trimmed overlap window)
@@ -495,7 +534,8 @@ def cmd_generate(args) -> int:
             result = pipe.generate_video_chain(
                 args.prompt, config, segments=args.chain,
                 cond_frames=args.cond_frames, prompts=prompts,
-                on_progress=on_progress,
+                on_progress=on_progress, anchors=anchors,
+                tail_renorm=args.chain_tail_renorm,
             )
     elif getattr(args, "video", None):
         if args.audio or args.two_stage or args.image or \
@@ -531,8 +571,8 @@ def cmd_generate(args) -> int:
                 cond_frames=args.cond_frames, on_progress=on_progress,
             )
     elif getattr(args, "keyframe", None):
-        if args.audio or args.two_stage or args.image:
-            print("error: --keyframe composes with neither --audio, "
+        if args.two_stage or args.image:
+            print("error: --keyframe composes with neither "
                   "--two-stage nor --image yet", file=sys.stderr)
             return 2
         keyframes = []
@@ -543,8 +583,11 @@ def cmd_generate(args) -> int:
                       file=sys.stderr)
                 return 2
             keyframes.append((int(idx), path))
+        # --audio runs the dual AV transformer with the same anchors
+        # (round 5: the AV cond_frame_idx path)
         result = pipe.generate_video_keyframes(
             args.prompt, config, keyframes, on_progress=on_progress,
+            audio=args.audio, audio_gain=args.audio_gain,
         )
     elif args.audio and args.two_stage:
         result = pipe.generate_video_with_audio_two_stage(
@@ -740,11 +783,22 @@ def cmd_serve(args) -> int:
         max_batch = {"w8a8": 7, "int4": 24, "bf16": 2}[args.gemma_quant]
         if getattr(args, "embed_int8", False):
             max_batch = {"w8a8": 11, "int4": 28, "bf16": 2}[args.gemma_quant]
+    warmup_shapes = None
+    if getattr(args, "warmup", None):
+        warmup_shapes = []
+        for spec in args.warmup:
+            parts = spec.lower().split("x")
+            if len(parts) != 3 or not all(p.isdigit() for p in parts):
+                print(f"error: --warmup {spec!r} is not WxHxF",
+                      file=sys.stderr)
+                return 2
+            warmup_shapes.append(tuple(int(p) for p in parts))
     app = build_app(
         pipe, output_dir=args.output_dir, host=args.host, port=args.port,
         max_batch=max_batch, spec_k=args.spec_k, kv_quant=args.kv_quant,
         batch_window_s=args.batch_window_ms / 1000.0,
         image_root=args.image_root, gen_batch=args.gen_batch,
+        warmup_shapes=warmup_shapes,
         info={"model": args.model, "transformer_quant":
               args.transformer_quant, "gemma_quant": args.gemma_quant,
               "audio": args.audio, "upscaler": args.upscaler},

@@ -378,6 +378,10 @@ def make_av_denoise_step(
     conditioned_latent=None,  # (1, C, cond_frames, h, w) CLEAN cond latent
     image_cond_noise_scale: float = 0.0,
     cond_frames: int = 1,
+    cond_frame_idx=None,      # (K,) int latent-frame indices held clean at
+                              # ARBITRARY positions (AV keyframe anchoring;
+                              # supersedes cond_frames when given — the AV
+                              # twin of make_denoise_step's path)
     fps: float = 24.0,
     sdpa_impl: str = "auto",
     remat: bool = False,
@@ -433,6 +437,27 @@ def make_av_denoise_step(
                 "(the clean injection source)")
         cond_lat = jnp.asarray(conditioned_latent, jnp.float32)
 
+    fidx = fmask = None
+    if cond_frame_idx is not None:
+        if cond_mask is None:
+            raise InvalidConfigurationError(
+                "cond_frame_idx requires conditioning_mask")
+        fidx = np.asarray(cond_frame_idx, np.int64).reshape(-1)
+        if fidx.size == 0 or (np.diff(fidx) <= 0).any():
+            raise InvalidConfigurationError(
+                "cond_frame_idx must be non-empty, strictly increasing")
+        if fidx[0] < 0 or fidx[-1] >= shape.frames:
+            raise InvalidConfigurationError(
+                f"cond_frame_idx {fidx.tolist()} out of range "
+                f"[0, {shape.frames})")
+        m = np.zeros((1, 1, shape.frames, 1, 1), bool)
+        m[:, :, fidx] = True
+        fmask = jnp.asarray(m)
+        if cond_lat is not None and cond_lat.shape[2] != fidx.size:
+            raise InvalidConfigurationError(
+                f"conditioned_latent has {cond_lat.shape[2]} frames, "
+                f"cond_frame_idx names {fidx.size}")
+
     @partial(jax.jit, donate_argnums=(5, 6))
     def _step(params, v_ctx, a_ctx, bias, ropes, video_latent, audio_packed,
               sigma, sigma_next, key, cond_latent=None):
@@ -445,8 +470,12 @@ def make_av_denoise_step(
             noise = jax.random.normal(key, cond_latent.shape,
                                       cond_latent.dtype)
             noised = cond_latent + image_cond_noise_scale * noise * sigma**2
-            video_latent = video_latent.at[:, :, :cond_frames].set(
-                noised.astype(video_latent.dtype))
+            if fidx is not None:
+                video_latent = video_latent.at[:, :, fidx].set(
+                    noised.astype(video_latent.dtype))
+            else:
+                video_latent = video_latent.at[:, :, :cond_frames].set(
+                    noised.astype(video_latent.dtype))
 
         v_tokens = jnp.tile(patchify(video_latent).astype(jnp.bfloat16),
                             (g, 1, 1))
@@ -495,7 +524,13 @@ def make_av_denoise_step(
             def _vstep(lat, vel):
                 return euler_step(lat, vel, sigma, sigma_next)
 
-        if cond_mask is not None:
+        if fidx is not None:
+            # keyframe anchors at arbitrary positions: step everywhere,
+            # carry conditioned frames via the mask (values identical to
+            # the slice-and-concat leading path — _vstep is elementwise)
+            new_video = jnp.where(fmask, video_latent,
+                                  _vstep(video_latent, v_vel))
+        elif cond_mask is not None:
             stepped = _vstep(video_latent[:, :, cond_frames:],
                              v_vel[:, :, cond_frames:])
             new_video = jnp.concatenate(

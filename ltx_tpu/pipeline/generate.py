@@ -80,6 +80,55 @@ class VideoGenerationResult:
     audio: Optional[jax.Array] = None  # (2, samples) in [-1, 1] @ 24kHz
 
 
+class _WarmCompiles:
+    """Handle for background AOT compiles (LTXPipeline._start_warm_compile).
+
+    Each added program lowers AND compiles in its own daemon thread —
+    remote compiles run concurrently with each other and with executing
+    device programs (docs/BENCH_NOTES.md §9) — so an entry point can join
+    each program right before the phase that needs it while later phases'
+    compiles keep overlapping earlier phases' execution. Compile failures
+    only log (the program then compiles inline at first use, the status
+    quo). With no threads added (warming gated off) every join is a no-op,
+    so call sites need no conditionals."""
+
+    def __init__(self, timings=None):
+        self._threads = {}
+        self._t0 = time.time()
+        self._timings = timings
+
+    def add(self, name, thunk):
+        import threading
+
+        def _run():
+            t0 = time.time()
+            try:
+                thunk().compile()
+                log.info("%s warm compile: %.1f s", name, time.time() - t0)
+            except Exception as e:  # pragma: no cover - backend-dependent
+                log.info("%s warm compile skipped (%s)", name, e)
+
+        th = threading.Thread(target=_run, daemon=True)
+        th.start()
+        self._threads[name] = th
+
+    def join(self, *names):
+        """Block until the named compiles land (all of them when no names
+        given); unknown/already-joined names no-op."""
+        joined = False
+        for n in (names or list(self._threads)):
+            th = self._threads.pop(n, None)
+            if th is not None:
+                th.join()
+                joined = True
+        if joined and self._timings is not None:
+            # elapsed since the warm started = the window compiles had to
+            # overlap enhancement/earlier phases (grows with later joins)
+            self._timings.warm_compile = time.time() - self._t0
+
+    __call__ = join  # back-compat: generate_video's join_warm() idiom
+
+
 class LTXPipeline:
     """Holds model params + configs; drives generation phases.
 
@@ -547,21 +596,13 @@ class LTXPipeline:
 
         return transformer_param_specs
 
-    def _warm_lowering(self, config: GenerationConfig, guidance):
-        """Lower the T2V denoise step for the upcoming shapes from abstract
-        inputs only — no params touch the device (enhancement owns the HBM
-        under phase staging). tests/test_pipeline.py asserts this lowering
-        is IDENTICAL to the one the real denoise phase traces — single-chip
-        AND mesh (sharding-annotated abstract values)."""
-        shape = VideoLatentShape.from_pixels(
-            1, config.num_frames, config.height, config.width,
-            channels=self.tcfg.in_channels,
-        )
+    def _warm_context_structs(self, guidance):
+        """Abstract (context, bias) for warm lowering. On a mesh the real
+        context/bias are COMMITTED replicated arrays (encode_prompt runs
+        with replicated text-encoder params), so the abstract values must
+        carry the same sharding annotation."""
         g = guidance.num_rows
         s = self.tecfg.max_length
-        # on a mesh the real context/bias are COMMITTED replicated arrays
-        # (encode_prompt runs with replicated text-encoder params), so the
-        # abstract values must carry the same sharding annotation
         repl = None
         mesh = self.mesh or self.pp_mesh
         if mesh is not None:
@@ -572,12 +613,58 @@ class LTXPipeline:
                                        jnp.bfloat16, sharding=repl)
         abs_bias = jax.ShapeDtypeStruct((g, 1, 1, s), jnp.float32,
                                         sharding=repl)
+        return abs_ctx, abs_bias
+
+    def _warm_cond(self, config: GenerationConfig, shape,
+                   cond_frames=None, cond_frame_idx=None):
+        """Conditioning pieces for a warm step lowering: the concrete
+        (1, T) mask + a ZEROS stand-in conditioned latent (the step's
+        compiled program depends only on its shape — the real latent is a
+        call-time jit argument) + the injection scale."""
+        if cond_frame_idx is not None:
+            cm = self._conditioning_mask(shape, frame_idx=cond_frame_idx)
+            k = int(np.asarray(cond_frame_idx).size)
+        elif cond_frames is not None:
+            cm = self._conditioning_mask(shape, frames=cond_frames)
+            k = int(cond_frames)
+        else:
+            return None, None, 0.0
+        ics = config.image_cond_noise_scale
+        cond = None
+        if ics > 0:
+            cond = np.zeros((1, self.tcfg.in_channels, k, shape.height,
+                             shape.width), np.float32)
+        return cm, cond, ics
+
+    def _warm_lowering(self, config: GenerationConfig, guidance,
+                       width=None, height=None,
+                       cond_frames=None, cond_frame_idx=None):
+        """Lower the video denoise step for the upcoming shapes from
+        abstract inputs only — no params touch the device (enhancement owns
+        the HBM under phase staging). tests/test_pipeline.py asserts this
+        lowering is IDENTICAL to the one the real denoise phase traces —
+        single-chip AND mesh (sharding-annotated abstract values).
+
+        width/height override config's (two-stage stage 1 runs half-res);
+        cond_frames / cond_frame_idx warm the CONDITIONED step variants
+        (I2V / extension / chain segments / keyframes — these trace a
+        different program than plain T2V)."""
+        shape = VideoLatentShape.from_pixels(
+            1, config.num_frames, height or config.height,
+            width or config.width, channels=self.tcfg.in_channels,
+        )
+        abs_ctx, abs_bias = self._warm_context_structs(guidance)
         abs_params = self._abs_param_tree(
             self.transformer_params, specs_fn=self._transformer_specs_fn())
+        cm, cond, ics = self._warm_cond(config, shape, cond_frames,
+                                        cond_frame_idx)
         step = make_denoise_step(
             abs_params, self.tcfg, guidance, shape,
             abs_ctx, abs_bias,
-            image_cond_noise_scale=config.image_cond_noise_scale,
+            conditioning_mask=cm, conditioned_latent=cond,
+            image_cond_noise_scale=(ics if cm is not None
+                                    else config.image_cond_noise_scale),
+            cond_frames=(cond_frames or 1), cond_frame_idx=cond_frame_idx,
             fps=config.fps, sdpa_impl=self.sdpa_impl,
             remat=self.memory.remat_blocks,
             pp_mesh=self.pp_mesh, pp_microbatches=self.pp_microbatches,
@@ -589,11 +676,87 @@ class LTXPipeline:
         abs_key = jax.ShapeDtypeStruct((), jax.random.key(0).dtype)
         abs_pe = jax.tree.map(
             lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), step._pe)
-        return step._jit.lower(
-            abs_params, abs_ctx, abs_bias, abs_pe,
-            abs_latent, abs_sigma, abs_sigma, abs_latent,
-            jax.ShapeDtypeStruct((), jnp.bool_), abs_key,
+        args = [abs_params, abs_ctx, abs_bias, abs_pe,
+                abs_latent, abs_sigma, abs_sigma, abs_latent,
+                jax.ShapeDtypeStruct((), jnp.bool_), abs_key]
+        if cond is not None:
+            args.append(jax.ShapeDtypeStruct(cond.shape, jnp.float32))
+        return step._jit.lower(*args)
+
+    def _warm_av_lowering(self, config: GenerationConfig, guidance,
+                          width=None, height=None, cond_frames=None,
+                          cond_frame_idx=None,
+                          video_euler: str = "scheduler"):
+        """Lower the dual AV denoise step abstractly (the AV twin of
+        _warm_lowering; VERDICT r4 #1 — AV/flagship runs previously paid
+        their step compiles serially after enhancement)."""
+        from ltx_tpu.models import dit_av
+        from ltx_tpu.pipeline.denoise import make_av_denoise_step
+
+        shape = VideoLatentShape.from_pixels(
+            1, config.num_frames, height or config.height,
+            width or config.width, channels=self.tcfg.in_channels,
         )
+        audio_frames = dit_av.audio_frame_count(
+            config.num_frames / config.fps)
+        abs_ctx, abs_bias = self._warm_context_structs(guidance)
+        abs_params = self._abs_param_tree(
+            self.av_transformer_params,
+            specs_fn=self._transformer_specs_fn())
+        cm, cond, ics = self._warm_cond(config, shape, cond_frames,
+                                        cond_frame_idx)
+        step = make_av_denoise_step(
+            abs_params, self.tcfg, guidance, shape, audio_frames,
+            abs_ctx, abs_ctx, abs_bias,
+            conditioning_mask=cm, conditioned_latent=cond,
+            image_cond_noise_scale=(ics if cm is not None
+                                    else config.image_cond_noise_scale),
+            cond_frames=(cond_frames or 1), cond_frame_idx=cond_frame_idx,
+            fps=config.fps,
+            sdpa_impl=self.sdpa_impl, remat=self.memory.remat_blocks,
+            video_euler=video_euler,
+            pp_mesh=self.pp_mesh, pp_microbatches=self.pp_microbatches,
+        )
+        abs_video = jax.ShapeDtypeStruct(shape.shape, jnp.float32)
+        abs_audio = jax.ShapeDtypeStruct(
+            (1, audio_frames, self.tcfg.audio_in_channels), jnp.float32)
+        abs_sigma = jax.ShapeDtypeStruct((), jnp.float32, weak_type=True)
+        abs_key = jax.ShapeDtypeStruct((), jax.random.key(0).dtype)
+        abs_ropes = jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), step._ropes)
+        args = [abs_params, abs_ctx, abs_ctx, abs_bias, abs_ropes,
+                abs_video, abs_audio, abs_sigma, abs_sigma, abs_key]
+        if cond is not None:
+            args.append(jax.ShapeDtypeStruct(cond.shape, jnp.float32))
+        return step._jit.lower(*args)
+
+    def _warm_upscaler_lowering(self, config: GenerationConfig):
+        """Lower the 2x latent-upscale program for stage-1 -> stage-2
+        handoff (its compile measured ~60 s at the flagship shape)."""
+        from ltx_tpu.models.upscaler import (UpscalerConfig,
+            upsample_latents_jit)
+
+        s1 = VideoLatentShape.from_pixels(
+            1, config.num_frames, config.height // 2, config.width // 2,
+            channels=self.tcfg.in_channels)
+        abs_params = self._abs_param_tree(self.upscaler_params,
+                                          replicated=True)
+        mean = self.vae_decoder_params["mean_of_means"]
+        std = self.vae_decoder_params["std_of_means"]
+        ucfg = self.upscaler_config or UpscalerConfig(
+            in_channels=self.tcfg.in_channels)
+        # mean/std mirror the REAL call's placement: host numpy under
+        # phase staging (uncommitted -> no annotation), committed
+        # replicated device leaves otherwise on a mesh
+        def _abs_leaf(a):
+            sh = getattr(a, "sharding", None)
+            if (self.mesh or self.pp_mesh) is not None and sh is not None:
+                return jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=sh)
+            return jax.ShapeDtypeStruct(a.shape, a.dtype)
+
+        return upsample_latents_jit.lower(
+            abs_params, jax.ShapeDtypeStruct(s1.shape, jnp.float32),
+            _abs_leaf(mean), _abs_leaf(std), ucfg)
 
     def _warm_vae_lowering(self, config: GenerationConfig):
         """Lower the VAE decoder program for the decode shape the upcoming
@@ -630,56 +793,60 @@ class LTXPipeline:
         return vae_mod._decoder_exec(self.vcfg, ts, to_uint8).lower(
             abs_params, abs_tile, abs_key)
 
-    def _start_warm_compile(self, config: GenerationConfig, guidance,
-                            timings=None):
-        """AOT-compile the denoise-step AND VAE-decoder executables for the
-        upcoming shapes in a background thread, so the (remote, 5-40 s each)
-        compiles overlap the prompt-enhancement generate loop instead of
-        serializing after it (VERDICT r2 weak #4; the decoder compile alone
-        measured 26 s at the north-star shape). Mesh runs warm too
-        (round 4): the abstract params carry the real call's NamedShardings
-        (_abs_param_tree), so the lowered program is the one GSPMD traces.
-        The VAE warm is skipped only when the mesh decode will route
+    def _vae_warm_applies(self, config: GenerationConfig) -> bool:
+        """The VAE warm is skipped only when the mesh decode will route
         through decode_video_sharded (a shard_map program with its own
         dispatch — warming the tiled executable would compile a program
-        that is never hit).
-
-        Returns a join() callable (records timings.warm_compile; never
-        raises — a failed warm-up just means the compile happens inline
-        later, which is the status quo).
-        """
-        import threading
-
-        warm_vae = True
+        that is never hit)."""
         if self.mesh is not None and self.mesh.shape.get("model", 1) > 1:
             lat_f = VideoLatentShape.from_pixels(
                 1, config.num_frames, config.height, config.width,
                 channels=self.vcfg.latent_channels).frames
             if lat_f >= self.mesh.shape["model"]:
-                warm_vae = False  # real decode takes decode_video_sharded
+                return False
+        return True
 
-        def _warm():
-            t0 = time.time()
-            try:
-                self._warm_lowering(config, guidance).compile()
-                log.info("denoise-step warm compile: %.1f s",
-                         time.time() - t0)
-            except Exception as e:  # pragma: no cover - depends on backend
-                log.info("warm compile skipped (%s)", e)
-            if warm_vae:
-                try:
-                    t1 = time.time()
-                    self._warm_vae_lowering(config).compile()
-                    log.info("vae-decoder warm compile: %.1f s",
-                             time.time() - t1)
-                except Exception as e:  # pragma: no cover
-                    log.info("vae warm compile skipped (%s)", e)
-            if timings is not None:
-                timings.warm_compile = time.time() - t0
+    def _should_warm(self, config: GenerationConfig) -> bool:
+        """Warm compiles overlap the prompt-enhancement generate loop; when
+        enhancement won't run there is nothing device-side to hide them
+        behind (and the test suite's tiny pipelines would pay every compile
+        twice), so warming is gated on enhancement actually running."""
+        return (config.enhance_prompt and self.gemma_params is not None
+                and self.tokenizer is not None)
 
-        th = threading.Thread(target=_warm, daemon=True)
-        th.start()
-        return th.join
+    def _start_warm_compile(self, config: GenerationConfig, guidance,
+                            timings=None, plan=None):
+        """AOT-compile the executables the upcoming generation will hit in
+        background threads, so the (remote, 5-60 s each) compiles overlap
+        the prompt-enhancement generate loop instead of serializing after
+        it (VERDICT r2 weak #4 / r4 #1; at the flagship AV two-stage shape
+        the hideable serial compiles total ~150 s). Compiles proceed
+        concurrently with executing programs AND with each other (measured,
+        docs/BENCH_NOTES.md §9). Mesh runs warm too: the abstract params
+        carry the real call's NamedShardings (_abs_param_tree), so the
+        lowered program is the one GSPMD traces.
+
+        plan: list of (name, thunk) where thunk() returns a jax Lowered —
+        each entry point passes the programs its phases will trace (stage-1
+        /stage-2 steps, upscaler, VAE, AV/chain variants). Default plan =
+        generate_video's pair (T2V denoise step + VAE decoder).
+
+        Returns a _WarmCompiles handle: `warm.join("name")` blocks until
+        that program's compile lands (call right before the phase that uses
+        it — later programs keep compiling during earlier phases);
+        `warm.join()` joins everything. Failures only log — a failed
+        warm-up just means the compile happens inline later (status quo).
+        """
+        if plan is None:
+            plan = [("denoise",
+                     lambda: self._warm_lowering(config, guidance))]
+            if self._vae_warm_applies(config):
+                plan.append(("vae",
+                             lambda: self._warm_vae_lowering(config)))
+        warm = _WarmCompiles(timings)
+        for name, thunk in plan:
+            warm.add(name, thunk)
+        return warm
 
     def _encode_image_at(self, image_path: str, width: int, height: int):
         """Load + VAE-encode the conditioning image at a target resolution,
@@ -782,17 +949,20 @@ class LTXPipeline:
         # overlapped with the denoise-step compile for the upcoming shapes
         # (the 20 s enhancement loop runs device-side; the remote compile
         # proceeds concurrently on the host/compile-server)
-        join_warm = None
-        if (config.enhance_prompt and self.gemma_params is not None
-                and not is_i2v and precomputed_embeddings is None):
-            # (I2V traces a different step program — conditioning mask —
-            # so only the T2V shape is warmed; mesh runs warm with
-            # sharding-annotated abstract values, round 4)
-            join_warm = self._start_warm_compile(config, guidance, timings)
+        warm = _WarmCompiles()
+        if self._should_warm(config) and precomputed_embeddings is None:
+            # I2V warms the CONDITIONED step variant (round 5 — r4 warmed
+            # T2V only); mesh runs warm with sharding-annotated abstract
+            # values (round 4)
+            cf = 1 if is_i2v else None
+            plan = [("denoise", lambda: self._warm_lowering(
+                config, guidance, cond_frames=cf))]
+            if self._vae_warm_applies(config):
+                plan.append(("vae",
+                             lambda: self._warm_vae_lowering(config)))
+            warm = self._start_warm_compile(config, guidance, timings, plan)
         prompt = self._maybe_enhance(prompt, config, is_i2v=is_i2v,
                                      timings=timings)
-        if join_warm is not None:
-            join_warm()
 
         # --- text encoding phase
         t0 = time.time()
@@ -842,6 +1012,7 @@ class LTXPipeline:
             conditioning_mask = cm
 
         # --- denoise phase (one compiled step)
+        warm.join("denoise")  # VAE compile keeps overlapping the denoise
         self._on_device("transformer_params")
         step_fn = make_denoise_step(
             self.transformer_params, self.tcfg, guidance, shape,
@@ -868,6 +1039,7 @@ class LTXPipeline:
                                   seed=seed)
 
         # --- VAE decode phase
+        warm.join()
         key, vkey = jax.random.split(key)
         frames = self._decode_frames(latent, vkey, timings)
 
@@ -1057,6 +1229,15 @@ class LTXPipeline:
                 f"video_frames {video_frames.shape} != (1, 3, "
                 f"{config.num_frames}, {config.height}, {config.width})")
 
+        # v2v denoises the plain T2V step program (partial schedule only)
+        warm = _WarmCompiles()
+        if self._should_warm(config):
+            plan = [("denoise",
+                     lambda: self._warm_lowering(config, guidance))]
+            if self._vae_warm_applies(config):
+                plan.append(("vae",
+                             lambda: self._warm_vae_lowering(config)))
+            warm = self._start_warm_compile(config, guidance, timings, plan)
         prompt = self._maybe_enhance(prompt, config, is_i2v=False,
                                      timings=timings)
 
@@ -1093,10 +1274,12 @@ class LTXPipeline:
         latent = schedule.add_noise(src_latent, noise, float(sigmas[0]))
 
         key, dkey = jax.random.split(key)
+        warm.join("denoise")
         latent = self._denoise(latent, sigmas, shape, guidance, context,
                                bias, None, 0.0, config.fps, dkey, timings,
                                on_progress)
 
+        warm.join()
         key, vkey = jax.random.split(key)
         frames = self._decode_frames(latent, vkey, timings)
         frames = frames[: config.num_frames]
@@ -1169,6 +1352,17 @@ class LTXPipeline:
                 f"video_frames {video_frames.shape} != (1, 3, "
                 f"{cond_frames}, {config.height}, {config.width})")
 
+        # the extension step's program depends on k_lat (conditioning mask
+        # + frozen-frame split) — warm exactly that variant
+        warm = _WarmCompiles()
+        if self._should_warm(config):
+            k_warm = (cond_frames - 1) // 8 + 1
+            plan = [("denoise", lambda: self._warm_lowering(
+                config, guidance, cond_frames=k_warm))]
+            if self._vae_warm_applies(config):
+                plan.append(("vae",
+                             lambda: self._warm_vae_lowering(config)))
+            warm = self._start_warm_compile(config, guidance, timings, plan)
         prompt = self._maybe_enhance(prompt, config, is_i2v=False,
                                      timings=timings)
 
@@ -1203,12 +1397,14 @@ class LTXPipeline:
         cm = self._conditioning_mask(shape, frames=k_lat)
 
         key, dkey = jax.random.split(key)
+        warm.join("denoise")
         latent = self._denoise(latent, sigmas, shape, guidance, context,
                                bias, cm, config.image_cond_noise_scale,
                                config.fps, dkey, timings, on_progress,
                                conditioned_latent=cond_latent,
                                cond_frames=k_lat)
 
+        warm.join()
         key, vkey = jax.random.split(key)
         frames = self._decode_frames(latent, vkey, timings)
         frames = frames[: config.num_frames]
@@ -1216,46 +1412,10 @@ class LTXPipeline:
         return VideoGenerationResult(frames=frames, timings=timings,
                                      seed=seed)
 
-    def generate_video_keyframes(
-        self,
-        prompt: str,
-        config: GenerationConfig,
-        keyframes,
-        on_progress=None,
-    ) -> VideoGenerationResult:
-        """Condition at ARBITRARY frame positions (keyframe interpolation /
-        anchoring): keyframes = [(pixel_frame_idx, source), ...] — e.g.
-        [(0, "first.png"), (112, "last.png")] generates the in-between
-        motion. No reference analog (the Swift pipeline conditions on
-        frame 0 only, LTXPipeline.swift:1902-1932); this matches the
-        upstream LTX-Video Python pipeline's conditioning items,
-        restricted to single-frame anchors.
-
-        source: an image path (loaded + LANCZOS-resized), a pixel array
-        (1, 3, 1, H, W) in [-1, 1], or a pre-encoded normalized latent
-        (1, C, 1, h, w). pixel_frame_idx must be a multiple of 8 (the
-        causal VAE's temporal stride); each image encodes standalone
-        through the causal first-frame path and anchors latent index
-        idx // 8 — its latent frames get per-token timestep 0, per-step
-        clean-source noise injection, and carry through Euler
-        (pipeline/denoise.py cond_frame_idx).
-
-        keyframes=[(0, latent)] reproduces
-        generate_video(image_latent=latent) bit-for-bit (same key
-        derivation, same noise draw shapes — tests/test_keyframes.py).
-        """
-        config.validate()
-        if not keyframes:
-            raise InvalidConfigurationError("keyframes must be non-empty")
-        total_start = time.time()
-        timings = GenerationTimings()
-        seed = config.seed if config.seed is not None else int(time.time())
-        guidance = GuidanceSpec.from_config(config)
-
-        shape = VideoLatentShape.from_pixels(
-            1, config.num_frames, config.height, config.width,
-            channels=self.tcfg.in_channels,
-        )
+    def _encode_keyframe_sources(self, keyframes, config: GenerationConfig):
+        """Resolve keyframe (pixel_frame_idx, source) pairs into a stacked
+        conditioned latent + sorted latent-frame indices (shared by
+        generate_video_keyframes and the chain's per-segment anchors)."""
         lat_idx: list = []
         lats = []
         for pix_idx, src in sorted(keyframes, key=lambda kv: int(kv[0])):
@@ -1293,14 +1453,91 @@ class LTXPipeline:
                         "(latent)")
             lat_idx.append(k)
             lats.append(lat.astype(jnp.float32))
-        cond_latent = jnp.concatenate(lats, axis=2)  # (1, C, K, h, w)
-        cond_idx = np.asarray(lat_idx, np.int64)
+        return (jnp.concatenate(lats, axis=2),
+                np.asarray(lat_idx, np.int64))
 
+    def generate_video_keyframes(
+        self,
+        prompt: str,
+        config: GenerationConfig,
+        keyframes,
+        on_progress=None,
+        audio: bool = False,
+        audio_gain: float = 1.0,
+    ) -> VideoGenerationResult:
+        """Condition at ARBITRARY frame positions (keyframe interpolation /
+        anchoring): keyframes = [(pixel_frame_idx, source), ...] — e.g.
+        [(0, "first.png"), (112, "last.png")] generates the in-between
+        motion. No reference analog (the Swift pipeline conditions on
+        frame 0 only, LTXPipeline.swift:1902-1932); this matches the
+        upstream LTX-Video Python pipeline's conditioning items,
+        restricted to single-frame anchors.
+
+        source: an image path (loaded + LANCZOS-resized), a pixel array
+        (1, 3, 1, H, W) in [-1, 1], or a pre-encoded normalized latent
+        (1, C, 1, h, w). pixel_frame_idx must be a multiple of 8 (the
+        causal VAE's temporal stride); each image encodes standalone
+        through the causal first-frame path and anchors latent index
+        idx // 8 — its latent frames get per-token timestep 0, per-step
+        clean-source noise injection, and carry through Euler
+        (pipeline/denoise.py cond_frame_idx).
+
+        keyframes=[(0, latent)] reproduces
+        generate_video(image_latent=latent) bit-for-bit (same key
+        derivation, same noise draw shapes — tests/test_keyframes.py).
+
+        audio=True runs the dual AV transformer instead (round 5 — the AV
+        twin: anchors condition VIDEO frames at arbitrary positions while
+        a matching soundtrack generates via cross-modal attention;
+        generate_video_with_audio's exact key derivation, so
+        keyframes=[(0, lat)] reproduces AV I2V bit-for-bit).
+        """
+        config.validate()
+        if not keyframes:
+            raise InvalidConfigurationError("keyframes must be non-empty")
+        if audio:
+            if self.av_transformer_params is None:
+                raise ModelNotLoadedError("AV transformer")
+            if self.audio_vae_params is None:
+                raise ModelNotLoadedError("audio VAE")
+        total_start = time.time()
+        timings = GenerationTimings()
+        seed = config.seed if config.seed is not None else int(time.time())
+        guidance = GuidanceSpec.from_config(config)
+        if audio:
+            # STG is not defined for the AV path (matches
+            # generate_video_with_audio)
+            guidance = dataclasses.replace(guidance, stg_scale=0.0)
+
+        shape = VideoLatentShape.from_pixels(
+            1, config.num_frames, config.height, config.width,
+            channels=self.tcfg.in_channels,
+        )
+        cond_latent, cond_idx = self._encode_keyframe_sources(keyframes,
+                                                              config)
+
+        # keyframe indices are STATIC in the step program — warm exactly
+        # this anchor layout
+        warm = _WarmCompiles()
+        if self._should_warm(config):
+            if audio:
+                plan = [("denoise_av", lambda: self._warm_av_lowering(
+                    config, guidance, cond_frame_idx=cond_idx))]
+            else:
+                plan = [("denoise", lambda: self._warm_lowering(
+                    config, guidance, cond_frame_idx=cond_idx))]
+            if self._vae_warm_applies(config):
+                plan.append(("vae",
+                             lambda: self._warm_vae_lowering(config)))
+            warm = self._start_warm_compile(config, guidance, timings, plan)
         prompt = self._maybe_enhance(prompt, config, is_i2v=True,
                                      timings=timings)
 
         t0 = time.time()
         pos = self.encode_prompt(prompt)
+        if audio and "audio" not in pos:
+            raise TextEncodingFailedError(
+                "text encoder lacks the audio connector")
         neg = None
         if guidance.use_cfg:
             neg = self.encode_prompt(
@@ -1308,6 +1545,84 @@ class LTXPipeline:
         timings.text_encoding = time.time() - t0
         if self.memory.offload_text_encoder:
             self.offload_text_encoder()
+
+        sigmas = self._sigmas(config, shape)
+        cm = self._conditioning_mask(shape, frame_idx=cond_idx)
+
+        if audio:
+            # the AV twin: EXACTLY generate_video_with_audio's key
+            # derivation (so keyframes=[(0, lat)] == AV I2V bit-for-bit)
+            from ltx_tpu.models import audio_vae as audio_vae_mod
+            from ltx_tpu.models import dit_av
+            from ltx_tpu.pipeline.denoise import (
+                make_av_denoise_step,
+                run_av_denoise_loop,
+            )
+
+            v_ctx, bias = build_guidance_context(
+                guidance, pos["video"], pos["mask"],
+                neg["video"] if neg else None,
+                neg["mask"] if neg else None)
+            a_ctx, _ = build_guidance_context(
+                guidance, pos["audio"], pos["mask"],
+                neg["audio"] if neg else None,
+                neg["mask"] if neg else None)
+            audio_frames = dit_av.audio_frame_count(
+                config.num_frames / config.fps)
+            mel_latent_bins = self.tcfg.audio_in_channels // 8
+
+            key = jax.random.key(seed)
+            key, vkey, akey, dkey = jax.random.split(key, 4)
+            video_latent = generate_noise(vkey, shape) * float(sigmas[0])
+            audio_raw = jax.random.normal(
+                akey, (1, 8, audio_frames, mel_latent_bins), jnp.float32)
+            audio_packed = dit_av.pack_audio_latents(audio_raw) \
+                * float(sigmas[0])
+            video_latent = video_latent.at[:, :, cond_idx].set(
+                cond_latent.astype(video_latent.dtype))
+
+            warm.join("denoise_av")
+            self._on_device("av_transformer_params")
+            step_fn = make_av_denoise_step(
+                self.av_transformer_params, self.tcfg, guidance, shape,
+                audio_frames, v_ctx, a_ctx, bias,
+                conditioning_mask=cm, conditioned_latent=cond_latent,
+                image_cond_noise_scale=config.image_cond_noise_scale,
+                cond_frame_idx=cond_idx, fps=config.fps,
+                sdpa_impl=self.sdpa_impl, remat=self.memory.remat_blocks,
+                pp_mesh=self.pp_mesh,
+                pp_microbatches=self.pp_microbatches,
+            )
+
+            def on_step(i, n, sigma):
+                timings.denoise_steps.append(time.time() - on_step.t0)
+                on_step.t0 = time.time()
+                if on_progress:
+                    on_progress(i, n, sigma)
+
+            on_step.t0 = time.time()
+            video_latent, audio_packed = run_av_denoise_loop(
+                step_fn, video_latent, audio_packed, sigmas, key=dkey,
+                on_step=on_step)
+
+            warm.join()
+            key, dvkey = jax.random.split(key)
+            frames = self._decode_frames(video_latent, dvkey, timings)
+            frames = frames[: config.num_frames]
+
+            audio_latents = dit_av.unpack_audio_latents(
+                audio_packed, channels=8, mel=mel_latent_bins)
+            self._on_device("audio_vae_params", "vocoder_params")
+            waveform = audio_vae_mod.decode_audio_jit(
+                self.audio_vae_params, self.vocoder_params, audio_latents,
+                self.audio_vae_config or audio_vae_mod.AudioVAEConfig(),
+                self.vocoder_config or audio_vae_mod.VocoderConfig())
+            if audio_gain != 1.0:
+                waveform = jnp.clip(waveform * audio_gain, -1.0, 1.0)
+            timings.total = time.time() - total_start
+            return VideoGenerationResult(frames=frames, timings=timings,
+                                         seed=seed, audio=waveform[0])
+
         context, bias = build_guidance_context(
             guidance, pos["video"], pos["mask"],
             neg["video"] if neg else None, neg["mask"] if neg else None,
@@ -1317,19 +1632,19 @@ class LTXPipeline:
         # reproduces I2V bit-for-bit)
         key = jax.random.key(seed)
         key, nkey = jax.random.split(key)
-        sigmas = self._sigmas(config, shape)
         latent = generate_noise(nkey, shape) * float(sigmas[0])
         latent = latent.at[:, :, cond_idx].set(
             cond_latent.astype(latent.dtype))
-        cm = self._conditioning_mask(shape, frame_idx=cond_idx)
 
         key, dkey = jax.random.split(key)
+        warm.join("denoise")
         latent = self._denoise(latent, sigmas, shape, guidance, context,
                                bias, cm, config.image_cond_noise_scale,
                                config.fps, dkey, timings, on_progress,
                                conditioned_latent=cond_latent,
                                cond_frame_idx=cond_idx)
 
+        warm.join()
         key, vkey = jax.random.split(key)
         frames = self._decode_frames(latent, vkey, timings)
         frames = frames[: config.num_frames]
@@ -1346,6 +1661,8 @@ class LTXPipeline:
         prompts=None,
         on_progress=None,
         precomputed_embeddings=None,
+        anchors=None,
+        tail_renorm: float = 0.0,
     ) -> VideoGenerationResult:
         """CHAINED long-video generation: autoregressively extend past the
         single-clip token budget by conditioning each segment on the
@@ -1386,6 +1703,28 @@ class LTXPipeline:
         parity-injection hook ({"video", "mask"[, "neg_video",
         "neg_mask"]}) — bypasses the text encoder for EVERY segment
         (prompts then must be uniform/None).
+
+        anchors: optional {segment_index: [(pixel_frame_idx, source),
+        ...]} — per-segment KEYFRAME anchors (round 5, the anti-drift
+        tool: pin mid-chain segments to reference images so latent-carry
+        autoregression cannot wander). Sources/index rules match
+        generate_video_keyframes; indices are per-segment-local. For
+        segments > 0 the anchor's latent index must be >= the carried
+        tail's k_lat frames (the tail already conditions those), and the
+        segment denoises through the cond_frame_idx path (tail indices +
+        anchor indices), tracing its OWN step program (anchor layouts are
+        static). anchors={0: kfs} with segments=1 reproduces
+        generate_video_keyframes(prompt, config, kfs) bit-for-bit.
+
+        tail_renorm in [0, 1]: opt-in drift mitigation (round 5) — AdaIN
+        each carried tail's per-channel mean/std toward SEGMENT 0's tail
+        stats before it conditions the next segment (factor = blend
+        strength; 0 = off, exactly the r4 behavior). Latent-carry
+        autoregression can drift statistically over many segments (each
+        segment renders from a tail the model itself produced);
+        re-anchoring the carried statistics to the first segment bounds
+        the excursion without touching content structure
+        (docs/BENCH_NOTES.md §28 measures the drift curve).
         """
         config.validate()
         segments = int(segments)
@@ -1409,6 +1748,52 @@ class LTXPipeline:
         seg_prompts = list(prompts) if prompts is not None \
             else [prompt] * segments
 
+        # --- per-segment keyframe anchors: encode sources once, validate
+        # against the carried tail's frames
+        k_lat_w = (cond_frames - 1) // 8 + 1
+        anchor_enc = {}
+        if anchors:
+            for si, kfs in anchors.items():
+                si = int(si)
+                if not 0 <= si < segments:
+                    raise InvalidConfigurationError(
+                        f"anchor segment {si} outside [0, {segments})")
+                a_lat, a_idx = self._encode_keyframe_sources(kfs, config)
+                if si > 0 and int(a_idx[0]) < k_lat_w:
+                    raise InvalidConfigurationError(
+                        f"segment {si} anchor at latent frame "
+                        f"{int(a_idx[0])} overlaps the carried tail "
+                        f"(first {k_lat_w} latent frames)")
+                anchor_enc[si] = (a_lat, a_idx)
+
+        # warm EVERY chain program (segment-0, the shared extension step,
+        # each anchored segment's own layout) and the decoder while
+        # enhancement runs
+        warm = _WarmCompiles()
+        if self._should_warm(config) and precomputed_embeddings is None:
+            if 0 in anchor_enc:
+                idx0 = anchor_enc[0][1]
+                plan = [("denoise", lambda: self._warm_lowering(
+                    config, guidance, cond_frame_idx=idx0))]
+            else:
+                plan = [("denoise",
+                         lambda: self._warm_lowering(config, guidance))]
+            if any(i not in anchor_enc for i in range(1, segments)):
+                plan.append(("denoise_ext", lambda: self._warm_lowering(
+                    config, guidance, cond_frames=k_lat_w)))
+            for si in sorted(anchor_enc):
+                if si > 0:
+                    aidx = np.concatenate([np.arange(k_lat_w),
+                                           anchor_enc[si][1]])
+                    plan.append((f"denoise_anchor_{si}",
+                                 lambda aidx=aidx: self._warm_lowering(
+                                     config, guidance,
+                                     cond_frame_idx=aidx)))
+            if self._vae_warm_applies(config):
+                plan.append(("vae",
+                             lambda: self._warm_vae_lowering(config)))
+            warm = self._start_warm_compile(config, guidance, timings, plan)
+
         # --- text encoding: enhance + encode each UNIQUE prompt once
         if precomputed_embeddings is not None:
             if prompts is not None and len(set(seg_prompts)) > 1:
@@ -1424,22 +1809,8 @@ class LTXPipeline:
                        "mask": jnp.asarray(pe_["neg_mask"])}
             encoded = {p: pos for p in seg_prompts}
         else:
-            enhanced: dict = {}
-            for p in seg_prompts:
-                if p not in enhanced:
-                    enhanced[p] = self._maybe_enhance(
-                        p, config, is_i2v=False, timings=timings)
-            t0 = time.time()
-            encoded = {}
-            for p, ep in enhanced.items():
-                encoded[p] = self.encode_prompt(ep)
-            neg = None
-            if guidance.use_cfg:
-                neg = self.encode_prompt(
-                    config.negative_prompt or DEFAULT_NEGATIVE_PROMPT)
-            timings.text_encoding = time.time() - t0
-            if self.memory.offload_text_encoder:
-                self.offload_text_encoder()
+            encoded, neg = self._encode_chain_prompts(
+                seg_prompts, config, guidance, timings)
         contexts = []
         for p in seg_prompts:
             pos = encoded[p]
@@ -1480,16 +1851,50 @@ class LTXPipeline:
                                 sigma)
 
             key, dkey = jax.random.split(key)
+            seg_anchor = anchor_enc.get(i)
             if i == 0:
-                latent = self._denoise(latent, sigmas, shape, guidance,
-                                       context, bias, None, 0.0,
-                                       config.fps, dkey, timings,
-                                       on_seg_step)
+                warm.join("denoise")
+                if seg_anchor is not None:
+                    # anchored first segment == generate_video_keyframes'
+                    # exact ops order (set anchors -> cond_frame_idx step)
+                    a_lat, a_idx = seg_anchor
+                    latent = latent.at[:, :, a_idx].set(
+                        a_lat.astype(latent.dtype))
+                    acm = self._conditioning_mask(shape, frame_idx=a_idx)
+                    latent = self._denoise(
+                        latent, sigmas, shape, guidance, context, bias,
+                        acm, config.image_cond_noise_scale, config.fps,
+                        dkey, timings, on_seg_step,
+                        conditioned_latent=a_lat, cond_frame_idx=a_idx)
+                else:
+                    latent = self._denoise(latent, sigmas, shape, guidance,
+                                           context, bias, None, 0.0,
+                                           config.fps, dkey, timings,
+                                           on_seg_step)
+            elif seg_anchor is not None:
+                # anchored continuation: the carried tail AND the anchor
+                # frames condition via cond_frame_idx (its own compiled
+                # program — anchor layouts are static)
+                a_lat, a_idx = seg_anchor
+                latent = latent.at[:, :, :k_lat].set(
+                    tail.astype(latent.dtype))
+                latent = latent.at[:, :, a_idx].set(
+                    a_lat.astype(latent.dtype))
+                idx = np.concatenate([np.arange(k_lat), a_idx])
+                c_lat = jnp.concatenate([tail, a_lat], axis=2)
+                acm = self._conditioning_mask(shape, frame_idx=idx)
+                warm.join(f"denoise_anchor_{i}")
+                latent = self._denoise(
+                    latent, sigmas, shape, guidance, context, bias,
+                    acm, config.image_cond_noise_scale, config.fps,
+                    dkey, timings, on_seg_step,
+                    conditioned_latent=c_lat, cond_frame_idx=idx)
             else:
                 latent = latent.at[:, :, :k_lat].set(
                     tail.astype(latent.dtype))
                 self._on_device("transformer_params")
                 if ext_step is None:
+                    warm.join("denoise_ext")
                     ext_step = make_denoise_step(
                         self.transformer_params, self.tcfg, guidance,
                         shape, context, bias,
@@ -1526,11 +1931,19 @@ class LTXPipeline:
                 latent = run_denoise_loop(seg_step, latent, sigmas,
                                           key=dkey, on_step=on_step)
             tail = latent[:, :, -k_lat:].astype(jnp.float32)
+            if i == 0:
+                tail0 = tail  # segment-0 tail = the renorm reference
+            elif tail_renorm > 0:
+                from ltx_tpu.ops.latents import adain_filter_latent
+
+                tail = adain_filter_latent(tail, tail0,
+                                           factor=float(tail_renorm))
             latents.append(latent)
             key, vkey = jax.random.split(key)
             vkeys.append(vkey)
 
         # --- phase 2: decode every segment, trim the carried overlap
+        warm.join()
         parts = []
         for i, (latent, vkey) in enumerate(zip(latents, vkeys)):
             frames = self._decode_frames(latent, vkey, timings)
@@ -1603,27 +2016,26 @@ class LTXPipeline:
         seg_prompts = list(prompts) if prompts is not None \
             else [prompt] * segments
 
+        # warm BOTH AV chain programs (segment-0 + the shared extension
+        # step) and the decoder while enhancement runs
+        k_lat_w = (cond_frames - 1) // 8 + 1
+        warm = _WarmCompiles()
+        if self._should_warm(config):
+            plan = [("denoise_av",
+                     lambda: self._warm_av_lowering(config, guidance))]
+            if segments > 1:
+                plan.append(("denoise_av_ext",
+                             lambda: self._warm_av_lowering(
+                                 config, guidance, cond_frames=k_lat_w)))
+            if self._vae_warm_applies(config):
+                plan.append(("vae",
+                             lambda: self._warm_vae_lowering(config)))
+            warm = self._start_warm_compile(config, guidance, timings, plan)
+
         # --- text encoding: enhance + encode each UNIQUE prompt once
-        enhanced: dict = {}
-        for p in seg_prompts:
-            if p not in enhanced:
-                enhanced[p] = self._maybe_enhance(p, config, is_i2v=False,
-                                                  timings=timings)
-        t0 = time.time()
-        encoded: dict = {}
-        for p, ep in enhanced.items():
-            out = self.encode_prompt(ep)
-            if "audio" not in out:
-                raise TextEncodingFailedError(
-                    "text encoder lacks the audio connector")
-            encoded[p] = out
-        neg = None
-        if guidance.use_cfg:
-            neg = self.encode_prompt(
-                config.negative_prompt or DEFAULT_NEGATIVE_PROMPT)
-        timings.text_encoding = time.time() - t0
-        if self.memory.offload_text_encoder:
-            self.offload_text_encoder()
+        # (batched — one staging cycle — when prompts vary per segment)
+        encoded, neg = self._encode_chain_prompts(
+            seg_prompts, config, guidance, timings, need_audio=True)
         contexts = []
         for p in seg_prompts:
             pos = encoded[p]
@@ -1668,6 +2080,7 @@ class LTXPipeline:
 
             if i == 0:
                 if base_step is None:
+                    warm.join("denoise_av")
                     base_step = make_av_denoise_step(
                         self.av_transformer_params, self.tcfg, guidance,
                         shape, audio_frames, v_ctx, a_ctx, bias,
@@ -1680,6 +2093,7 @@ class LTXPipeline:
                 video_latent = video_latent.at[:, :, :k_lat].set(
                     tail.astype(video_latent.dtype))
                 if ext_step is None:
+                    warm.join("denoise_av_ext")
                     ext_step = make_av_denoise_step(
                         self.av_transformer_params, self.tcfg, guidance,
                         shape, audio_frames, v_ctx, a_ctx, bias,
@@ -1723,6 +2137,7 @@ class LTXPipeline:
 
         # --- phase 2: decode + stitch (video trims the overlap; audio
         # crossfades over the same window)
+        warm.join()
         parts = []
         waves = []
         for i, ((video_latent, audio_packed), dvkey) in enumerate(
@@ -1760,6 +2175,73 @@ class LTXPipeline:
         timings.total = time.time() - total_start
         return VideoGenerationResult(frames=frames, timings=timings,
                                      seed=seed, audio=audio)
+
+    def _encode_chain_prompts(self, seg_prompts, config, guidance, timings,
+                              need_audio: bool = False):
+        """Enhance + encode a chain's per-segment prompts.
+
+        ONE unique prompt (the common case): exactly the unchained entry
+        points' sequence — _maybe_enhance, then encode_prompt for the
+        positive and (under CFG) the negative — so a uniform-prompt chain's
+        segment 0 stays bit-for-bit identical to generate_video
+        (tests/test_chain.py pins this).
+
+        MULTIPLE unique prompts: the batched path — enhance_prompts (all
+        prompts share one compiled batched-decode program) and ONE
+        encode_prompts call covering every unique prompt AND the negative
+        (one Gemma/connector staging cycle total). The per-prompt
+        encode_prompt loop this replaces re-staged the 12.8 GB w8a8 tower
+        once per unique prompt under phase_staging (advisor r4), exactly
+        the pattern generate_videos already avoids.
+
+        Returns ({prompt: {"video", "mask"[, "audio"]}}, neg_or_None).
+        """
+        unique = list(dict.fromkeys(seg_prompts))
+        if len(unique) == 1:
+            ep = self._maybe_enhance(unique[0], config, is_i2v=False,
+                                     timings=timings)
+            t0 = time.time()
+            encoded = {unique[0]: self.encode_prompt(ep)}
+            neg = None
+            if guidance.use_cfg:
+                neg = self.encode_prompt(
+                    config.negative_prompt or DEFAULT_NEGATIVE_PROMPT)
+            timings.text_encoding = time.time() - t0
+        else:
+            enhanced = list(unique)
+            if config.enhance_prompt:
+                if self.gemma_params is None or self.tokenizer is None:
+                    log.warning("enhance_prompt requested but the text "
+                                "encoder is not loaded; using raw prompts")
+                else:
+                    from ltx_tpu.pipeline.enhance import enhance_prompts
+
+                    self._on_device("gemma_params")
+                    t0 = time.time()
+                    # max_batch=4 bounds the KV cache at ~1.6 GB — safe
+                    # alongside every Gemma quant mode's resident weights
+                    enhanced = enhance_prompts(
+                        self.gemma_params, self.gcfg, self.tokenizer,
+                        unique, spec_k=config.enhancement_spec_k,
+                        max_batch=4, mesh=self.mesh)
+                    timings.enhancement = time.time() - t0
+            t0 = time.time()
+            to_encode = list(enhanced)
+            if guidance.use_cfg:
+                to_encode.append(config.negative_prompt
+                                 or DEFAULT_NEGATIVE_PROMPT)
+            rows = self.encode_prompts(to_encode)
+            encoded = {p: rows[i] for i, p in enumerate(unique)}
+            neg = rows[len(unique)] if guidance.use_cfg else None
+            timings.text_encoding = time.time() - t0
+        if need_audio:
+            for out in encoded.values():
+                if "audio" not in out:
+                    raise TextEncodingFailedError(
+                        "text encoder lacks the audio connector")
+        if self.memory.offload_text_encoder:
+            self.offload_text_encoder()
+        return encoded, neg
 
     def _denoise(self, latent, sigmas, shape, guidance, context, bias,
                  conditioning_mask, cond_noise_scale, fps, key, timings,
@@ -1860,7 +2342,27 @@ class LTXPipeline:
                 config.image_path, config.width // 2, config.height // 2)
 
         # --- prompt enhancement (all paths enhance, like the reference:
-        # LTXPipeline.swift:2466-2470)
+        # LTXPipeline.swift:2466-2470), overlapped with BOTH stages' step
+        # compiles + the upscaler + the VAE decoder (round 5 — r4 warmed
+        # generate_video only; the flagship-class serial compile bill on
+        # this path is ~100 s)
+        g2 = dataclasses.replace(guidance, use_cfg=False)
+        warm = _WarmCompiles()
+        if self._should_warm(config):
+            cf = 1 if is_i2v else None
+            plan = [
+                ("denoise_s1", lambda: self._warm_lowering(
+                    config, guidance, width=config.width // 2,
+                    height=config.height // 2, cond_frames=cf)),
+                ("upscaler",
+                 lambda: self._warm_upscaler_lowering(config)),
+                ("denoise_s2", lambda: self._warm_lowering(
+                    config, g2, cond_frames=cf)),
+            ]
+            if self._vae_warm_applies(config):
+                plan.append(("vae",
+                             lambda: self._warm_vae_lowering(config)))
+            warm = self._start_warm_compile(config, guidance, timings, plan)
         prompt = self._maybe_enhance(prompt, config, is_i2v=is_i2v,
                                      timings=timings)
 
@@ -1881,6 +2383,7 @@ class LTXPipeline:
         )
 
         # === STAGE 1: half resolution ===
+        warm.join("denoise_s1")  # later compiles overlap stage 1
         s1_shape = VideoLatentShape.from_pixels(
             1, config.num_frames, config.height // 2, config.width // 2,
             channels=self.tcfg.in_channels,
@@ -1909,6 +2412,7 @@ class LTXPipeline:
         stage1_output = latent
 
         # === UPSCALE 2x + AdaIN toward stage-1 stats ===
+        warm.join("upscaler")
         self._on_device("upscaler_params")
         mean = self.vae_decoder_params["mean_of_means"]
         std = self.vae_decoder_params["std_of_means"]
@@ -1940,16 +2444,17 @@ class LTXPipeline:
                 full_res_image_latent.astype(latent.dtype))
             s2_cond_mask = self._conditioning_mask(s2_shape)
 
-        guidance2 = dataclasses.replace(guidance, use_cfg=False)
+        warm.join("denoise_s2")
         context2, bias2 = build_guidance_context(
-            guidance2, pos["video"], pos["mask"])
+            g2, pos["video"], pos["mask"])
         latent = self._denoise(
-            latent, s2_sigmas, s2_shape, guidance2, context2, bias2,
+            latent, s2_sigmas, s2_shape, g2, context2, bias2,
             s2_cond_mask, config.image_cond_noise_scale, config.fps, dkey2,
             timings, on_progress, conditioned_latent=full_res_image_latent,
         )
 
         # --- decode
+        warm.join()
         key, vkey = jax.random.split(key)
         frames = self._decode_frames(latent, vkey, timings)
         frames = frames[: config.num_frames]
@@ -2043,7 +2548,17 @@ class LTXPipeline:
                 .astype(jnp.float32)
             k_lat = cond_latent.shape[2]
 
-        # --- prompt enhancement (reference: LTXPipeline.swift:1525-1531)
+        # --- prompt enhancement (reference: LTXPipeline.swift:1525-1531),
+        # overlapped with the AV step + decoder compiles (round 5)
+        warm = _WarmCompiles()
+        if self._should_warm(config):
+            cf = 1 if is_i2v else (k_lat if ext else None)
+            plan = [("denoise_av", lambda: self._warm_av_lowering(
+                config, guidance, cond_frames=cf))]
+            if self._vae_warm_applies(config):
+                plan.append(("vae",
+                             lambda: self._warm_vae_lowering(config)))
+            warm = self._start_warm_compile(config, guidance, timings, plan)
         prompt = self._maybe_enhance(prompt, config, is_i2v=is_i2v,
                                      timings=timings)
 
@@ -2095,6 +2610,7 @@ class LTXPipeline:
             conditioning_mask = self._conditioning_mask(shape,
                                                         frames=k_lat)
 
+        warm.join("denoise_av")
         self._on_device("av_transformer_params")
         step_fn = make_av_denoise_step(
             self.av_transformer_params, self.tcfg, guidance, shape,
@@ -2121,6 +2637,7 @@ class LTXPipeline:
             on_step=on_step)
 
         # --- decode video
+        warm.join()
         key, dvkey = jax.random.split(key)
         frames = self._decode_frames(video_latent, dvkey, timings)
         frames = frames[: config.num_frames]
@@ -2192,7 +2709,27 @@ class LTXPipeline:
             half_res_image_latent = self._encode_image_at(
                 config.image_path, config.width // 2, config.height // 2)
 
-        # --- prompt enhancement (reference: LTXPipeline.swift:1525-1531)
+        # --- prompt enhancement (reference: LTXPipeline.swift:1525-1531),
+        # overlapped with BOTH AV stage compiles + the upscaler + the VAE
+        # decoder (round 5 — the flagship 241f@1024x640 run previously
+        # paid ~150 s of these compiles serially after enhancement)
+        warm = _WarmCompiles()
+        if self._should_warm(config):
+            cf = 1 if is_i2v else None
+            plan = [
+                ("denoise_s1", lambda: self._warm_av_lowering(
+                    config, guidance, width=config.width // 2,
+                    height=config.height // 2, cond_frames=cf)),
+                ("upscaler",
+                 lambda: self._warm_upscaler_lowering(config)),
+                ("denoise_s2", lambda: self._warm_av_lowering(
+                    config, guidance, cond_frames=cf,
+                    video_euler="plain")),
+            ]
+            if self._vae_warm_applies(config):
+                plan.append(("vae",
+                             lambda: self._warm_vae_lowering(config)))
+            warm = self._start_warm_compile(config, guidance, timings, plan)
         prompt = self._maybe_enhance(prompt, config, is_i2v=is_i2v,
                                      timings=timings)
 
@@ -2244,6 +2781,7 @@ class LTXPipeline:
                 on_progress(i, n, sigma)
 
         # === STAGE 1: half-resolution dual denoise ===
+        warm.join("denoise_s1")  # later compiles overlap stage 1
         self._on_device("av_transformer_params")
         step_fn = make_av_denoise_step(
             self.av_transformer_params, self.tcfg, guidance, s1_shape,
@@ -2263,6 +2801,7 @@ class LTXPipeline:
 
         # === UPSCALE video 2x (audio unchanged) + AdaIN toward stage 1 ===
         # (reference: LTXPipeline.swift:1692-1721)
+        warm.join("upscaler")
         self._on_device("upscaler_params")
         mean = self.vae_decoder_params["mean_of_means"]
         std = self.vae_decoder_params["std_of_means"]
@@ -2300,6 +2839,7 @@ class LTXPipeline:
                 full_res_image_latent.astype(video_latent.dtype))
             s2_cond_mask = self._conditioning_mask(s2_shape)
 
+        warm.join("denoise_s2")
         step_fn2 = make_av_denoise_step(
             self.av_transformer_params, self.tcfg, guidance, s2_shape,
             audio_frames, v_ctx, a_ctx, bias,
@@ -2317,6 +2857,7 @@ class LTXPipeline:
             on_step=on_step)
 
         # --- decode video
+        warm.join()
         key, dvkey = jax.random.split(key)
         frames = self._decode_frames(video_latent, dvkey, timings)
         frames = frames[: config.num_frames]

@@ -71,6 +71,41 @@ def _fenced_path(body: dict, field: str, image_root: Optional[Path]) -> str:
     return str(path)
 
 
+def _validate_keyframe_list(kfs, nf: int, image_root: Optional[Path],
+                            what: str, min_latent: int = 0):
+    """Submit-time validation of a keyframe list (kind=keyframes and the
+    chain's per-segment anchors share the rules): 8-aligned in-range
+    frames, no duplicate latent indices, fenced paths; min_latent rejects
+    anchors that overlap a chain segment's carried tail."""
+    if not isinstance(kfs, list) or not kfs:
+        raise ValueError(
+            f"{what} requires a non-empty list of "
+            '{"frame": int, "image_path": str}')
+    seen = set()
+    for kf in kfs:
+        if not isinstance(kf, dict) or "frame" not in kf \
+                or not kf.get("image_path"):
+            raise ValueError(
+                'each keyframe must be {"frame": int, "image_path": str}')
+        f = int(kf["frame"])
+        if f % 8 != 0 or f < 0:
+            raise ValueError(
+                f"keyframe 'frame' must be a non-negative multiple of "
+                f"8, got {f}")
+        if nf and f >= nf:
+            raise ValueError(
+                f"keyframe 'frame' ({f}) must be < 'num_frames' ({nf})")
+        if f // 8 < min_latent:
+            raise ValueError(
+                f"{what}: 'frame' {f} overlaps the carried tail (first "
+                f"{min_latent} latent frames)")
+        if f // 8 in seen:
+            raise ValueError(f"duplicate keyframe at latent index "
+                             f"{f // 8}")
+        seen.add(f // 8)
+        _fenced_path(kf, "image_path", image_root)  # fence at submit
+
+
 def request_to_config(body: dict, image_root: Optional[Path] = None):
     """Build + validate a GenerationConfig from an untrusted request dict.
 
@@ -135,35 +170,69 @@ def request_to_config(body: dict, image_root: Optional[Path] = None):
                 raise ValueError(
                     f"'prompts' must be {seg} non-empty strings (one per "
                     "segment)")
+        tr = float(body.get("tail_renorm", 0.0))
+        if not 0.0 <= tr <= 1.0:
+            raise ValueError(f"'tail_renorm' must be in [0, 1], got {tr}")
+        anchors = body.get("anchors")
+        if anchors is not None:
+            # per-segment keyframe anchors (video chain only — round 5)
+            if body.get("audio"):
+                raise ValueError(
+                    "'anchors' does not compose with 'audio' yet")
+            if not isinstance(anchors, dict) or not anchors:
+                raise ValueError(
+                    "'anchors' must be a non-empty {segment: [keyframe, "
+                    "...]} object")
+            k_lat = (cf - 1) // 8 + 1
+            for k_seg, kfs in anchors.items():
+                try:
+                    si = int(k_seg)
+                except (TypeError, ValueError):
+                    raise ValueError(
+                        f"anchor segment {k_seg!r} is not an integer")
+                if not 0 <= si < seg:
+                    raise ValueError(
+                        f"anchor segment {si} outside [0, {seg})")
+                _validate_keyframe_list(
+                    kfs, nf, image_root, what=f"anchor segment {si}",
+                    min_latent=(k_lat if si > 0 else 0))
     if kind == "keyframes":
-        kfs = body.get("keyframes")
-        if not isinstance(kfs, list) or not kfs:
-            raise ValueError(
-                "kind 'keyframes' requires a non-empty 'keyframes' list of "
-                '{"frame": int, "image_path": str}')
         nf = int(body.get("num_frames", kwargs.get("num_frames", 0) or 0))
-        seen = set()
-        for kf in kfs:
-            if not isinstance(kf, dict) or "frame" not in kf \
-                    or not kf.get("image_path"):
-                raise ValueError(
-                    'each keyframe must be {"frame": int, "image_path": str}')
-            f = int(kf["frame"])
-            if f % 8 != 0 or f < 0:
-                raise ValueError(
-                    f"keyframe 'frame' must be a non-negative multiple of "
-                    f"8, got {f}")
-            if nf and f >= nf:
-                raise ValueError(
-                    f"keyframe 'frame' ({f}) must be < 'num_frames' ({nf})")
-            if f // 8 in seen:
-                raise ValueError(f"duplicate keyframe at latent index "
-                                 f"{f // 8}")
-            seen.add(f // 8)
-            _fenced_path(kf, "image_path", image_root)  # fence at submit
+        _validate_keyframe_list(body.get("keyframes"), nf, image_root,
+                                what="kind 'keyframes'")
     cfg = GenerationConfig(**kwargs)
     cfg.validate()
     return cfg
+
+
+def warmup_pipeline(pipe, shapes, num_steps: int = 8):
+    """Pre-compile the T2V denoise-step + VAE-decoder programs for the
+    given (width, height, num_frames) shapes (serve --warmup, VERDICT r4
+    weak #6): the first /v1/generate job then hits warm compile caches
+    instead of paying its ~30-60 s cold compile inside the job, so
+    first-job latency matches steady-state.
+
+    All shapes' compiles run concurrently (background threads — the same
+    _WarmCompiles machinery every generation entry point uses); blocks
+    until every compile lands. Uses the DEFAULT guidance config (no
+    CFG/STG — the common serving request); other guidance combos still
+    compile on first use."""
+    from ltx_tpu.core.config import GenerationConfig
+    from ltx_tpu.pipeline.denoise import GuidanceSpec
+
+    t0 = time.time()
+    handles = []
+    for (w, h, f) in shapes:
+        cfg = GenerationConfig(width=int(w), height=int(h),
+                               num_frames=int(f), num_steps=num_steps,
+                               seed=0)
+        cfg.validate()
+        handles.append(pipe._start_warm_compile(
+            cfg, GuidanceSpec.from_config(cfg)))
+    for hd in handles:
+        hd.join()
+    log.info("serve warmup: %d shape(s) compiled in %.1f s",
+             len(shapes), time.time() - t0)
 
 
 @dataclass
@@ -199,6 +268,7 @@ def build_app(
     image_root: Optional[str] = None,
     kv_quant: str = "bf16",
     gen_batch: int = 1,
+    warmup_shapes=None,
 ) -> ServeApp:
     """Wire a loaded LTXPipeline into JobQueue + MicroBatcher + HTTP server.
 
@@ -267,7 +337,9 @@ def build_app(
                 prompt, cfg,
                 [(int(kf["frame"]),
                   _fenced_path(kf, "image_path", root))
-                 for kf in job.request["keyframes"]])
+                 for kf in job.request["keyframes"]],
+                audio=bool(job.request.get("audio")),
+                audio_gain=audio_gain)
         elif kind == "chain":
             if job.request.get("audio"):
                 result = pipe.generate_video_chain_with_audio(
@@ -277,11 +349,20 @@ def build_app(
                     prompts=job.request.get("prompts"),
                     audio_gain=audio_gain)
             else:
+                anchors = None
+                if job.request.get("anchors"):
+                    anchors = {
+                        int(si): [(int(kf["frame"]),
+                                   _fenced_path(kf, "image_path", root))
+                                  for kf in kfs]
+                        for si, kfs in job.request["anchors"].items()}
                 result = pipe.generate_video_chain(
                     prompt, cfg,
                     segments=int(job.request.get("segments", 2)),
                     cond_frames=int(job.request.get("cond_frames", 9)),
-                    prompts=job.request.get("prompts"))
+                    prompts=job.request.get("prompts"),
+                    anchors=anchors,
+                    tail_renorm=float(job.request.get("tail_renorm", 0.0)))
         elif kind == "audio_two_stage":
             result = pipe.generate_video_with_audio_two_stage(
                 prompt, cfg, audio_gain=audio_gain)
@@ -355,6 +436,11 @@ def build_app(
         except Exception as e:  # noqa: BLE001 — message back to the client
             return str(e)
         return None
+
+    if warmup_shapes:
+        # pre-compile the configured shapes BEFORE the server accepts
+        # jobs: first-job latency then matches steady-state
+        warmup_pipeline(pipe, warmup_shapes)
 
     server = make_server(
         jobs, batcher=batcher,

@@ -154,6 +154,43 @@ def test_chain_precomputed_embeddings(pipe):
                                     "mask": emb["mask"]})
 
 
+def test_chain_tail_renorm_mechanism(pipe):
+    """The drift-mitigation knob (round 5): with tail_renorm=1.0 the tail
+    conditioning segment 1 must carry segment 0's tail per-channel
+    mean/std EXACTLY (AdaIN re-anchors the statistics; content structure
+    untouched — same tail up to an affine per-channel map)."""
+    cfg = _cfg()
+    seen = []
+    orig_loop = gen_mod.run_denoise_loop
+
+    def spy(step, latent, sigmas, **kw):
+        out = orig_loop(step, latent, sigmas, **kw)
+        seen.append((np.asarray(latent), np.asarray(out)))
+        return out
+
+    gen_mod.run_denoise_loop = spy
+    try:
+        pipe.generate_video_chain("a dune sea", cfg, segments=2,
+                                  cond_frames=9, tail_renorm=1.0)
+    finally:
+        gen_mod.run_denoise_loop = orig_loop
+    assert len(seen) == 2
+    k_lat = 2  # (9 - 1) // 8 + 1
+    tail0 = seen[0][1][:, :, -k_lat:]
+    carried = seen[1][0][:, :, :k_lat]
+    ax = (2, 3, 4)
+    np.testing.assert_allclose(carried.mean(axis=ax), tail0.mean(axis=ax),
+                               atol=1e-4)
+    np.testing.assert_allclose(carried.std(axis=ax), tail0.std(axis=ax),
+                               atol=1e-4)
+    # affine per-channel only: correlation with the raw tail stays 1
+    raw = seen[0][1][:, :, -k_lat:]
+    for c in range(raw.shape[1]):
+        a, b = raw[0, c].ravel(), carried[0, c].ravel()
+        r = np.corrcoef(a, b)[0, 1]
+        assert r > 0.9999, f"channel {c} correlation {r}"
+
+
 def test_chain_validation(pipe):
     with pytest.raises(InvalidConfigurationError):
         pipe.generate_video_chain("x", _cfg(), segments=0)

@@ -446,3 +446,46 @@ def test_export_config_from_request():
     import pytest as _pytest
     with _pytest.raises(ValueError, match="unknown codec"):
         export_config_from_request({"codec": "vp9"}, fps=24.0)
+
+
+def test_serve_warmup_precompiles_configured_shapes(tmp_path):
+    """--warmup (round 5): build_app pre-compiles the T2V denoise + VAE
+    programs for each configured WxHxF BEFORE the server accepts jobs —
+    every shape's _start_warm_compile must run and be JOINED by the time
+    build_app returns (first-job latency == steady-state)."""
+    import dataclasses
+
+    from ltx_tpu.pipeline.generate import LTXPipeline, _WarmCompiles
+    from ltx_tpu.serve.app import build_app
+
+    pipe = LTXPipeline.random_tiny(seed=0)
+    pipe.memory = dataclasses.replace(pipe.memory,
+                                      offload_text_encoder=False)
+    seen = []
+
+    class SpyWarm(_WarmCompiles):
+        def __init__(self):
+            super().__init__()
+            self.joined = False
+
+        def join(self, *names):
+            self.joined = True
+            super().join(*names)
+
+    def spy(config, guidance, timings=None, plan=None):
+        handle = SpyWarm()
+        seen.append(((config.width, config.height, config.num_frames),
+                     handle))
+        # run the REAL default plan so the compile machinery executes
+        handle.add("denoise", lambda: pipe._warm_lowering(config, guidance))
+        handle.add("vae", lambda: pipe._warm_vae_lowering(config))
+        return handle
+
+    pipe._start_warm_compile = spy
+    app = build_app(pipe, output_dir=str(tmp_path), port=0,
+                    warmup_shapes=[(64, 64, 9), (128, 64, 9)])
+    try:
+        assert [s for s, _ in seen] == [(64, 64, 9), (128, 64, 9)]
+        assert all(h.joined for _, h in seen)
+    finally:
+        app.close()
