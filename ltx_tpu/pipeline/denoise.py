@@ -382,6 +382,10 @@ def make_av_denoise_step(
                               # ARBITRARY positions (AV keyframe anchoring;
                               # supersedes cond_frames when given — the AV
                               # twin of make_denoise_step's path)
+    audio_cond_frames: int = 0,       # leading AUDIO latent frames held
+                                      # clean (AV chain audio continuity
+                                      # experiment — round 5)
+    audio_conditioned_latent=None,    # (1, K_a, C_a) clean packed source
     fps: float = 24.0,
     sdpa_impl: str = "auto",
     remat: bool = False,
@@ -402,6 +406,15 @@ def make_av_denoise_step(
     (stage 1 of every AV path); "plain" = x += dt * v, which is what the
     reference uses for VIDEO in stage 2 of the audio two-stage path
     (LTXPipeline.swift:1800-1816) instead of scheduler.step.
+
+    audio_cond_frames > 0 conditions the first K_a AUDIO latent frames
+    exactly like the video path conditions video frames: per-token audio
+    timestep 0 on those frames, per-step clean-source injection from
+    audio_conditioned_latent (noise keyed by fold_in(key, 1) so the VIDEO
+    injection draw is unchanged), and carry through the audio Euler. The
+    AV chain's audio-continuity experiment (the model was not explicitly
+    trained for audio conditioning — measured analysis in
+    docs/BENCH_NOTES.md §29; crossfade stays the default).
 
     pp_mesh: a ("data", "pipe") mesh runs the dual transformer's stacked
     block axis as a GPipe pipeline (parallel/pipeline.py::dit_av_forward_pp
@@ -458,9 +471,31 @@ def make_av_denoise_step(
                 f"conditioned_latent has {cond_lat.shape[2]} frames, "
                 f"cond_frame_idx names {fidx.size}")
 
+    a_k = int(audio_cond_frames)
+    a_cond_mask = a_cond_lat = None
+    if a_k > 0:
+        if not a_k < audio_frames:
+            raise InvalidConfigurationError(
+                f"audio_cond_frames {a_k} must be < audio_frames "
+                f"{audio_frames}")
+        am = np.zeros((1, audio_frames), np.float32)
+        am[:, :a_k] = 1.0
+        a_cond_mask = jnp.asarray(am)
+        if image_cond_noise_scale > 0:
+            if audio_conditioned_latent is None:
+                raise InvalidConfigurationError(
+                    "audio_cond_frames with injection requires "
+                    "audio_conditioned_latent (the clean source)")
+            a_cond_lat = jnp.asarray(audio_conditioned_latent, jnp.float32)
+            if a_cond_lat.shape[1] != a_k:
+                raise InvalidConfigurationError(
+                    f"audio_conditioned_latent has {a_cond_lat.shape[1]} "
+                    f"frames, audio_cond_frames is {a_k}")
+
     @partial(jax.jit, donate_argnums=(5, 6))
     def _step(params, v_ctx, a_ctx, bias, ropes, video_latent, audio_packed,
-              sigma, sigma_next, key, cond_latent=None):
+              sigma, sigma_next, key, cond_latent=None,
+              audio_cond_latent=None):
         sigma = jnp.asarray(sigma, jnp.float32)
         sigma_next = jnp.asarray(sigma_next, jnp.float32)
 
@@ -477,6 +512,17 @@ def make_av_denoise_step(
                 video_latent = video_latent.at[:, :, :cond_frames].set(
                     noised.astype(video_latent.dtype))
 
+        # audio continuity: re-noise the conditioned AUDIO frames from
+        # their clean source too (fold_in keeps the video draw unchanged)
+        if a_cond_lat is not None:
+            a_noise = jax.random.normal(jax.random.fold_in(key, 1),
+                                        audio_cond_latent.shape,
+                                        audio_cond_latent.dtype)
+            a_noised = (audio_cond_latent
+                        + image_cond_noise_scale * a_noise * sigma**2)
+            audio_packed = audio_packed.at[:, :a_k].set(
+                a_noised.astype(audio_packed.dtype))
+
         v_tokens = jnp.tile(patchify(video_latent).astype(jnp.bfloat16),
                             (g, 1, 1))
         a_tokens = jnp.tile(audio_packed.astype(jnp.bfloat16), (g, 1, 1))
@@ -485,7 +531,10 @@ def make_av_denoise_step(
             ts_v = jnp.tile(sigma * (1 - cond_mask), (g, 1))
         else:
             ts_v = jnp.full((g,), sigma, jnp.float32)
-        ts_a = jnp.full((g,), sigma, jnp.float32)
+        if a_cond_mask is not None:
+            ts_a = jnp.tile(sigma * (1 - a_cond_mask), (g, 1))
+        else:
+            ts_a = jnp.full((g,), sigma, jnp.float32)
 
         if pp_mesh is not None:
             from ltx_tpu.parallel.pipeline import dit_av_forward_pp
@@ -540,12 +589,17 @@ def make_av_denoise_step(
 
         new_audio = (audio_packed.astype(jnp.float32)
                      + (sigma_next - sigma) * a_vel)
+        if a_cond_mask is not None:
+            # conditioned audio frames carry (like the video path)
+            new_audio = jnp.concatenate(
+                [audio_packed[:, :a_k].astype(jnp.float32),
+                 new_audio[:, a_k:]], axis=1)
         return new_video, new_audio
 
     def step(video_latent, audio_packed, sigma, sigma_next, key):
         return _step(params, video_context, audio_context, context_bias,
                      ropes, video_latent, audio_packed, sigma, sigma_next,
-                     key, cond_lat)
+                     key, cond_lat, a_cond_lat)
 
     step._jit = _step
     step._ropes = ropes  # expose for context/tail rebind (AV chain)

@@ -685,7 +685,7 @@ class LTXPipeline:
 
     def _warm_av_lowering(self, config: GenerationConfig, guidance,
                           width=None, height=None, cond_frames=None,
-                          cond_frame_idx=None,
+                          cond_frame_idx=None, audio_cond_frames: int = 0,
                           video_euler: str = "scheduler"):
         """Lower the dual AV denoise step abstractly (the AV twin of
         _warm_lowering; VERDICT r4 #1 — AV/flagship runs previously paid
@@ -705,6 +705,11 @@ class LTXPipeline:
             specs_fn=self._transformer_specs_fn())
         cm, cond, ics = self._warm_cond(config, shape, cond_frames,
                                         cond_frame_idx)
+        a_cond = None
+        if (audio_cond_frames > 0 and cond is not None):
+            # audio injection rides the same ics>0 gate as the video cond
+            a_cond = np.zeros((1, audio_cond_frames,
+                               self.tcfg.audio_in_channels), np.float32)
         step = make_av_denoise_step(
             abs_params, self.tcfg, guidance, shape, audio_frames,
             abs_ctx, abs_ctx, abs_bias,
@@ -712,6 +717,8 @@ class LTXPipeline:
             image_cond_noise_scale=(ics if cm is not None
                                     else config.image_cond_noise_scale),
             cond_frames=(cond_frames or 1), cond_frame_idx=cond_frame_idx,
+            audio_cond_frames=audio_cond_frames,
+            audio_conditioned_latent=a_cond,
             fps=config.fps,
             sdpa_impl=self.sdpa_impl, remat=self.memory.remat_blocks,
             video_euler=video_euler,
@@ -728,6 +735,9 @@ class LTXPipeline:
                 abs_video, abs_audio, abs_sigma, abs_sigma, abs_key]
         if cond is not None:
             args.append(jax.ShapeDtypeStruct(cond.shape, jnp.float32))
+            if a_cond is not None:
+                args.append(jax.ShapeDtypeStruct(a_cond.shape,
+                                                 jnp.float32))
         return step._jit.lower(*args)
 
     def _warm_upscaler_lowering(self, config: GenerationConfig):
@@ -1964,6 +1974,7 @@ class LTXPipeline:
         prompts=None,
         audio_gain: float = 1.0,
         on_progress=None,
+        audio_cond: bool = False,
     ) -> VideoGenerationResult:
         """CHAINED long video WITH a generated soundtrack: the AV twin of
         generate_video_chain — each segment runs the dual AV transformer
@@ -1972,12 +1983,22 @@ class LTXPipeline:
         carries in latent space, and per-segment waveforms stitch with a
         linear crossfade over the trimmed overlap window.
 
-        HONEST LIMITATION: the AV denoise step conditions VIDEO frames
-        only — each segment's audio is generated fresh (coherent with its
-        own video via cross-modal attention, but not continued from the
-        previous segment's waveform); the crossfade masks the seam. True
-        audio-latent conditioning would need an audio analog of the
-        cond_frames path, which the underlying model was not trained for.
+        audio_cond=False (default): each segment's audio is generated
+        fresh (coherent with its own video via cross-modal attention, but
+        not continued from the previous segment's waveform); the
+        crossfade masks the seam.
+
+        audio_cond=True (round 5 experiment, VERDICT r4 missing #5):
+        ALSO carry the previous segment's AUDIO tail latents through the
+        AV step's audio conditioning (per-token audio timestep 0 +
+        clean-source injection + carry — the exact audio analog of the
+        video cond_frames path; pipeline/denoise.py audio_cond_frames).
+        The overlap window then re-renders near-identical audio on both
+        sides of the seam, so the crossfade blends matching content.
+        CAVEAT: the underlying model was not explicitly trained for
+        audio conditioning — mel-spectral seam analysis in
+        docs/BENCH_NOTES.md §29; real-checkpoint listening validation
+        pending egress. Crossfade-only stays the default.
 
         Segments >= 1 share ONE compiled AV extension-step program
         (context/tail rebind via step._jit/_ropes as call-time jit args).
@@ -2024,9 +2045,15 @@ class LTXPipeline:
             plan = [("denoise_av",
                      lambda: self._warm_av_lowering(config, guidance))]
             if segments > 1:
+                af_w = dit_av.audio_frame_count(
+                    config.num_frames / config.fps)
+                k_a_w = (max(1, int(round(af_w * cond_frames
+                                          / config.num_frames)))
+                         if audio_cond else 0)
                 plan.append(("denoise_av_ext",
                              lambda: self._warm_av_lowering(
-                                 config, guidance, cond_frames=k_lat_w)))
+                                 config, guidance, cond_frames=k_lat_w,
+                                 audio_cond_frames=k_a_w)))
             if self._vae_warm_applies(config):
                 plan.append(("vae",
                              lambda: self._warm_vae_lowering(config)))
@@ -2059,12 +2086,23 @@ class LTXPipeline:
         sigmas = self._sigmas(config, shape)
         n_steps = len(sigmas) - 1
         cm = self._conditioning_mask(shape, frames=k_lat)
+        k_a = 0
+        if audio_cond:
+            # audio latent frames covering the trimmed overlap window
+            # (the crossfade's own k; audio latents run at ~25/s)
+            k_a = max(1, int(round(audio_frames * cond_frames
+                                   / config.num_frames)))
+            if k_a >= audio_frames:
+                raise InvalidConfigurationError(
+                    f"audio overlap {k_a} >= audio_frames {audio_frames} "
+                    "(cond_frames too close to num_frames for audio_cond)")
 
         # --- phase 1: AV denoise every segment, carrying the video tail
         self._on_device("av_transformer_params")
         seg_latents = []
         dvkeys = []
         tail = None
+        audio_tail = None
         base_step = None
         ext_step = None
         for i in range(segments):
@@ -2092,6 +2130,9 @@ class LTXPipeline:
             else:
                 video_latent = video_latent.at[:, :, :k_lat].set(
                     tail.astype(video_latent.dtype))
+                if audio_cond:
+                    audio_packed = audio_packed.at[:, :k_a].set(
+                        audio_tail.astype(audio_packed.dtype))
                 if ext_step is None:
                     warm.join("denoise_av_ext")
                     ext_step = make_av_denoise_step(
@@ -2100,7 +2141,13 @@ class LTXPipeline:
                         conditioning_mask=cm, conditioned_latent=tail,
                         image_cond_noise_scale=(
                             config.image_cond_noise_scale),
-                        cond_frames=k_lat, fps=config.fps,
+                        cond_frames=k_lat,
+                        audio_cond_frames=k_a,
+                        audio_conditioned_latent=(
+                            audio_tail if audio_cond
+                            and config.image_cond_noise_scale > 0
+                            else None),
+                        fps=config.fps,
                         sdpa_impl=self.sdpa_impl,
                         remat=self.memory.remat_blocks,
                         pp_mesh=self.pp_mesh,
@@ -2108,11 +2155,14 @@ class LTXPipeline:
                     seg_step = ext_step
                 else:
                     # rebind on the SAME jitted program (injection-off
-                    # traces drop the cond arg)
+                    # traces drop the cond args; audio tail rides the
+                    # second cond slot when injection is on)
                     _jit, _ropes = ext_step._jit, ext_step._ropes
-                    cond_arg = ((tail,)
-                                if config.image_cond_noise_scale > 0
-                                else ())
+                    cond_arg = ()
+                    if config.image_cond_noise_scale > 0:
+                        cond_arg = (tail,)
+                        if audio_cond:
+                            cond_arg = (tail, audio_tail)
 
                     def seg_step(vl, ap, s0, s1, k, _v=v_ctx, _a=a_ctx,
                                  _b=bias, _cl=cond_arg):
@@ -2131,6 +2181,8 @@ class LTXPipeline:
                 seg_step, video_latent, audio_packed, sigmas, key=dkey,
                 on_step=on_step)
             tail = video_latent[:, :, -k_lat:].astype(jnp.float32)
+            if audio_cond:
+                audio_tail = audio_packed[:, -k_a:].astype(jnp.float32)
             seg_latents.append((video_latent, audio_packed))
             key, dvkey = jax.random.split(key)
             dvkeys.append(dvkey)

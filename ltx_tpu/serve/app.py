@@ -173,6 +173,8 @@ def request_to_config(body: dict, image_root: Optional[Path] = None):
         tr = float(body.get("tail_renorm", 0.0))
         if not 0.0 <= tr <= 1.0:
             raise ValueError(f"'tail_renorm' must be in [0, 1], got {tr}")
+        if body.get("audio_cond") and not body.get("audio"):
+            raise ValueError("'audio_cond' requires 'audio': true")
         anchors = body.get("anchors")
         if anchors is not None:
             # per-segment keyframe anchors (video chain only — round 5)
@@ -347,7 +349,8 @@ def build_app(
                     segments=int(job.request.get("segments", 2)),
                     cond_frames=int(job.request.get("cond_frames", 9)),
                     prompts=job.request.get("prompts"),
-                    audio_gain=audio_gain)
+                    audio_gain=audio_gain,
+                    audio_cond=bool(job.request.get("audio_cond")))
             else:
                 anchors = None
                 if job.request.get("anchors"):

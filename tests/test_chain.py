@@ -255,6 +255,103 @@ def test_av_chain_stitch_and_program_reuse(pipe_av):
     assert np.isfinite(a).all()
 
 
+def test_av_chain_audio_cond(pipe_av):
+    """audio_cond=True (round 5): the extension step is built with
+    audio_cond_frames = the overlap window's audio latent frames, and the
+    result is finite with the standard stitched length (spectral seam
+    analysis lives in scripts/audio_cond_probe.py)."""
+    import ltx_tpu.pipeline.denoise as dn
+
+    cfg = _cfg(image_cond_noise_scale=0.15)
+    calls = []
+    orig = dn.make_av_denoise_step
+
+    def spy(*a, **kw):
+        calls.append((kw.get("cond_frames"), kw.get("audio_cond_frames")))
+        return orig(*a, **kw)
+
+    dn.make_av_denoise_step = spy
+    try:
+        r = pipe_av.generate_video_chain_with_audio(
+            "a river", cfg, segments=2, cond_frames=9, audio_cond=True)
+    finally:
+        dn.make_av_denoise_step = orig
+    # base step (no audio cond) + ONE extension step with k_a > 0
+    assert len(calls) == 2
+    assert (calls[1][0], bool(calls[1][1])) == (2, True)
+    f = np.asarray(r.frames)
+    assert f.shape == (17 + (17 - 9), 64, 64, 3)
+    assert np.isfinite(f.astype(np.float32)).all()
+    assert np.isfinite(np.asarray(r.audio)).all()
+
+
+def test_av_step_audio_conditioning_mechanism(pipe_av):
+    """The audio cond_frames path in make_av_denoise_step: conditioned
+    AUDIO frames equal clean + scale * normal(fold_in(key, 1)) * sigma^2
+    after every step (fresh clean-source injection, keyed separately from
+    the video draw), carry through Euler, and unconditioned audio frames
+    still step."""
+    import dataclasses as dc
+
+    import jax
+    import jax.numpy as jnp
+
+    from ltx_tpu.models import dit_av
+    from ltx_tpu.ops.latents import VideoLatentShape
+    from ltx_tpu.pipeline.denoise import (
+        GuidanceSpec, build_guidance_context, make_av_denoise_step,
+    )
+
+    cfg = _cfg()
+    shape = VideoLatentShape.from_pixels(
+        1, cfg.num_frames, cfg.height, cfg.width,
+        channels=pipe_av.tcfg.in_channels)
+    audio_frames = dit_av.audio_frame_count(cfg.num_frames / cfg.fps)
+    mel = pipe_av.tcfg.audio_in_channels // 8
+    k_lat, k_a, scale = 2, 4, 0.4
+
+    emb = pipe_av.encode_prompt("a river")
+    guidance = dc.replace(GuidanceSpec.from_config(cfg), stg_scale=0.0)
+    v_ctx, bias = build_guidance_context(guidance, emb["video"],
+                                         emb["mask"])
+    a_ctx, _ = build_guidance_context(guidance, emb["audio"], emb["mask"])
+    cm = pipe_av._conditioning_mask(shape, frames=k_lat)
+    v_cond = jax.random.normal(
+        jax.random.key(7),
+        (1, shape.channels, k_lat, shape.height, shape.width), jnp.float32)
+    a_cond = jax.random.normal(
+        jax.random.key(8), (1, k_a, pipe_av.tcfg.audio_in_channels),
+        jnp.float32)
+
+    step = make_av_denoise_step(
+        pipe_av.av_transformer_params, pipe_av.tcfg, guidance, shape,
+        audio_frames, v_ctx, a_ctx, bias,
+        conditioning_mask=cm, conditioned_latent=v_cond,
+        image_cond_noise_scale=scale, cond_frames=k_lat,
+        audio_cond_frames=k_a, audio_conditioned_latent=a_cond)
+
+    video = jax.random.normal(jax.random.key(3), shape.shape, jnp.float32)
+    audio = dit_av.pack_audio_latents(jax.random.normal(
+        jax.random.key(5), (1, 8, audio_frames, mel), jnp.float32))
+    tail_before = np.asarray(audio[:, k_a:])
+    k1 = jax.random.key(11)
+
+    v1, a1 = step(video, audio, 0.9, 0.7, k1)
+    want = a_cond + scale * jax.random.normal(
+        jax.random.fold_in(k1, 1), a_cond.shape, a_cond.dtype) * 0.9 ** 2
+    np.testing.assert_allclose(np.asarray(a1[:, :k_a]), np.asarray(want),
+                               atol=1e-6)
+    assert not np.allclose(np.asarray(a1[:, k_a:]), tail_before)
+
+    k2 = jax.random.key(12)
+    v2, a2 = step(v1, a1, 0.7, 0.4, k2)
+    want2 = a_cond + scale * jax.random.normal(
+        jax.random.fold_in(k2, 1), a_cond.shape, a_cond.dtype) * 0.7 ** 2
+    # only step 2's injection — no accumulation
+    np.testing.assert_allclose(np.asarray(a2[:, :k_a]), np.asarray(want2),
+                               atol=1e-6)
+
+
 def test_cmd_generate_chain_audio_dispatch(tmp_path, monkeypatch):
     """`generate --chain 2 --audio` routes through the AV chain and
     writes MP4 + side WAV."""
