@@ -514,10 +514,6 @@ def cmd_generate(args) -> int:
             prompts = [args.prompt] + list(args.chain_prompt)
         anchors = None
         if getattr(args, "chain_anchor", None):
-            if args.audio:
-                print("error: --chain-anchor does not compose with "
-                      "--audio yet", file=sys.stderr)
-                return 2
             anchors = {}
             for spec in args.chain_anchor:
                 parts = spec.split(":", 2)
@@ -536,6 +532,7 @@ def cmd_generate(args) -> int:
                 cond_frames=args.cond_frames, prompts=prompts,
                 audio_gain=args.audio_gain, on_progress=on_progress,
                 audio_cond=getattr(args, "chain_audio_cond", False),
+                anchors=anchors,
             )
         else:
             result = pipe.generate_video_chain(

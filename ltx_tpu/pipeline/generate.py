@@ -431,7 +431,7 @@ class LTXPipeline:
         )
         return out
 
-    def encode_prompts(self, prompts, batch: int = 4,
+    def encode_prompts(self, prompts, batch: Optional[int] = None,
                        stage: Optional[bool] = None):
         """Encode MANY prompts with each text-encoder component staged at
         most ONCE per call (encode_prompt runs a full staging cycle per
@@ -461,6 +461,12 @@ class LTXPipeline:
             return []
         if stage is None:
             stage = self.memory.phase_staging
+        if batch is None:
+            # w8a8 Gemma (12.8 GB resident) + a (49, B, S, D) hidden
+            # stack: B=4 measured RESOURCE_EXHAUSTED on one chip
+            # (scripts/chain_text_probe.py, round 5) — cap at 2 there;
+            # int4/bf16-tiny keep the 4-row chunks
+            batch = 2 if self._gemma_is_w8a8() else 4
         batch = max(1, int(batch))
         ids_rows = []
         mask_rows = []
@@ -514,6 +520,14 @@ class LTXPipeline:
                     d["audio"] = audio[r:r + 1]
                 results.append(d)
         return results
+
+    def _gemma_is_w8a8(self) -> bool:
+        """True when the loaded Gemma runs the W8A8 leaf schema (the HBM
+        cap that sizes encode_prompts' default chunk)."""
+        try:
+            return "w8" in self.gemma_params["layers"]["q_proj"]
+        except (TypeError, KeyError):
+            return False
 
     def offload_text_encoder(self):
         """Drop Gemma + connector params' device copies (TPU equivalent of
@@ -1761,20 +1775,8 @@ class LTXPipeline:
         # --- per-segment keyframe anchors: encode sources once, validate
         # against the carried tail's frames
         k_lat_w = (cond_frames - 1) // 8 + 1
-        anchor_enc = {}
-        if anchors:
-            for si, kfs in anchors.items():
-                si = int(si)
-                if not 0 <= si < segments:
-                    raise InvalidConfigurationError(
-                        f"anchor segment {si} outside [0, {segments})")
-                a_lat, a_idx = self._encode_keyframe_sources(kfs, config)
-                if si > 0 and int(a_idx[0]) < k_lat_w:
-                    raise InvalidConfigurationError(
-                        f"segment {si} anchor at latent frame "
-                        f"{int(a_idx[0])} overlaps the carried tail "
-                        f"(first {k_lat_w} latent frames)")
-                anchor_enc[si] = (a_lat, a_idx)
+        anchor_enc = self._encode_chain_anchors(anchors, segments, k_lat_w,
+                                                config)
 
         # warm EVERY chain program (segment-0, the shared extension step,
         # each anchored segment's own layout) and the decoder while
@@ -1975,6 +1977,7 @@ class LTXPipeline:
         audio_gain: float = 1.0,
         on_progress=None,
         audio_cond: bool = False,
+        anchors=None,
     ) -> VideoGenerationResult:
         """CHAINED long video WITH a generated soundtrack: the AV twin of
         generate_video_chain — each segment runs the dual AV transformer
@@ -2002,6 +2005,11 @@ class LTXPipeline:
 
         Segments >= 1 share ONE compiled AV extension-step program
         (context/tail rebind via step._jit/_ropes as call-time jit args).
+
+        anchors: per-segment keyframe anchors, same semantics as
+        generate_video_chain's (round 5 — the AV cond_frame_idx path):
+        anchored segments condition on the carried tail PLUS the anchor
+        frames and trace their own step program (static anchor layouts).
         """
         from ltx_tpu.models import audio_vae as audio_vae_mod
         from ltx_tpu.models import dit_av
@@ -2096,6 +2104,8 @@ class LTXPipeline:
                 raise InvalidConfigurationError(
                     f"audio overlap {k_a} >= audio_frames {audio_frames} "
                     "(cond_frames too close to num_frames for audio_cond)")
+        anchor_enc = self._encode_chain_anchors(anchors, segments, k_lat,
+                                                config)
 
         # --- phase 1: AV denoise every segment, carrying the video tail
         self._on_device("av_transformer_params")
@@ -2116,7 +2126,41 @@ class LTXPipeline:
             audio_packed = dit_av.pack_audio_latents(audio_raw) \
                 * float(sigmas[0])
 
-            if i == 0:
+            seg_anchor = anchor_enc.get(i)
+            if seg_anchor is not None:
+                # anchored AV segment: carried tail (i > 0) + anchors
+                # condition via cond_frame_idx; its OWN step program
+                # (static anchor layout), audio conditioning unchanged
+                a_lat, a_idx = seg_anchor
+                if i == 0:
+                    fidx, c_lat = a_idx, a_lat
+                else:
+                    video_latent = video_latent.at[:, :, :k_lat].set(
+                        tail.astype(video_latent.dtype))
+                    if audio_cond:
+                        audio_packed = audio_packed.at[:, :k_a].set(
+                            audio_tail.astype(audio_packed.dtype))
+                    fidx = np.concatenate([np.arange(k_lat), a_idx])
+                    c_lat = jnp.concatenate([tail, a_lat], axis=2)
+                video_latent = video_latent.at[:, :, a_idx].set(
+                    a_lat.astype(video_latent.dtype))
+                acm = self._conditioning_mask(shape, frame_idx=fidx)
+                seg_k_a = k_a if (i > 0 and audio_cond) else 0
+                seg_step = make_av_denoise_step(
+                    self.av_transformer_params, self.tcfg, guidance,
+                    shape, audio_frames, v_ctx, a_ctx, bias,
+                    conditioning_mask=acm, conditioned_latent=c_lat,
+                    image_cond_noise_scale=config.image_cond_noise_scale,
+                    cond_frame_idx=fidx,
+                    audio_cond_frames=seg_k_a,
+                    audio_conditioned_latent=(
+                        audio_tail if seg_k_a
+                        and config.image_cond_noise_scale > 0 else None),
+                    fps=config.fps, sdpa_impl=self.sdpa_impl,
+                    remat=self.memory.remat_blocks,
+                    pp_mesh=self.pp_mesh,
+                    pp_microbatches=self.pp_microbatches)
+            elif i == 0:
                 if base_step is None:
                     warm.join("denoise_av")
                     base_step = make_av_denoise_step(
@@ -2228,6 +2272,28 @@ class LTXPipeline:
         return VideoGenerationResult(frames=frames, timings=timings,
                                      seed=seed, audio=audio)
 
+    def _encode_chain_anchors(self, anchors, segments: int, k_lat: int,
+                              config: GenerationConfig):
+        """Validate + encode a chain's per-segment keyframe anchors
+        ({segment: [(pix_idx, src), ...]}; shared by the video and AV
+        chains). Segment > 0 anchors must sit past the carried tail's
+        k_lat latent frames."""
+        anchor_enc = {}
+        if anchors:
+            for si, kfs in anchors.items():
+                si = int(si)
+                if not 0 <= si < segments:
+                    raise InvalidConfigurationError(
+                        f"anchor segment {si} outside [0, {segments})")
+                a_lat, a_idx = self._encode_keyframe_sources(kfs, config)
+                if si > 0 and int(a_idx[0]) < k_lat:
+                    raise InvalidConfigurationError(
+                        f"segment {si} anchor at latent frame "
+                        f"{int(a_idx[0])} overlaps the carried tail "
+                        f"(first {k_lat} latent frames)")
+                anchor_enc[si] = (a_lat, a_idx)
+        return anchor_enc
+
     def _encode_chain_prompts(self, seg_prompts, config, guidance, timings,
                               need_audio: bool = False):
         """Enhance + encode a chain's per-segment prompts.
@@ -2277,11 +2343,20 @@ class LTXPipeline:
                         unique, spec_k=config.enhancement_spec_k,
                         max_batch=4, mesh=self.mesh)
                     timings.enhancement = time.time() - t0
+            import gc
+
+            gc.collect()  # free the enhancement KV/prefill buffers before
+            # the 4-row tower pass (w8a8 12.8 GB + hidden stacks sit near
+            # the HBM edge; measured RESOURCE_EXHAUSTED at B=4 with
+            # lingering enhance buffers — scripts/chain_text_probe.py)
             t0 = time.time()
             to_encode = list(enhanced)
             if guidance.use_cfg:
                 to_encode.append(config.negative_prompt
                                  or DEFAULT_NEGATIVE_PROMPT)
+            # encode_prompts auto-caps the chunk rows by quant mode; the
+            # chunks stream inside ONE staging cycle either way, so the
+            # 12.8 GB re-upload saving is untouched
             rows = self.encode_prompts(to_encode)
             encoded = {p: rows[i] for i, p in enumerate(unique)}
             neg = rows[len(unique)] if guidance.use_cfg else None

@@ -177,10 +177,7 @@ def request_to_config(body: dict, image_root: Optional[Path] = None):
             raise ValueError("'audio_cond' requires 'audio': true")
         anchors = body.get("anchors")
         if anchors is not None:
-            # per-segment keyframe anchors (video chain only — round 5)
-            if body.get("audio"):
-                raise ValueError(
-                    "'anchors' does not compose with 'audio' yet")
+            # per-segment keyframe anchors (video AND AV chains — round 5)
             if not isinstance(anchors, dict) or not anchors:
                 raise ValueError(
                     "'anchors' must be a non-empty {segment: [keyframe, "
@@ -343,6 +340,13 @@ def build_app(
                 audio=bool(job.request.get("audio")),
                 audio_gain=audio_gain)
         elif kind == "chain":
+            anchors = None
+            if job.request.get("anchors"):
+                anchors = {
+                    int(si): [(int(kf["frame"]),
+                               _fenced_path(kf, "image_path", root))
+                              for kf in kfs]
+                    for si, kfs in job.request["anchors"].items()}
             if job.request.get("audio"):
                 result = pipe.generate_video_chain_with_audio(
                     prompt, cfg,
@@ -350,15 +354,9 @@ def build_app(
                     cond_frames=int(job.request.get("cond_frames", 9)),
                     prompts=job.request.get("prompts"),
                     audio_gain=audio_gain,
-                    audio_cond=bool(job.request.get("audio_cond")))
+                    audio_cond=bool(job.request.get("audio_cond")),
+                    anchors=anchors)
             else:
-                anchors = None
-                if job.request.get("anchors"):
-                    anchors = {
-                        int(si): [(int(kf["frame"]),
-                                   _fenced_path(kf, "image_path", root))
-                                  for kf in kfs]
-                        for si, kfs in job.request["anchors"].items()}
                 result = pipe.generate_video_chain(
                     prompt, cfg,
                     segments=int(job.request.get("segments", 2)),

@@ -243,6 +243,8 @@ def test_serve_anchor_and_av_keyframe_validation():
     request_to_config({**base, "anchors": {"1": a}})       # valid
     request_to_config({**base, "anchors": {"0": [{"frame": 0,
                                                   "image_path": "a.png"}]}})
+    request_to_config({**base, "anchors": {"1": a},
+                       "audio": True})                     # AV chain anchors
     kf_base = {"kind": "keyframes", "prompt": "x", "width": 64,
                "height": 64, "num_frames": 17, "num_steps": 2,
                "keyframes": [{"frame": 0, "image_path": "a.png"}]}
@@ -257,8 +259,8 @@ def test_serve_anchor_and_av_keyframe_validation():
         {**base, "anchors": {"1": []}},                    # empty list
         {**base, "anchors": {"1": [{"frame": 3,            # unaligned
                                     "image_path": "a.png"}]}},
-        {**base, "anchors": {"1": a}, "audio": True},      # audio + anchors
         {**base, "anchors": []},                           # not a dict
+        {**base, "audio_cond": True},                      # needs audio
     ):
         with pytest.raises(ValueError):
             request_to_config(bad)
@@ -292,11 +294,12 @@ def test_cli_chain_anchor_and_av_keyframes(tmp_path, monkeypatch):
         "-w", "64", "-H", "64", "-f", "17", "-o", str(tmp_path / "y.mp4")])
     assert rc == 2
 
-    rc = cli.main([  # anchors + audio rejected
-        "generate", "x", "--chain", "2", "--audio", "--chain-anchor",
-        f"1:16:{img}", "-w", "64", "-H", "64", "-f", "17",
-        "-o", str(tmp_path / "y.mp4")])
-    assert rc == 2
+    out_avc = tmp_path / "avchain.mp4"
+    rc = cli.main([  # anchors compose with the AV chain (round 5)
+        "generate", "anchored song", "--chain", "2", "--audio",
+        "--chain-anchor", f"1:16:{img}", "-w", "64", "-H", "64",
+        "-f", "17", "--steps", "2", "--seed", "3", "-o", str(out_avc)])
+    assert rc == 0 and out_avc.exists() and out_avc.stat().st_size > 0
 
     out_av = tmp_path / "av.mp4"
     rc = cli.main([
@@ -304,6 +307,36 @@ def test_cli_chain_anchor_and_av_keyframes(tmp_path, monkeypatch):
         "--audio", "-w", "64", "-H", "64", "-f", "17", "--steps", "2",
         "--seed", "3", "-o", str(out_av)])
     assert rc == 0 and out_av.exists() and out_av.stat().st_size > 0
+
+
+def test_av_chain_anchor(pipe_av):
+    """AV chain per-segment anchors (round 5 symmetry): the anchored
+    segment builds its own AV step with cond_frame_idx = tail + anchor
+    indices; output finite with the stitched length; waveform present."""
+    import ltx_tpu.pipeline.denoise as dn
+
+    cfg = _cfg(num_frames=17, image_cond_noise_scale=0.15)
+    calls = []
+    orig = dn.make_av_denoise_step
+
+    def spy(*a, **kw):
+        calls.append(kw.get("cond_frame_idx"))
+        return orig(*a, **kw)
+
+    dn.make_av_denoise_step = spy
+    try:
+        r = pipe_av.generate_video_chain_with_audio(
+            "an anchored song", cfg, segments=2, cond_frames=9,
+            anchors={1: [(16, _img(7))]}, audio_cond=True)
+    finally:
+        dn.make_av_denoise_step = orig
+    f = np.asarray(r.frames)
+    assert f.shape == (17 + (17 - 9), 64, 64, 3)
+    assert np.isfinite(f.astype(np.float32)).all()
+    assert np.isfinite(np.asarray(r.audio)).all()
+    # base step (no idx) + anchored extension (tail 0,1 + anchor 2)
+    assert len(calls) == 2 and calls[0] is None
+    np.testing.assert_array_equal(np.asarray(calls[1]), [0, 1, 2])
 
 
 def test_chain_anchor_validation(pipe):
