@@ -616,7 +616,10 @@ class LTXPipeline:
         with replicated text-encoder params), so the abstract values must
         carry the same sharding annotation."""
         g = guidance.num_rows
-        s = self.tecfg.max_length
+        # 1024 = the production Gemma context; pipelines assembled without
+        # a text-encoder config (probe fixtures, injected embeddings)
+        # still warm the right program shape
+        s = self.tecfg.max_length if self.tecfg is not None else 1024
         repl = None
         mesh = self.mesh or self.pp_mesh
         if mesh is not None:
@@ -1061,6 +1064,11 @@ class LTXPipeline:
         latent = run_denoise_loop(step_fn, latent, sigmas, key=dkey,
                                   on_step=on_step, checkpoint=checkpoint,
                                   seed=seed)
+        # drop the step closure BEFORE decode: it holds the device param
+        # tree, and _release_to_host only swaps the attribute — a retained
+        # closure would keep the transformer's HBM alive under the VAE
+        # conv stack (measured RESOURCE_EXHAUSTED on the AV paths)
+        del step_fn
 
         # --- VAE decode phase
         warm.join()
@@ -1185,6 +1193,7 @@ class LTXPipeline:
         # on the I2V re-noise path (not taken here)
         latent = run_denoise_loop(step_fn, latent, sigmas,
                                   key=keys[0][1], on_step=on_step)
+        del step_fn  # free the DiT's HBM before the B decodes
 
         results = []
         for i in range(b):
@@ -1955,6 +1964,9 @@ class LTXPipeline:
             vkeys.append(vkey)
 
         # --- phase 2: decode every segment, trim the carried overlap
+        # (drop the step closures first — they hold the DiT's device
+        # params, which _release_to_host alone cannot free)
+        ext_step = seg_step = None
         warm.join()
         parts = []
         for i, (latent, vkey) in enumerate(zip(latents, vkeys)):
@@ -2232,7 +2244,9 @@ class LTXPipeline:
             dvkeys.append(dvkey)
 
         # --- phase 2: decode + stitch (video trims the overlap; audio
-        # crossfades over the same window)
+        # crossfades over the same window); step closures drop first —
+        # they hold the AV transformer's device params
+        base_step = ext_step = seg_step = None
         warm.join()
         parts = []
         waves = []
@@ -2762,6 +2776,7 @@ class LTXPipeline:
         video_latent, audio_packed = run_av_denoise_loop(
             step_fn, video_latent, audio_packed, sigmas, key=dkey,
             on_step=on_step)
+        del step_fn  # closure holds the AV params' HBM — free pre-decode
 
         # --- decode video
         warm.join()
@@ -2982,6 +2997,10 @@ class LTXPipeline:
         video_latent, audio_packed = run_av_denoise_loop(
             step_fn2, video_latent, audio_packed, s2_sigmas, key=dkey2,
             on_step=on_step)
+        # free the AV params' HBM before the conv stack: BOTH step
+        # closures hold the device tree (_release_to_host only swaps the
+        # attribute; measured RESOURCE_EXHAUSTED at 97f@768x512 int4)
+        del step_fn, step_fn2
 
         # --- decode video
         warm.join()

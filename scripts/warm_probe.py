@@ -93,6 +93,10 @@ def main():
         memory=MemoryConfig(vae_tile_size=8, vae_tile_overlap=1),
         is_distilled=True,
     )
+    # the pipeline owns the only refs now — decode_after_free's attribute
+    # clearing must actually free the 11.45 GiB AV tree (a lingering
+    # local here pinned it through three OOM'd attempts)
+    del av_params, vparams, uparams, avp, vocp
 
     # stub the text phase: fixture embeddings (compile choreography is
     # the measurement target, not Gemma)
@@ -105,6 +109,22 @@ def main():
                                     "mask": mask}
     if args.warm:
         pipe._should_warm = lambda c: True
+
+    # emulate phase staging's decode choreography for device-built
+    # fixtures: the AV transformer + upscaler leave HBM before the conv
+    # stack's activations (both runs RESOURCE_EXHAUSTED without this —
+    # production host-loaded trees release via _release_to_host instead)
+    import gc
+
+    orig_decode = pipe._decode_frames
+
+    def decode_after_free(latent, key, timings):
+        pipe.av_transformer_params = None
+        pipe.upscaler_params = None
+        gc.collect()
+        return orig_decode(latent, key, timings)
+
+    pipe._decode_frames = decode_after_free
 
     cfg = GenerationConfig(width=args.width, height=args.height,
                            num_frames=args.frames, num_steps=8, seed=0)
