@@ -32,13 +32,20 @@ def _cfg(**kw):
     return GenerationConfig(**d)
 
 
-def save(name, frames):
+def save(name, frames, audio=None):
     OUT.mkdir(exist_ok=True)
     f = np.asarray(frames, np.float32)
     stats = np.asarray([f.mean(), f.std(), f.min(), f.max()], np.float32)
+    extra = {}
+    if audio is not None:
+        a = np.asarray(audio, np.float32)
+        extra["audio_stats"] = np.asarray(
+            [a.mean(), a.std(), a.min(), a.max(), float(a.shape[-1])],
+            np.float32)
     # first frame stays f32: the 2e-4 test tolerance is below f16
     # resolution; savez_compressed keeps the file small anyway
-    np.savez_compressed(OUT / f"{name}.npz", first_frame=f[0], stats=stats)
+    np.savez_compressed(OUT / f"{name}.npz", first_frame=f[0], stats=stats,
+                        **extra)
     print(f"{name}: frames {f.shape} mean {stats[0]:.5f} std {stats[1]:.5f}")
 
 
@@ -59,6 +66,16 @@ def main():
     save("tiny_two_stage",
          pipe.generate_video_two_stage("golden two-stage prompt",
                                        _cfg(num_frames=9)).frames)
+    # round-5 additions: the chain (latent-carry + extension step) and the
+    # dual AV path (frames + waveform stats)
+    save("tiny_chain",
+         pipe.generate_video_chain("golden chain prompt",
+                                   _cfg(num_frames=17), segments=2,
+                                   cond_frames=9).frames)
+    av = LTXPipeline.random_tiny(seed=0, include_audio=True)
+    av.memory = dataclasses.replace(av.memory, offload_text_encoder=False)
+    r = av.generate_video_with_audio("golden av prompt", _cfg())
+    save("tiny_av", r.frames, audio=r.audio)
 
 
 if __name__ == "__main__":

@@ -73,3 +73,29 @@ def test_golden_two_stage(pipe):
     r = pipe.generate_video_two_stage("golden two-stage prompt",
                                       _cfg(num_frames=9))
     _check("tiny_two_stage", r.frames)
+
+
+def test_golden_chain(pipe):
+    """Round 5: pins the chain's latent-carry + extension-step numerics
+    (segment 0 + the conditioned continuation + overlap trim)."""
+    r = pipe.generate_video_chain("golden chain prompt",
+                                  _cfg(num_frames=17), segments=2,
+                                  cond_frames=9)
+    _check("tiny_chain", r.frames)
+
+
+def test_golden_av(pipe):
+    """Round 5: pins the dual AV path — frames AND waveform stats."""
+    import dataclasses
+
+    av = LTXPipeline.random_tiny(seed=0, include_audio=True)
+    av.memory = dataclasses.replace(av.memory, offload_text_encoder=False)
+    r = av.generate_video_with_audio("golden av prompt", _cfg())
+    _check("tiny_av", r.frames)
+    with np.load(GOLDEN_DIR / "tiny_av.npz") as z:
+        want = z["audio_stats"].astype(np.float32)
+    a = np.asarray(r.audio, np.float32)
+    got = np.asarray([a.mean(), a.std(), a.min(), a.max(),
+                      float(a.shape[-1])], np.float32)
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4,
+                               err_msg="tiny_av: waveform stats drifted")
