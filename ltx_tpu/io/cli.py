@@ -495,6 +495,23 @@ def cmd_generate(args) -> int:
         print("error: --chain-prompt requires --chain N (N > 1)",
               file=sys.stderr)
         return 2
+    if getattr(args, "chain", 1) <= 1:
+        # chain-only flags must not silently fall through to plain T2V
+        for flag, val in (
+            ("--chain-anchor", getattr(args, "chain_anchor", None)),
+            ("--chain-tail-renorm",
+             getattr(args, "chain_tail_renorm", 0.0)),
+            ("--chain-audio-cond",
+             getattr(args, "chain_audio_cond", False)),
+        ):
+            if val:
+                print(f"error: {flag} requires --chain N (N > 1)",
+                      file=sys.stderr)
+                return 2
+    if getattr(args, "chain_audio_cond", False) and not args.audio:
+        print("error: --chain-audio-cond requires --audio",
+              file=sys.stderr)
+        return 2
     if getattr(args, "chain", 1) > 1:
         if args.two_stage or args.image or \
                 getattr(args, "video", None) or \

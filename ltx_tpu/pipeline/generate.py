@@ -1637,6 +1637,7 @@ class LTXPipeline:
             video_latent, audio_packed = run_av_denoise_loop(
                 step_fn, video_latent, audio_packed, sigmas, key=dkey,
                 on_step=on_step)
+            del step_fn  # closure holds the AV params' HBM — free it
 
             warm.join()
             key, dvkey = jax.random.split(key)
@@ -2057,23 +2058,48 @@ class LTXPipeline:
         seg_prompts = list(prompts) if prompts is not None \
             else [prompt] * segments
 
-        # warm BOTH AV chain programs (segment-0 + the shared extension
-        # step) and the decoder while enhancement runs
+        # --- per-segment anchors: encode + validate BEFORE the text
+        # phases (an invalid anchor must not fail after minutes of
+        # device work; same ordering as the video chain)
         k_lat_w = (cond_frames - 1) // 8 + 1
+        af_w = dit_av.audio_frame_count(config.num_frames / config.fps)
+        k_a_w = (max(1, int(round(af_w * cond_frames
+                                  / config.num_frames)))
+                 if audio_cond else 0)
+        if audio_cond and k_a_w >= af_w:
+            raise InvalidConfigurationError(
+                f"audio overlap {k_a_w} >= audio_frames {af_w} "
+                "(cond_frames too close to num_frames for audio_cond)")
+        anchor_enc = self._encode_chain_anchors(anchors, segments,
+                                                k_lat_w, config)
+
+        # warm EVERY AV chain program (segment-0, the shared extension
+        # step when some continuation is unanchored, each anchored
+        # segment's own layout) and the decoder while enhancement runs
         warm = _WarmCompiles()
         if self._should_warm(config):
-            plan = [("denoise_av",
-                     lambda: self._warm_av_lowering(config, guidance))]
-            if segments > 1:
-                af_w = dit_av.audio_frame_count(
-                    config.num_frames / config.fps)
-                k_a_w = (max(1, int(round(af_w * cond_frames
-                                          / config.num_frames)))
-                         if audio_cond else 0)
+            if 0 in anchor_enc:
+                idx0 = anchor_enc[0][1]
+                plan = [("denoise_av", lambda: self._warm_av_lowering(
+                    config, guidance, cond_frame_idx=idx0))]
+            else:
+                plan = [("denoise_av",
+                         lambda: self._warm_av_lowering(config, guidance))]
+            if any(i not in anchor_enc for i in range(1, segments)):
                 plan.append(("denoise_av_ext",
                              lambda: self._warm_av_lowering(
                                  config, guidance, cond_frames=k_lat_w,
                                  audio_cond_frames=k_a_w)))
+            for si in sorted(anchor_enc):
+                if si > 0:
+                    aidx = np.concatenate([np.arange(k_lat_w),
+                                           anchor_enc[si][1]])
+                    plan.append((f"denoise_av_anchor_{si}",
+                                 lambda aidx=aidx:
+                                 self._warm_av_lowering(
+                                     config, guidance,
+                                     cond_frame_idx=aidx,
+                                     audio_cond_frames=k_a_w)))
             if self._vae_warm_applies(config):
                 plan.append(("vae",
                              lambda: self._warm_vae_lowering(config)))
@@ -2102,22 +2128,14 @@ class LTXPipeline:
         duration = config.num_frames / config.fps
         audio_frames = dit_av.audio_frame_count(duration)
         mel_latent_bins = self.tcfg.audio_in_channels // 8
-        k_lat = (cond_frames - 1) // 8 + 1
+        k_lat = k_lat_w
         sigmas = self._sigmas(config, shape)
         n_steps = len(sigmas) - 1
         cm = self._conditioning_mask(shape, frames=k_lat)
-        k_a = 0
-        if audio_cond:
-            # audio latent frames covering the trimmed overlap window
-            # (the crossfade's own k; audio latents run at ~25/s)
-            k_a = max(1, int(round(audio_frames * cond_frames
-                                   / config.num_frames)))
-            if k_a >= audio_frames:
-                raise InvalidConfigurationError(
-                    f"audio overlap {k_a} >= audio_frames {audio_frames} "
-                    "(cond_frames too close to num_frames for audio_cond)")
-        anchor_enc = self._encode_chain_anchors(anchors, segments, k_lat,
-                                                config)
+        # audio latent frames covering the trimmed overlap window (the
+        # crossfade's own k; audio latents run at ~25/s) — computed with
+        # the anchors before the text phases
+        k_a = k_a_w
 
         # --- phase 1: AV denoise every segment, carrying the video tail
         self._on_device("av_transformer_params")
@@ -2142,7 +2160,10 @@ class LTXPipeline:
             if seg_anchor is not None:
                 # anchored AV segment: carried tail (i > 0) + anchors
                 # condition via cond_frame_idx; its OWN step program
-                # (static anchor layout), audio conditioning unchanged
+                # (static anchor layout, warmed per layout), audio
+                # conditioning unchanged
+                warm.join("denoise_av" if i == 0
+                          else f"denoise_av_anchor_{i}")
                 a_lat, a_idx = seg_anchor
                 if i == 0:
                     fidx, c_lat = a_idx, a_lat
@@ -2376,7 +2397,10 @@ class LTXPipeline:
             neg = rows[len(unique)] if guidance.use_cfg else None
             timings.text_encoding = time.time() - t0
         if need_audio:
-            for out in encoded.values():
+            rows_to_check = list(encoded.values())
+            if neg is not None:
+                rows_to_check.append(neg)  # the CFG negative row too
+            for out in rows_to_check:
                 if "audio" not in out:
                     raise TextEncodingFailedError(
                         "text encoder lacks the audio connector")

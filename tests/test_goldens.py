@@ -84,7 +84,7 @@ def test_golden_chain(pipe):
     _check("tiny_chain", r.frames)
 
 
-def test_golden_av(pipe):
+def test_golden_av():
     """Round 5: pins the dual AV path — frames AND waveform stats."""
     import dataclasses
 

@@ -339,6 +339,26 @@ def test_av_chain_anchor(pipe_av):
     np.testing.assert_array_equal(np.asarray(calls[1]), [0, 1, 2])
 
 
+def test_cli_chain_flag_guards(tmp_path, monkeypatch):
+    """Chain-only flags must fail loudly without --chain (self-review r5):
+    silently producing an unanchored/unrenormed T2V was the same defect
+    class as the --chain 0 fallthrough."""
+    from ltx_tpu.io import cli
+    from ltx_tpu.pipeline import loader
+
+    monkeypatch.setattr(loader, "load_pipeline",
+                        lambda **kw: LTXPipeline.random_tiny(seed=0))
+    base = ["-w", "64", "-H", "64", "-f", "17",
+            "-o", str(tmp_path / "x.mp4")]
+    for extra in (
+        ["--chain-anchor", "1:16:a.png"],
+        ["--chain-tail-renorm", "0.5"],
+        ["--chain", "2", "--chain-audio-cond"],          # needs --audio
+        ["--chain-audio-cond", "--audio"],               # needs --chain
+    ):
+        assert cli.main(["generate", "p", *extra, *base]) == 2, extra
+
+
 def test_chain_anchor_validation(pipe):
     cfg = _cfg(num_frames=17)
     img = _img()
