@@ -254,11 +254,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "preserved); denoise+decode HBM scales with B — "
                         "25f@768x512 int4 fits B=4 on one chip")
     s.add_argument("--warmup", action="append", default=None,
-                   metavar="WxHxF",
-                   help="Pre-compile the T2V denoise + VAE decoder for "
-                        "this shape (e.g. 768x512x25) BEFORE accepting "
-                        "jobs — first-job latency then matches "
-                        "steady-state; repeatable")
+                   metavar="WxHxF[:two_stage]",
+                   help="Pre-compile this shape's programs BEFORE "
+                        "accepting jobs (e.g. 768x512x25 = T2V denoise + "
+                        "VAE; 768x512x25:two_stage = both stages + "
+                        "upscaler + VAE) — first-job latency then matches "
+                        "steady-state (measured -43.6 s, BENCH_NOTES "
+                        "§32); repeatable")
     s.add_argument("--gemma-path", default=None)
     s.add_argument("--ltx-weights", default=None)
     s.add_argument("--models-dir", default=None)
@@ -779,6 +781,22 @@ def cmd_serve(args) -> int:
     from ltx_tpu.pipeline.loader import load_pipeline
     from ltx_tpu.serve.app import build_app
 
+    # parse --warmup BEFORE the (minutes-long) weight load so a typo
+    # fails immediately
+    warmup_shapes = None
+    if getattr(args, "warmup", None):
+        warmup_shapes = []
+        for spec in args.warmup:
+            shape_part, _, kind = spec.lower().partition(":")
+            parts = shape_part.split("x")
+            if (len(parts) != 3 or not all(p.isdigit() for p in parts)
+                    or kind not in ("", "two_stage")):
+                print(f"error: --warmup {spec!r} is not WxHxF"
+                      "[:two_stage]", file=sys.stderr)
+                return 2
+            t = tuple(int(p) for p in parts)
+            warmup_shapes.append(t + ("two_stage",) if kind else t)
+
     pipe = load_pipeline(
         model=_effective_model(args),
         models_dir=args.models_dir,
@@ -804,16 +822,6 @@ def cmd_serve(args) -> int:
         max_batch = {"w8a8": 7, "int4": 24, "bf16": 2}[args.gemma_quant]
         if getattr(args, "embed_int8", False):
             max_batch = {"w8a8": 11, "int4": 28, "bf16": 2}[args.gemma_quant]
-    warmup_shapes = None
-    if getattr(args, "warmup", None):
-        warmup_shapes = []
-        for spec in args.warmup:
-            parts = spec.lower().split("x")
-            if len(parts) != 3 or not all(p.isdigit() for p in parts):
-                print(f"error: --warmup {spec!r} is not WxHxF",
-                      file=sys.stderr)
-                return 2
-            warmup_shapes.append(tuple(int(p) for p in parts))
     app = build_app(
         pipe, output_dir=args.output_dir, host=args.host, port=args.port,
         max_batch=max_batch, spec_k=args.spec_k, kv_quant=args.kv_quant,

@@ -475,17 +475,29 @@ def test_serve_warmup_precompiles_configured_shapes(tmp_path):
     def spy(config, guidance, timings=None, plan=None):
         handle = SpyWarm()
         seen.append(((config.width, config.height, config.num_frames),
-                     handle))
-        # run the REAL default plan so the compile machinery executes
-        handle.add("denoise", lambda: pipe._warm_lowering(config, guidance))
-        handle.add("vae", lambda: pipe._warm_vae_lowering(config))
+                     ([n for n, _ in plan] if plan is not None
+                      else ["denoise", "vae"]), handle))
+        if plan is None:
+            # run the REAL default plan so the compile machinery executes
+            handle.add("denoise",
+                       lambda: pipe._warm_lowering(config, guidance))
+            handle.add("vae", lambda: pipe._warm_vae_lowering(config))
+        else:
+            for name, thunk in plan:
+                handle.add(name, thunk)
         return handle
 
     pipe._start_warm_compile = spy
     app = build_app(pipe, output_dir=str(tmp_path), port=0,
-                    warmup_shapes=[(64, 64, 9), (128, 64, 9)])
+                    warmup_shapes=[(64, 64, 9), (128, 64, 9),
+                                   (128, 128, 9, "two_stage")])
     try:
-        assert [s for s, _ in seen] == [(64, 64, 9), (128, 64, 9)]
-        assert all(h.joined for _, h in seen)
+        assert [(s, p) for s, p, _ in seen] == [
+            ((64, 64, 9), ["denoise", "vae"]),
+            ((128, 64, 9), ["denoise", "vae"]),
+            ((128, 128, 9),
+             ["denoise_s1", "upscaler", "denoise_s2", "vae"]),
+        ]
+        assert all(h.joined for _, _, h in seen)
     finally:
         app.close()
